@@ -1,0 +1,81 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator module registers its public queries here with an optional
+DuckDB oracle SQL string.  ``__spark_entry__.py`` re-exports these as
+``queries()`` / ``oracle_sql()``; the driver hash-compares each pair at
+sf0.01 (SURVEY.md §5.2).
+
+Determinism rules enforced by convention in every registered query
+(SURVEY.md §7.4):
+- alias every computed column identically in Spark and SQL dialects,
+- ROUND(x, 4) float aggregates / scores,
+- sort arrays before comparison,
+- never emit raw µs-precision event timestamps (bucket/truncate/format),
+- session timezone pinned UTC by the table loader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``oracle`` is the equivalent DuckDB-ANSI SQL (tables pre-registered as
+    views: region nation customer supplier part orders lineitem events
+    documents embeddings).  Omit it for nondeterministic / non-SQL ops →
+    the driver records a rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every operator module for its registration side effects."""
+    from data_pipeline_cursor_spark.operators import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        setops,
+        subqueries,
+        time_windows,
+        window_funcs,
+    )
+    from data_pipeline_cursor_spark.functions import (  # noqa: F401
+        arrays,
+        datetime_ops,
+        json_ops,
+        math_ops,
+        strings,
+        udfs,
+    )
+    from data_pipeline_cursor_spark import serving  # noqa: F401
+    from data_pipeline_cursor_spark.text import analysis, dedup  # noqa: F401
+    from data_pipeline_cursor_spark.vectors import similarity  # noqa: F401
+
+
+def get_queries() -> dict[str, QueryFn]:
+    _load_all_modules()
+    return dict(_QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    _load_all_modules()
+    return dict(_ORACLES)

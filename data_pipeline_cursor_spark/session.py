@@ -1,0 +1,70 @@
+"""SparkSession factory — every entry point builds (or adopts) a session here.
+
+Scale posture: these configs are the local[32] test shape of a design meant
+for a 1000-executor cluster at ~100 TB:
+
+- AQE on → runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast demotion do at scale what no static config can.
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real
+  cluster you'd set it ~2-3× total executor cores (or leave AQE's
+  coalescing to shrink an intentionally-high initial number).
+- Session timezone pinned UTC: the reference stores naive wall-clock
+  timestamps (SURVEY.md §1.4); pinning UTC makes Spark's instant semantics
+  coincide with DuckDB/naive semantics, which is load-bearing for every
+  time-derived result.
+- zstd parquet mirrors the reference lakehouse layout
+  (/root/reference/trino/sql/init-tables.sql:7-8).
+- Arrow on: all pandas-UDF interchange is Arrow-batched (the only sanctioned
+  Python path; row-at-a-time UDFs are banned in hot paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level SQL confs that MUST hold for deterministic results even when
+# we are handed a foreign SparkSession (the verify driver builds its own).
+_RUNTIME_SQL_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # The events fixture stores ts as parquet TIMESTAMP(NANOS) which Spark
+    # cannot map to TimestampType; read the raw int64 nanos and rebuild the
+    # µs timestamp in the loader (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the mutable session confs we depend on to an existing session.
+
+    Safe on any session (these are runtime-settable SQL confs, not JVM
+    start-up options).  Called by the table loader so that driver-owned
+    sessions behave identically to ours.
+    """
+    for k, v in _RUNTIME_SQL_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host environment — proceed
+    return spark
+
+
+def get_spark(app_name: str = "data-pipeline-cursor-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # 2x cores: enough parallelism for local shuffles; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    for k, v in _RUNTIME_SQL_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,1 @@
+"""Stub — populated per SURVEY.md §7.3 milestones."""

@@ -1,0 +1,103 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For each registered (query, oracle) pair: run the Spark query and the DuckDB
+SQL over the same parquet, normalize both frames (column order by name,
+float rounding, timestamp canonicalization, row sort), and compare values.
+This is intentionally at least as strict as the driver's order-insensitive
+value-hash (SURVEY.md §5.2), so passing here predicts passing CORRECTNESS.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, table_path
+
+FLOAT_DECIMALS = 4
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register each fixture parquet as a view, as the driver does."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con
+
+
+def _canon_scalar(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        r = round(v, FLOAT_DECIMALS)
+        if r == 0:
+            r = 0.0  # normalize -0.0
+        return f"{r:.{FLOAT_DECIMALS}f}"
+    if isinstance(v, (np.floating,)):
+        return _canon_scalar(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return _canon_scalar(float(v))
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_scalar(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [
+        tuple(_canon_scalar(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def compare_query(spark, name, query_fn, oracle: str, sf_dir: str) -> None:
+    """Raise AssertionError with a useful diff if the pair mismatches."""
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        duck_pdf = con.sql(oracle).df()
+    finally:
+        con.close()
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch\n spark={sorted(spark_pdf.columns)}\n "
+        f"duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    s_rows = canonical_rows(spark_pdf)
+    d_rows = canonical_rows(duck_pdf)
+    if s_rows != d_rows:
+        diff_s = [r for r in s_rows if r not in set(d_rows)][:5]
+        diff_d = [r for r in d_rows if r not in set(s_rows)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch ({len(diff_s)}+ differing rows)\n"
+            f" spark-only sample: {diff_s}\n duck-only sample: {diff_d}\n"
+            f" columns: {sorted(spark_pdf.columns)}"
+        )

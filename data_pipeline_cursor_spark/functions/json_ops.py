@@ -1,1 +1,64 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""JSON functions (SURVEY.md §2.A A4, §2.D D26).
+
+Parity anchor: the reference's records are schemaless JSON all the way to
+storage (/root/reference/logging-server/server.py:70,
+/root/reference/compose.yaml:171-172 `schemas.enable=false`), decoded at
+query time.  ``events.props`` plays that role here (FIXTURES.md §2).
+
+Two decode styles, both JVM-side:
+- ``get_json_object`` — per-path extraction (Trino-style ad-hoc),
+- ``from_json`` with an explicit schema — the PERMISSIVE-mode typed decode
+  the streaming path uses (malformed → NULL row, mirroring Flink's
+  json.ignore-parse-errors, /root/reference/flink/sql/weather-aggregation.sql:15-16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_json_extract_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path extraction + cast (A4/D26): get_json_object ≡ json_extract_string.
+    Schema-on-read casting is a load-bearing reference semantic
+    (SURVEY.md §1.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "q_json_typed_decode",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END      AS is_valid
+    FROM events
+    """,
+)
+def json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed decode via from_json(schema) in PERMISSIVE mode (A4): malformed
+    documents yield NULL structs instead of failing the query — the batch
+    mirror of Flink's error-tolerant Kafka JSON source."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    decoded = ev.withColumn("j", F.from_json("props", schema))
+    return decoded.select(
+        "event_id",
+        F.col("j.k").alias("k_val"),
+        F.when(F.col("j").isNotNull(), 1).otherwise(0).alias("is_valid"),
+    )

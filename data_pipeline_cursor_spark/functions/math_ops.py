@@ -1,1 +1,42 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Math functions (SURVEY.md §2.D D28) — Catalyst built-ins, codegen'd."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT event_id,
+           ROUND(value, 1)                          AS v_round,
+           ROUND(abs(value - 100), 4)               AS v_absdiff,
+           CAST(ceil(value) AS BIGINT)              AS v_ceil,
+           CAST(floor(value) AS BIGINT)             AS v_floor,
+           ROUND(sqrt(value), 4)                    AS v_sqrt,
+           ROUND(pow(value, 2), 4)                  AS v_sq,
+           ROUND(ln(value + 1), 4)                  AS v_ln,
+           ((event_id % 7) + 7) % 7                 AS v_pmod,
+           CAST(sign(value - 100) AS INTEGER)       AS v_sign
+    FROM events
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/pow/ln/pmod/sign (D28)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round("value", 1).alias("v_round"),
+        F.round(F.abs(F.col("value") - 100), 4).alias("v_absdiff"),
+        F.ceil("value").alias("v_ceil"),
+        F.floor("value").alias("v_floor"),
+        F.round(F.sqrt("value"), 4).alias("v_sqrt"),
+        F.round(F.pow("value", F.lit(2)), 4).alias("v_sq"),
+        F.round(F.log(F.col("value") + 1), 4).alias("v_ln"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("v_pmod"),
+        F.signum(F.col("value") - 100).cast("int").alias("v_sign"),
+    )

@@ -1,1 +1,257 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Aggregation family (SURVEY.md §2.B B8/B9/B16, §2.D D9-D14).
+
+Parity anchors: the Flink job's grouped AVG+COUNT
+(/root/reference/flink/sql/weather-aggregation.sql:38-49), the README's
+agg-of-aggregates over the serving table (/root/reference/README.md:494-497),
+and the Trino batch-SQL surface the reference ships
+(/root/reference/README.md:454-482).
+
+Scale notes (100 TB): all grouped aggregations here are single-shuffle hash
+aggregates with map-side partial aggregation (Spark's HashAggregate emits
+partials before the exchange), so shuffle volume is O(groups), not O(rows).
+COUNT(DISTINCT) expands to a two-phase agg; approx_count_distinct replaces
+it with an HLL sketch (constant state per group) — that's the 100 TB path
+for high-cardinality distincts.  ROLLUP/CUBE expand each input row into
+its grouping sets BEFORE the shuffle, still one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_groupby_avg",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(*)             AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AVG + COUNT(*) (B8) — the batch form of the Flink job
+    (/root/reference/flink/sql/weather-aggregation.sql:38-49, batch twin
+    /root/reference/README.md:473-476)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_of_agg",
+    oracle="""
+    WITH per_window AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             AVG(value) AS avg_value,
+             COUNT(*)   AS record_count
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           ROUND(AVG(avg_value), 4) AS overall_avg,
+           CAST(SUM(record_count) AS BIGINT) AS total_records
+    FROM per_window
+    GROUP BY event_type
+    """,
+)
+def agg_of_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation (B9). Parity: AVG(avg_temperature),
+    SUM(record_count) … GROUP BY city over the pre-aggregated serving table
+    (/root/reference/README.md:494-497)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_window = ev.groupBy(
+        "event_type", F.window("ts", "5 minutes").alias("w")
+    ).agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("record_count"))
+    return per_window.groupBy("event_type").agg(
+        F.round(F.avg("avg_value"), 4).alias("overall_avg"),
+        F.sum("record_count").alias("total_records"),
+    )
+
+
+@register(
+    "q_global_agg",
+    oracle="""
+    SELECT COUNT(*)              AS n_rows,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    """,
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped running stats (B16). Parity: dashboard header totals
+    (/root/reference/visualization-server/public/index.html:432-448)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "q_groupby_multi",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 4)                              AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+           ROUND(MIN(l_extendedprice), 4)                         AS min_price,
+           ROUND(MAX(l_extendedprice), 4)                         AS max_price,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate GROUP BY (D9) — TPC-H Q1 shape over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) (D10) — exact; Catalyst plans the two-phase expand."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register("q_approx_distinct")  # approximate → rows-only check (SURVEY §2.D D11)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (D11) — HLL sketch; THE distinct-count at 100 TB
+    (constant memory per group vs the exact expand's O(distinct) state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_filter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 100)            AS n_high,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE value > 100), 0), 4)
+                                                          AS sum_high,
+           COUNT(*)                                       AS n_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (D12) — FILTER clause ≡ count_if/sum(when)."""
+    ev = load_table(spark, sf_dir, "events")
+    high = F.col("value") > 100
+    return ev.groupBy("event_type").agg(
+        F.count_if(high).alias("n_high"),
+        F.round(
+            F.coalesce(F.sum(F.when(high, F.col("value"))), F.lit(0.0)), 4
+        ).alias("sum_high"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 5
+    """,
+)
+def having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING (D13) — post-aggregation filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 5)
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (D14) — hierarchical subtotals; NULL marks the rolled level."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (D14) — all grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (D14) — explicit set list via SQL (the DataFrame API
+    exposes only rollup/cube; SQL is the idiomatic Spark route)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )

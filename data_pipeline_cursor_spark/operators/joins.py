@@ -1,1 +1,301 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Join family (SURVEY.md §2.D D1-D8) — the batch-SQL surface the reference
+exposes by shipping Trino (/root/reference/compose.yaml:374-396; users directed
+to arbitrary SQL at /root/reference/README.md:454-482).
+
+Scale notes (100 TB):
+- Equi-joins shuffle both sides on the key unless one side broadcasts.
+  region/nation/supplier/part are classic broadcast dims — below
+  `spark.sql.autoBroadcastJoinThreshold` Catalyst broadcasts automatically;
+  `q_join_broadcast` forces the hint and the test asserts the physical plan.
+- The star join chains broadcasts for dims and shuffles only the two fact
+  tables (lineitem⋈orders) — one big exchange instead of four.
+- Non-equi joins (range/banding) are broadcast-nested-loop: keep the
+  broadcast side tiny (a literal band table here).  At scale, banding is
+  better rewritten as a computed key (`width_bucket`-style) + equi-join —
+  both forms shown in `q_join_range`'s docstring.
+- The as-of join avoids an O(n·m) range join entirely: union the two
+  streams, one window pass per key (`last(ignoreNulls)`) — single shuffle
+  on user_id, linear state.  This is the 100 TB path; DuckDB's native
+  ASOF JOIN is the oracle.
+- Skewed keys: AQE skew-join splitting is on (session.py); worst-case key
+  salting is documented in PLANS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (D1); Catalyst picks broadcast vs sort-merge by size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (D2) — customers without orders keep a NULL orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (D2)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH big AS (SELECT * FROM customer WHERE c_acctbal > 5000)
+    SELECT b.c_custkey, b.c_name, o.o_orderkey
+    FROM big b FULL JOIN orders o ON o.o_custkey = b.c_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (D2) — filtered left side so both null-extensions occur."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (D3) ≡ EXISTS — emits left rows once, no duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (D3) ≡ NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (D4) — only sane between tiny dims (5×25 here)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join (D5): explicit `broadcast()` hints on both dims — the
+    fact side never shuffles.  tests/test_plans.py asserts
+    BroadcastHashJoin appears in the physical plan."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "q_join_star",
+    oracle="""
+    SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (D6), TPC-H Q5 shape: revenue per region.
+
+    Physical shape at scale: lineitem⋈orders is the one real shuffle
+    (both facts, co-partitioned on orderkey); customer/nation/region are
+    broadcast — hinted explicitly so the plan is stable regardless of
+    stats.  Rounded to 2 decimals: a 6-figure revenue sum leaves < 1e-10
+    relative float noise, far inside 2 decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 500.0),
+             ('mid', 500.0, 1000.0),
+             ('premium', 1000.0, 1500.0),
+             ('luxury', 1500.0, 100000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (D7): banding parts by price against a literal band
+    table — a BroadcastNestedLoopJoin with a 4-row broadcast side.
+
+    100 TB note: when the band table is static like here, rewrite as a
+    computed key (CASE/width_bucket → equi-join or plain CASE projection);
+    BNLJ is only acceptable with a tiny broadcast side."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 500.0),
+            ("mid", 500.0, 1000.0),
+            ("premium", 1000.0, 1500.0),
+            ("luxury", 1500.0, 100000.0),
+        ],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, c.ts AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (D8): for each purchase, the latest click by the same user
+    at-or-before the purchase time (`<=`-latest convention, SURVEY §7.4).
+
+    Spark has no native as-of; the scalable composition (SURVEY §4.3) is
+    union-the-streams + one window pass per key: tag rows, sort by
+    (ts, clicks-first), carry the last non-null click ts forward with
+    last(ignoreNulls).  One shuffle on user_id, O(1) state per row —
+    survives 100 TB where a range join + groupBy(max) would not."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("p_event_id"), F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("p_event_id"), F.lit(0).alias("is_click"),
+    )
+    merged = clicks.unionByName(purchases)
+    # clicks sort before purchases at identical ts → `<=` semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("p_event_id").isNotNull())
+        .select(
+            F.col("p_event_id").alias("event_id"), "user_id", "last_click_ts"
+        )
+    )

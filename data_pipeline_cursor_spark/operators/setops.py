@@ -1,1 +1,80 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Set operations (SURVEY.md §2.D D19) — UNION [ALL] / INTERSECT / EXCEPT,
+part of the Trino SQL surface the reference ships
+(/root/reference/README.md:454-482).
+
+Scale notes: UNION ALL is a zero-shuffle concatenation of partitions;
+UNION DISTINCT / INTERSECT / EXCEPT each add one hash shuffle on the full
+row — keep projections narrow before them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE value > 150
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — duplicates preserved (clicks with value>150 appear twice)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 150).select("event_id", "event_type")
+    return a.unionByName(b)
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — users who clicked or purchased, each once."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — users who both clicked and purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — users who clicked but never purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)

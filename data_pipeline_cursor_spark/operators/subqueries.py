@@ -1,1 +1,138 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Subqueries, CTEs, VALUES (SURVEY.md §2.D D31-D34) — exercised through
+``spark.sql`` so Catalyst's subquery rewrites (scalar-subquery planning,
+IN→semi-join, correlated-EXISTS decorrelation) run exactly as they would
+for an interactive SQL user of the reference's Trino endpoint
+(/root/reference/README.md:454-482).
+
+Scale notes: Catalyst turns the scalar subquery into a broadcast scalar,
+the IN/EXISTS subqueries into semi-joins (shuffle or broadcast by size) —
+none of these fall back to per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (D31): orders above twice the global average price."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (D32) — Catalyst plans it as a left semi join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "q_exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    """,
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (D32) — decorrelated into a semi join."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+@register(
+    "q_cte",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 4) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, p.n_orders, p.spend
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    WHERE p.n_orders >= 15
+    """,
+)
+def cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE (D33): per-customer rollup reused in a join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 4) AS spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, p.n_orders, p.spend
+        FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        WHERE p.n_orders >= 15
+        """
+    )
+
+
+@register(
+    "q_values",
+    oracle="""
+    SELECT t.region_code, t.display, r.r_name
+    FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(region_code, display)
+    JOIN region r ON r.r_regionkey = t.region_code
+    """,
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline relation (D34) joined against a real table."""
+    _views(spark, sf_dir, "region")
+    return spark.sql(
+        """
+        SELECT t.region_code, t.display, r.r_name
+        FROM VALUES (0, 'zero'), (1, 'one'), (2, 'two') AS t(region_code, display)
+        JOIN region r ON r.r_regionkey = t.region_code
+        """
+    )

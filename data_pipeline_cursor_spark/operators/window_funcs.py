@@ -1,1 +1,219 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Window (analytic) functions (SURVEY.md §2.B B14-B15, §2.D D15-D17).
+
+Parity anchors: the dashboard's per-city last-100-points retention and
+current-value readout (/root/reference/visualization-server/public/index.html:336-339,378-379)
+— both are window-function queries over the serving data — plus the Trino
+window-function surface the reference ships.
+
+Scale notes (100 TB): every query here is ONE shuffle on the partition key
+followed by a per-partition sort.  Determinism rule: every ORDER BY inside
+a window carries a unique tie-break column (event_id / orderkey) so rank
+and frame results are reproducible across engines.  Skew caveat: a window
+partitioned on a hot key serializes that key into one task — for power-law
+keys pre-aggregate or bucket by a salted composite first (PLANS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key last-N retention (B14). Parity: dashboard keeps the last 100
+    points per city (/root/reference/visualization-server/public/index.html:336-339)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT event_type, event_id, value, ts FROM (
+      SELECT event_type, event_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest value per key (B15). Parity: current temperature = newest point
+    (/root/reference/visualization-server/public/index.html:378-379)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", "value", "ts")
+    )
+
+
+@register(
+    "q_row_number",
+    oracle="""
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking: row_number (D15) — first 3 events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@register(
+    "q_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS drnk
+    FROM customer
+    """,
+)
+def rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (D15) over a ties-heavy integer key — rank values
+    depend only on the order key, so ties are deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile (D15): price quartiles within order status."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id,
+           ROUND(LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS prev_value,
+           ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS next_value
+    FROM events
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead (D16) along each user's event-time sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+    )
+
+
+@register(
+    "q_first_last",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(FIRST_VALUE(value) OVER w, 4) AS first_v,
+           ROUND(LAST_VALUE(value)  OVER w, 4) AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (D16) over the full-partition frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.first("value").over(w), 4).alias("first_v"),
+        F.round(F.last("value").over(w), 4).alias("last_v"),
+    )
+
+
+@register(
+    "q_frame_rows",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg
+    FROM events
+    """,
+)
+def frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame (D17): 3-point moving average along each user's sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+    )
+
+
+@register(
+    "q_frame_range",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW), 4)
+             AS cum_spend
+    FROM orders
+    """,
+)
+def frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (D17): cumulative spend per customer; same-day orders
+    (range peers) accumulate together, which makes ties deterministic —
+    ORDER BY + default frame IS the RANGE unbounded-preceding frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend")
+    )

@@ -11,6 +11,8 @@ Determinism rules enforced by convention in every registered query
 - ROUND(x, 4) float aggregates / scores,
 - sort arrays before comparison,
 - never emit raw µs-precision event timestamps (bucket/truncate/format),
+- CAST(SUM(<integer col>) AS BIGINT) in DuckDB oracles (DuckDB widens integer
+  SUM to HUGEINT → pandas float; Spark stays long),
 - session timezone pinned UTC by the table loader.
 """
 

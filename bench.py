@@ -1,0 +1,71 @@
+"""Per-round benchmark — times every registered query at one scale factor.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` datasource writer: full
+distributed execution (scan → shuffle → sink) with zero driver
+materialization, which is the honest cost model for a cluster run — a
+`collect()` would add a driver bottleneck the real pipeline doesn't have.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = get_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        queries = {k: v for k, v in queries.items() if k in wanted}
+
+    # Warm the JVM + parquet footer cache once so per-query times measure the
+    # query, not session start-up.
+    from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record the failure, keep benching
+            timings[name] = -1.0
+            print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock, all declared queries (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

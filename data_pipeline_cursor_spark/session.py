@@ -35,6 +35,12 @@ _RUNTIME_SQL_CONFS = {
     # cannot map to TimestampType; read the raw int64 nanos and rebuild the
     # µs timestamp in the loader (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4's ICU case-mapping path (lower/upper/initcap) triggers a
+    # CollationAwareUTF8String static init that walks the full Unicode
+    # title-case table — observed 60-330 s when it lands on a JIT-pressured
+    # JVM mid-benchmark.  JVM case mapping is identical on ASCII data and is
+    # what DuckDB effectively does, so disable ICU for determinism AND speed.
+    "spark.sql.icu.caseMappings.enabled": "false",
 }
 
 
@@ -61,6 +67,14 @@ def get_spark(app_name: str = "data-pipeline-cursor-spark") -> SparkSession:
         # 2x cores: enough parallelism for local shuffles; AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Dozens of distinct queries per session → hundreds of whole-stage
+        # codegen classes.  The JVM default 240m code cache fills, the JIT
+        # stops compiling, and later queries run interpreted (observed 5-20×
+        # slowdowns late in a bench run).  1g keeps every stage compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

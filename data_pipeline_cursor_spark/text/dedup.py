@@ -1,1 +1,254 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Deduplication operators over the `documents` table (SURVEY.md §2.E E1/E2).
+
+Not in the reference (it has no document processing; /root/reference is a
+weather-stream lakehouse) — these are the driver-mandated LLM-training-data
+operators, designed Spark-first for 100 TB:
+
+- every operator is a pure DataFrame plan: hash-groupBy for exact dedup,
+  equi-join on band/block keys for candidate generation — NO cross join of
+  the corpus against itself anywhere;
+- candidate verification (Jaccard) runs only on the band-joined pairs, so
+  work is O(corpus + candidate_pairs), not O(n²);
+- all hashes are the *portable 60-bit hash* `phash`: the first 15 hex chars
+  of md5, parsed as a bigint.  Identical in Spark
+  (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  (`('0x' || substr(md5(x),1,15))::BIGINT`), which makes MinHash/SimHash
+  signatures fully oracle-checkable instead of rows-only.
+
+Skew note (100 TB): band keys are 60-bit hashes → near-uniform; the exact
+dedup groupBy keys on full text, where a pathological corpus (billions of
+copies of one page) would skew a reducer — AQE skew handling is on
+(session.py), and the group payload is a min/count pair, so partial
+aggregation keeps reducer input tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+
+def phash(col: Column, seed: str) -> Column:
+    """Portable 60-bit hash of a string column (same value in DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _duck_phash(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.lower(F.col(text)), " ")
+
+
+def shingles_col(tok: Column) -> Column:
+    """3-word shingles from a token array (1-indexed element_at, like DuckDB)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
+        ),
+    )
+
+
+# DuckDB twin of tokens/shingles (list_transform over generate_series).
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 1)),
+             i -> concat_ws(' ', string_split(lower(text),' ')[i],
+                                 string_split(lower(text),' ')[i+1],
+                                 string_split(lower(text),' ')[i+2])
+           ) AS shingles
+    FROM documents
+"""
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+    SELECT text,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_copies
+    FROM documents
+    GROUP BY text
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (E1): hash-groupBy on the full text; keep the min doc_id.
+
+    100 TB: one shuffle on text; partial agg (min,count) makes reducer input
+    one row per distinct text.  For very long documents, group on
+    md5(text) instead to shrink shuffle keys — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_signature(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """doc_id + minhash_0..n over 3-word shingles (portable hash)."""
+    sh = shingles_col(tokens_col())
+
+    def mh(i: int) -> Column:
+        # one-arg lambda: F.transform must see arity 1 (element only) —
+        # a two-arg lambda would receive the array index as the 2nd param.
+        return F.array_min(F.transform(sh, lambda s: phash(s, f"mh{i}")))
+
+    return docs.select("doc_id", *[mh(i).alias(f"mh{i}") for i in range(n_hashes)])
+
+
+_DUCK_MINHASH = f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh0')})) AS mh0,
+             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh1')})) AS mh1,
+             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh2')})) AS mh2,
+             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh3')})) AS mh3
+      FROM sh
+    )
+"""
+
+
+@register(
+    "x_dedup_minhash",
+    oracle=_DUCK_MINHASH
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (E2): shingle → 4 minhashes → 2 bands
+    of 2 → candidate pair iff equal on some band.
+
+    100 TB plan shape: the self-join is TWO equi-joins on band keys (union),
+    each a shuffle on a 2-hash tuple — never a cross join.  Banding theory:
+    with k hashes in b bands of r, P(candidate) = 1-(1-j^r)^b for Jaccard j;
+    tune (b, r) per corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(docs, 4)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    band1 = (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.mh1") == F.col("b.mh1"))
+    band2 = (F.col("a.mh2") == F.col("b.mh2")) & (F.col("a.mh3") == F.col("b.mh3"))
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (band1 | band2))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+@register(
+    "x_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk
+      FROM documents, unnest(list_distinct(string_split(lower(text),' '))) AS t(tk)
+    ),
+    bits AS (
+      SELECT doc_id, {bit_exprs}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash16 FROM bits
+    """.format(
+        bit_exprs=",\n             ".join(
+            "CASE WHEN SUM(CASE WHEN (('0x' || substr(md5('sh:' || tk), 1, 15))::BIGINT >> {j}) & 1 = 1 "
+            "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}".format(j=j)
+            for j in range(16)
+        ),
+        sig_expr=" + ".join(f"b{j} * {1 << j}" for j in range(16)),
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (E2 variant): 16-bit signature; bit j is the sign of the sum
+    of ±1 votes from bit j of each distinct token's portable hash.
+
+    Near-dups differ in ≤k bits → group/bucket by signature (or by signature
+    bands for hamming-distance search).  100 TB: explode+groupBy is one
+    shuffle on doc_id; the 16 conditional sums fold map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tk")
+    )
+    h = phash(F.col("tk"), "sh")
+    votes = [
+        F.when(((F.shiftright(h, j)).bitwiseAND(F.lit(1))) == 1, 1)
+        .otherwise(-1)
+        .alias(f"v{j}")
+        for j in range(16)
+    ]
+    bits = tok.select("doc_id", *votes).groupBy("doc_id").agg(
+        *[
+            F.when(F.sum(f"v{j}") > 0, 1).otherwise(0).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    sig = sum(F.col(f"b{j}") * (1 << j) for j in range(16))
+    return bits.select("doc_id", sig.cast("bigint").alias("simhash16"))
+
+
+@register(
+    "x_dedup_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split(lower(text),' ')[1] AS head_tok,
+             list_distinct(string_split(lower(text),' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks))
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
+                 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.head_tok = b.head_tok AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (E2 variant) with prefix blocking:
+    only pairs sharing (lang, first token) are compared — an equi-join, so
+    the candidate set is O(block²) per block, not O(n²) over the corpus.
+
+    100 TB: blocking key choice is the scale lever; swap head_tok for a
+    minhash band (x_dedup_minhash) when recall matters more than cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.element_at(tokens_col(), 1).alias("head_tok"),
+        F.array_distinct(tokens_col()).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    jac = inter / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.head_tok") == F.col("b.head_tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

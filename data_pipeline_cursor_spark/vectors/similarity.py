@@ -1,1 +1,227 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Vector similarity operators over the `embeddings` table (SURVEY.md §2.E
+E3 + embedding-space near-dup).
+
+Not in the reference (no vector data there) — driver-mandated ANN/dedup ops
+for an LLM-data pipeline, designed Spark-first:
+
+- **normalize before you join**: unit vectors are computed once per row
+  (O(n)); every pairwise score is then a plain dot product, and the dot is
+  expanded to a 64-term codegen-friendly sum (`element_at` products), NOT a
+  higher-order `aggregate` per pair (those are CodegenFallback → interpreted
+  per row, ~10× slower in the pair loop);
+- **brute-force top-k** broadcasts the (small) query set against the corpus
+  — one broadcast join + one window per query key, no shuffle of the corpus;
+- **LSH path** buckets vectors by random-hyperplane sign bits, then pairs
+  only within a bucket (equi-join) — the 100 TB route where brute force is
+  O(queries × corpus).  Hyperplane weights are md5-derived constants baked
+  into the plan, so the DuckDB oracle can verify the *exact same* buckets.
+
+Determinism: every score is ROUND(x, 4); ranking orders by (rounded score
+DESC, vec_id) in both engines; cosine computed in float64 on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+DIM = 64
+N_PLANES = 4  # 16 LSH buckets
+
+
+def _unit(col: Column) -> Column:
+    """Cast float32 array → float64 and scale to unit norm (one pass/row)."""
+    d = F.transform(col, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(d, lambda x: x / norm)
+
+
+def _dot(a: str, b: str) -> Column:
+    """Expanded 64-term dot product — stays inside whole-stage codegen."""
+    terms = [
+        F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
+        for i in range(1, DIM + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1].
+
+    Same md5-based 60-bit construction as text.dedup.phash, evaluated in
+    Python so the identical constants appear in the Spark plan and the
+    DuckDB oracle SQL."""
+    h = int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _bucket_spark(col_name: str) -> Column:
+    emb = F.col(col_name)
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = None
+        for d in range(1, DIM + 1):
+            term = F.element_at(emb, d).cast("double") * F.lit(_plane_weight(p, d))
+            proj = term if proj is None else proj + term
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_duck(expr: str) -> str:
+    parts = []
+    for p in range(N_PLANES):
+        proj = " + ".join(
+            f"{expr}[{d}] * ({_plane_weight(p, d)})" for d in range(1, DIM + 1)
+        )
+        parts.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_DUCK_COS = (
+    "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"
+)
+
+
+@register(
+    "x_sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 199 = 0)
+    SELECT query_id, vec_id, score FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_DUCK_COS} AS score,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DUCK_COS} DESC, b.vec_id
+             ) AS rn
+      FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 5
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (E3 baseline): for each query vector
+    (vec_id % 199 = 0), the 5 nearest neighbours by cosine.
+
+    100 TB: the query side is broadcast (it is small by construction); the
+    corpus is scanned once, never shuffled; per-query ranking is a window
+    over the broadcast-join output.  For corpus×corpus k-NN use x_sim_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id"), _unit(F.col("embedding")).alias("u_b")
+    )
+    queries = emb.filter(F.col("vec_id") % 199 == 0).select(
+        F.col("vec_id").alias("query_id"), _unit(F.col("embedding")).alias("u_a")
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("u_a", "u_b"), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "x_dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.4
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (E2 variant): same-label blocking,
+    cosine ≥ 0.4.
+
+    100 TB: label blocking makes the pair space O(Σ block²) via an
+    equi-join shuffle on label; for unlabeled corpora block on the LSH
+    bucket (x_sim_lsh) instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("u"))
+    a = d.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("u").alias("u_a")
+    )
+    b = d.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("u").alias("u_b"),
+    )
+    score = F.round(_dot("u_a", "u_b"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", score.alias("score"))
+        .filter(F.col("score") >= 0.4)
+    )
+
+
+@register(
+    "x_sim_lsh",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding,
+             {_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           {_DUCK_COS} AS score
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.2
+    """,
+)
+def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (E3 scale path): 4 sign bits → 16 buckets;
+    exact cosine only within a bucket.
+
+    100 TB: bucketing is a single projection pass; candidate generation is
+    an equi-join on the bucket id (shuffle on a small near-uniform key).
+    Tune plane count / multi-probe per corpus; the hyperplanes are
+    md5-derived constants, so results are reproducible run-to-run and
+    verifiable against the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = emb.select(
+        "vec_id",
+        _unit(F.col("embedding")).alias("u"),
+        _bucket_spark("embedding").alias("bucket"),
+    )
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("u").alias("u_a")
+    )
+    b = bk.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("u").alias("u_b"),
+    )
+    score = F.round(_dot("u_a", "u_b"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "bucket", score.alias("score"))
+        .filter(F.col("score") >= 0.2)
+    )

@@ -1,0 +1,207 @@
+"""Multimodal-column operators (SURVEY.md §2.E E8 + driver-mandated
+image/audio/video plumbing).
+
+Not in the reference (its only payload is a 3-field JSON event) — this
+module establishes how opaque media BLOBs ride through the engine:
+
+- media is an opaque `binary` column + a typed metadata struct
+  (media_type/width/height/sample_rate), exactly how a 100 TB lakehouse
+  stores it (parquet BINARY + stats-only metadata columns);
+- decode / feature-extraction runs as Arrow-batched `mapInPandas` — one
+  Python process per partition, one pandas batch at a time, never per-row
+  Python.  The actual codec call is stubbed (`_decode_media`) because no
+  image/audio library ships in this container; the stub is deterministic
+  so the pipeline is testable end-to-end.  The Spark-side plumbing —
+  schema, batch iteration, partition mapping — is the real thing;
+- the relational join between modalities (documents ⋈ embeddings) is a
+  plain equi-join on the shared key; at 100 TB both sides bucket on the
+  key so the join co-locates without a shuffle.
+
+The synthetic media payload is derived from `documents.text` (the fixture
+has no real media); byte lengths and checksums below are therefore
+SQL-verifiable against DuckDB, which is the point: the *plumbing* is
+hash-checked even though the codec is a stub.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+FEATURE_DIM = 8
+
+
+@register(
+    "x_multimodal_join",
+    oracle="""
+    SELECT d.lang, e.label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(d.n_chars), 4) AS avg_chars,
+           ROUND(AVG(e.embedding[1]::DOUBLE), 4) AS avg_e1
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality join (E8): equi-join on the shared key,
+    then a profile aggregate over (lang, label).
+
+    100 TB: both tables bucketed on doc_id/vec_id makes this a
+    co-located join (no shuffle); unbucketed it is one AQE-sized
+    shuffle-hash join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                F.avg(F.element_at("embedding", 1).cast("double")), 4
+            ).alias("avg_e1"),
+        )
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table recast as a media table: opaque binary payload +
+    typed metadata struct — the storage shape for image/audio/video columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("media_type"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "x_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END          AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 640 AS INTEGER)  AS width,
+           CAST(n_chars % 480 AS INTEGER)  AS height
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata projection: binary payload size + struct fields —
+    all JVM-side (`length` on binary, struct field access), no decode.
+
+    100 TB: metadata-only scans never touch payload bytes; parquet column
+    pruning drops the BLOB column at the reader (verify: ReadSchema in
+    .explain excludes `payload`)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def _decode_media(payload: bytes, media_type: str) -> list[float]:
+    """STUB decode: the real implementation would call an image/audio codec
+    (e.g. Pillow / torchaudio / ffmpeg) — none ship in this container.
+
+    Deterministic fake: FEATURE_DIM moments of the raw byte stream, so the
+    pipeline is end-to-end testable and reproducible.  Replace the body
+    (only) to plug in a real codec; the schema/batching contract stays."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    n = len(payload)
+    feats = [float(n), float(payload[0]), float(payload[-1])]
+    s = sum(payload)
+    feats.append(s / n)
+    for k in range(FEATURE_DIM - len(feats)):
+        feats.append(float(payload[(k * 97) % n]))
+    return feats
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads via mapInPandas.
+
+    One iterator of pandas batches per partition; output schema fixed to
+    (media_id, media_type, feature array<double>).  The per-batch loop is
+    vectorized where possible; the codec boundary (`_decode_media`) is
+    per-payload, as any real decoder would be."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_media(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    flat = media.select(
+        "media_id", F.col("meta.media_type").alias("media_type"), "payload"
+    )
+    return flat.mapInPandas(
+        batches, "media_id long, media_type string, features array<double>"
+    )
+
+
+@register(
+    "x_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS feat_len,
+           ROUND(list_sum(list_transform(
+             generate_series(1, octet_length(encode(text))),
+             i -> get_bit(encode(text)::BIT, (8*(i-1))::INTEGER)*128
+                + get_bit(encode(text)::BIT, (8*(i-1)+1)::INTEGER)*64
+                + get_bit(encode(text)::BIT, (8*(i-1)+2)::INTEGER)*32
+                + get_bit(encode(text)::BIT, (8*(i-1)+3)::INTEGER)*16
+                + get_bit(encode(text)::BIT, (8*(i-1)+4)::INTEGER)*8
+                + get_bit(encode(text)::BIT, (8*(i-1)+5)::INTEGER)*4
+                + get_bit(encode(text)::BIT, (8*(i-1)+6)::INTEGER)*2
+                + get_bit(encode(text)::BIT, (8*(i-1)+7)::INTEGER)
+           )) / octet_length(encode(text)), 4) AS mean_byte
+    FROM documents
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction (mapInPandas path), verified on its
+    SQL-checkable projection: payload length + mean byte value.
+
+    The full feature vector (array<double>, FEATURE_DIM) is exercised by
+    tests/test_multimodal.py; this registered query projects the two
+    moments DuckDB can recompute from first principles (bit-twiddling the
+    BLOB), proving the Arrow round-trip didn't corrupt the payload."""
+    feats = extract_media_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.element_at("features", 1).cast("bigint").alias("feat_len"),
+        F.round(F.element_at("features", 4), 4).alias("mean_byte"),
+    )

@@ -68,7 +68,7 @@ def _load_all_modules() -> None:
         strings,
         udfs,
     )
-    from data_pipeline_cursor_spark import serving  # noqa: F401
+    from data_pipeline_cursor_spark import multimodal, serving  # noqa: F401
     from data_pipeline_cursor_spark.text import analysis, dedup  # noqa: F401
     from data_pipeline_cursor_spark.vectors import similarity  # noqa: F401
 

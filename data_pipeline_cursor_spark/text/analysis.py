@@ -1,1 +1,351 @@
-"""Stub — populated per SURVEY.md §7.3 milestones."""
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.E
+E4-E7 + the driver-mandated language-ID / quality / token-count /
+fingerprint family).
+
+Not in the reference (its payloads are 3-field weather events) — these are
+the LLM-training-data text ops, Spark-first:
+
+- tokenization is `split` + `explode` (Catalyst Generate) — never Python;
+- corpus-level statistics (document frequency, bigram counts) are
+  hash-aggregations with map-side partial combine;
+- TF-IDF is a two-aggregate composition joined on the token — the join is
+  broadcast when the vocabulary is small, shuffle-hash otherwise (AQE
+  decides);
+- language-ID and quality scoring are pure per-row projections (no shuffle
+  at all) built from stopword-set membership counts — `array_intersect`
+  against literal arrays, all codegen.
+
+Every query here is deterministic and hash-verified against a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+from data_pipeline_cursor_spark.text.dedup import phash, tokens_col
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately minimal — the operator demonstrates the plan
+# shape (literal-set membership scoring, argmax), not lexicography.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "pour"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ist", "für"],
+    "zh": ["的", "是", "在", "了", "和", "有", "不", "我"],
+}
+_LANGS = sorted(STOPWORDS)  # deterministic argmax tie-break: alphabetical
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+def _hits(tok: Column, lang: str) -> Column:
+    """# of distinct stopwords of `lang` present in the token array."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tok), F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        )
+    )
+
+
+@register(
+    "x_text_tokens",
+    oracle="""
+    SELECT t.tk AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    GROUP BY t.tk
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + corpus term counts (E4): split → explode → hash agg.
+
+    100 TB: partial aggregation collapses each partition's token stream
+    before the shuffle; the shuffled key space is the vocabulary, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "x_doc_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           ROUND(AVG(n_chars), 4)     AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source profile (E7): one hash aggregate over (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "x_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT concat_ws(' ', l[i], l[i+1]) AS bigram
+      FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) x,
+           unnest(generate_series(1, len(l) - 1)) AS t(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (E6): per-row bigram array (1-indexed
+    element_at, matching DuckDB list semantics) → explode → hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok, i), F.element_at(tok, i + 1)
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "x_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id % 97 = 0
+      AND tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) >= 1.0
+    """,
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (E5), SQL-composed: tf per (doc, token), document frequency
+    per token, smoothed idf = ln((N+1)/(df+1)).
+
+    Output restricted to doc_id % 97 = 0 and tfidf ≥ 1 to keep the
+    verified result bounded; the aggregates still run over the full corpus.
+
+    100 TB: two hash aggs + one join on token; the df side is
+    vocabulary-sized → broadcast in practice.  Never collect the vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    tfidf_col = F.col("tf") * F.log(
+        (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)
+    )
+    return (
+        tf.join(df, "token")
+        .filter((F.col("doc_id") % 97 == 0) & (tfidf_col >= 1.0))
+        .select("doc_id", "token", F.round(tfidf_col, 4).alias("tfidf"))
+    )
+
+
+_DUCK_LANG_HITS = ",\n           ".join(
+    f"len(list_intersect(list_distinct(string_split(lower(text),' ')), {_duck_list(STOPWORDS[lang])})) AS hits_{lang}"
+    for lang in _LANGS
+)
+_DUCK_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANGS) + ")"
+_DUCK_PRED = "CASE " + " ".join(
+    f"WHEN hits_{lang} = {_DUCK_BEST} THEN '{lang}'" for lang in _LANGS
+) + " END"
+
+
+@register(
+    "x_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {_DUCK_LANG_HITS}
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_DUCK_PRED} AS predicted_lang,
+           CASE WHEN {_DUCK_PRED} = lang THEN 1 ELSE 0 END AS correct
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-hit counts, argmax with
+    alphabetical tie-break (first CASE branch wins in both engines).
+
+    Pure projection — zero shuffles; literal-array `array_intersect` stays
+    in codegen.  A production version swaps stopword lists for char-n-gram
+    profiles; the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_col()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_hits(tok, lang).alias(f"hits_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
+    pred = F.when(F.col(f"hits_{_LANGS[0]}") == best, _LANGS[0])
+    for lang in _LANGS[1:]:
+        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("labeled_lang"), 1).otherwise(0).alias("correct"),
+    )
+
+
+# Union of all stopword lists — used as the "common word" set for quality.
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+@register(
+    "x_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+             AS avg_token_len,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                                 t -> list_contains({_duck_list(_ALL_STOP)}, t)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+             AS stopword_ratio,
+           ROUND(least(1.0, len(string_split(text, ' ')) / 50.0)
+                 * (0.5 + 0.5 * least(1.0,
+                     len(list_filter(string_split(lower(text), ' '),
+                                     t -> list_contains({_duck_list(_ALL_STOP)}, t)))
+                     / (0.05 * len(string_split(text, ' '))))), 4)
+             AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length score × stopword-density score —
+    the C4/Gopher-style rule family reduced to two deterministic factors.
+
+    Pure projection, no shuffle; rules are plain expressions so Catalyst
+    folds constants and the whole row stays in one codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    n_tok = F.size(tok)
+    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOP])
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.array_contains(stop_arr, t),
+        )
+    )
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    stop_score = F.lit(0.5) + F.lit(0.5) * F.least(
+        F.lit(1.0), n_stop / (F.lit(0.05) * n_tok)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tok.cast("double"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(n_stop / n_tok.cast("double"), 4).alias("stopword_ratio"),
+        F.round(len_score * stop_score, 4).alias("quality"),
+    )
+
+
+@register(
+    "x_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single other chars — the GPT-2 pre-tokenizer
+    family without the library).  Regex kept in the Java∩RE2 subset so both
+    engines segment identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")
+        ).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "x_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(lower(text),' ')[i],
+                                   string_split(lower(text),' ')[i+1],
+                                   string_split(lower(text),' ')[i+2])
+             ) AS shingles,
+             md5(lower(text)) AS full_md5
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+             s -> ('0x' || substr(md5('fp:' || s), 1, 15))::BIGINT)) AS fingerprint,
+           full_md5
+    FROM sh
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling 3-word shingles (the
+    winnowing idea with window = whole doc) + an exact-content md5.
+
+    Docs sharing `fingerprint` are near-dup candidates; docs sharing
+    `full_md5` are exact dups.  Pure projection per row — the fingerprint
+    join/groupBy downstream is on a 60-bit near-uniform key."""
+    from data_pipeline_cursor_spark.text.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_col(tokens_col())
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: phash(s, "fp"))).alias(
+            "fingerprint"
+        ),
+        F.md5(F.lower(F.col("text"))).alias("full_md5"),
+    )

@@ -1,0 +1,301 @@
+"""Streaming jobs (SURVEY.md §2.C) — Structured Streaming twins of the
+reference's Flink surface, driven by file-stream fixtures + availableNow.
+
+The flagship job (s_tumble) is the Spark rendition of the reference's only
+running streaming query (/root/reference/flink/sql/weather-aggregation.sql:
+38-49): event-time extraction from a stringly payload (line 6), 5-second
+bounded watermark (line 7), tumbling-window AVG + COUNT per key (41-49).
+The rest covers the Flink-SQL capability surface the reference ships
+(HOP/SESSION windows, stateful dedup) per SURVEY.md §2.C.
+
+Validation model (§5.2): streaming results are checked by BATCH
+EQUIVALENCE — the same operator over the same fixture as a batch DataFrame
+must produce the same rows (tests/test_streaming.py) — because DuckDB has
+no streaming twin.  The registered `s_*` queries get the driver's
+rows-only check.
+
+Registered callables take (spark, sf_dir) like every query, materialize
+the landing fixture, drain the stream, and return the result as a batch
+DataFrame.  Checkpoints/landing live under /tmp/dpc_stream (fixture reuse
+across calls); at scale these are object-store paths.
+
+100 TB notes: every job is a single keyed-state operator after one shuffle
+on (key, window); watermarks bound state (C2/C6 — without them windowed
+state grows forever); `maxFilesPerTrigger` is the file-source equivalent of
+Kafka `maxOffsetsPerTrigger` for micro-batch sizing; sink cadence mirrors
+the reference's 10 s Iceberg commit (trigger interval, A5/C8).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+from data_pipeline_cursor_spark.streaming.sources import (
+    FIXTURE_WATERMARK,
+    FLUSH_TYPE,
+    read_event_stream,
+    run_to_completion,
+    write_landing_fixture,
+)
+
+_WORK_ROOT = os.path.join(tempfile.gettempdir(), "dpc_stream")
+
+
+def _work(*parts: str) -> str:
+    p = os.path.join(_WORK_ROOT, *parts)
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+def _ckpt(name: str) -> str:
+    # fresh checkpoint per invocation: availableNow + memory sink rebuild
+    import uuid
+
+    return _work("ckpt", name + "-" + uuid.uuid4().hex[:8])
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    landing = write_landing_fixture(spark, sf_dir, _work("landing"))
+    return read_event_stream(spark, landing)
+
+
+def _with_fixture_watermark(df: DataFrame, delay: str = FIXTURE_WATERMARK) -> DataFrame:
+    """Watermark over the raw stream.  NOTE: do NOT filter the flush
+    sentinel here — Catalyst pushes a time-independent filter BELOW the
+    EventTimeWatermark node and the sentinel would never advance the
+    watermark.  Jobs drop sentinel rows from their OUTPUT instead (the
+    sentinel's own window never finalizes in append mode anyway)."""
+    return df.withWatermark("event_time", delay)
+
+
+def _drop_flush(df: DataFrame) -> DataFrame:
+    """Remove sentinel-keyed rows from a BATCH result (the upsert job's
+    serving-table read).  Never attach this to a STREAMING plan: the
+    predicate is on a grouping column, so Catalyst pushes it through the
+    aggregate and the EventTimeWatermark node into the JSON parser itself —
+    the sentinel then never reaches the watermark and no window finalizes.
+    Append-mode jobs don't need it anyway: the sentinel's own window ends
+    35 days past the final watermark and is never emitted."""
+    return df.filter(F.col("event_type") != FLUSH_TYPE)
+
+
+def tumble_agg(df: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """The flagship aggregation: 5-min tumbling window per event_type.
+
+    (The fixture's event spacing is minutes, not the reference's seconds;
+    window length scales accordingly — semantics identical.)"""
+    if with_watermark:
+        df = _with_fixture_watermark(df)
+    return (
+        df.groupBy(F.window("event_time", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+@register("s_tumble")
+def s_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+C3: event-time parse → watermark → tumbling AVG/COUNT,
+    append mode (finalized windows only)."""
+    return run_to_completion(tumble_agg(_stream(spark, sf_dir)), _ckpt("tumble"))
+
+
+@register("s_sliding")
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: hopping window (10-min length, 5-min slide) — each event lands
+    in 2 windows; Flink HOP twin."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    agg = (
+        df.groupBy(
+            F.window("event_time", "10 minutes", "5 minutes"), F.col("event_type")
+        )
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, _ckpt("sliding"))
+
+
+@register("s_session")
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: session windows (30-min gap) per event_type — state merges
+    adjacent sessions; no DuckDB twin (batch-equivalence only)."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    agg = (
+        df.groupBy(
+            F.session_window("event_time", "30 minutes"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, _ckpt("session"))
+
+
+@register("s_dedup_stream")
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: stateful streaming dedup on event_id within the watermark delay —
+    `dropDuplicatesWithinWatermark`, the bounded-state form of Flink's
+    dedup pattern.  Result: per-type surviving-event counts."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    dedup = df.dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy(
+        F.window("event_time", "60 minutes"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_unique"))
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_unique"
+    )
+    return run_to_completion(out, _ckpt("dedup"))
+
+
+@register("s_lakehouse_append")
+def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+C8+B13: the lakehouse sink — partitioned Parquet append with a
+    periodic-commit trigger, the Spark rendition of the reference's Kafka
+    Connect Iceberg sink (/root/reference/run.sh:88-114: append, hour(ts)
+    partitioning, 10 s commit cadence).
+
+    Partition transform = hour bucket of event time (B13); zstd Parquet
+    (engine-wide conf) mirrors init-tables.sql:7-8.  Returns the written
+    table read back (rows-only check: files exist, rows survive)."""
+    import uuid
+
+    df = (
+        _stream(spark, sf_dir)
+        .filter(F.col("event_type") != FLUSH_TYPE)
+        .withColumn("hour", F.date_format("event_time", "yyyy-MM-dd-HH"))
+    )
+    out_dir = _work("lakehouse", uuid.uuid4().hex[:8])
+    q = (
+        df.writeStream.format("parquet")
+        .partitionBy("hour")
+        .option("path", out_dir)
+        .option("checkpointLocation", _ckpt("lakehouse"))
+        .trigger(availableNow=True)  # prod: processingTime="10 seconds"
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register("s_watermark_late")
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+C6: late-data semantics under a bounded watermark.
+
+    A 4-file landing sequence, one file per micro-batch (the reference's
+    5-unit delay scaled to the fixture's minutes):
+
+      f1  on-time events for window [10:00,10:05)
+      f2  event @10:30 → advances the watermark to 10:25, past that window
+      f3  spacer batch — Spark applies a newly-computed watermark to late-
+          event filtering only from the NEXT batch (the eviction watermark
+          and the late-filter watermark are one batch apart)
+      f4  a TOO-LATE replay into the closed window (must be dropped — the
+          Flink drop behavior, weather-aggregation.sql:7) + an in-delay
+          event for a still-open window
+
+    Append mode emits [10:00,10:05) exactly once, without the replay row
+    (tests assert avg 15.0 / count 2).  Refinement-instead-of-drop is the
+    upsert sink's job (s_upsert_foreachbatch)."""
+    import json
+    import time
+    import uuid
+
+    work = _work("late", uuid.uuid4().hex[:8])
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing, exist_ok=True)
+    base = "2024-01-01 10:{m:02d}:00"
+    files = [
+        [
+            {"event_id": "1", "event_type": "click", "value": "10.0", "ts": base.format(m=1)},
+            {"event_id": "2", "event_type": "click", "value": "20.0", "ts": base.format(m=2)},
+        ],
+        [{"event_id": "3", "event_type": "click", "value": "30.0", "ts": base.format(m=30)}],
+        [{"event_id": "4", "event_type": "click", "value": "31.0", "ts": base.format(m=32)}],
+        [
+            {"event_id": "5", "event_type": "click", "value": "999.0", "ts": base.format(m=3)},
+            {"event_id": "6", "event_type": "click", "value": "40.0", "ts": base.format(m=33)},
+        ],
+    ]
+    now = time.time()
+    for i, rows in enumerate(files):
+        p = os.path.join(landing, f"batch_{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now + 10 * i, now + 10 * i))  # strict mtime order
+
+    # one file per micro-batch so the watermark advances between files;
+    # 5-minute delay like the reference (scaled)
+    from data_pipeline_cursor_spark.streaming.sources import EVENT_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+    )
+    typed = raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+    )
+    agg = tumble_agg(typed.withWatermark("event_time", "5 minutes"), False)
+    return run_to_completion(agg, os.path.join(work, "ckpt"))
+
+
+@register("s_upsert_foreachbatch")
+def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 (§4.3 custom piece): tumbling aggregation in update mode MERGEd
+    into the keyed serving table via foreachBatch — the Spark rendition of
+    Flink's PK upsert into Postgres (weather-aggregation.sql:20-35).
+
+    Late-but-in-watermark rows REFINE their window's serving row (update
+    mode re-emits it; the MERGE overwrites on (event_type, window_start)) —
+    semantics the append-mode jobs can't express.  Returns the final
+    serving table keyed uniquely, minus the nondeterministic last_updated
+    column (B12 covered: the sink stamps CURRENT_TIMESTAMP like
+    init-analytics-db.sql:8)."""
+    import uuid
+
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        read_serving_table,
+        run_upsert_stream,
+    )
+
+    table_dir = _work("serving", uuid.uuid4().hex[:8])
+    agg = tumble_agg(_stream(spark, sf_dir))
+    run_upsert_stream(agg, table_dir, _ckpt("upsert"))
+    out = _drop_flush(read_serving_table(spark, table_dir))
+    return out.select(
+        "event_type", "window_start", "window_end", "avg_value", "n_events"
+    )

@@ -1,0 +1,97 @@
+"""Streaming sinks — the keyed upsert sink (SURVEY.md §4.3, the one
+genuinely custom piece) and its serving-table storage.
+
+Parity target: the reference's Flink JDBC upsert sink
+(/root/reference/flink/sql/weather-aggregation.sql:20-35 — PRIMARY KEY
+(city, window_start) NOT ENFORCED, line 27) writing the Postgres serving
+table (/root/reference/flink/init-analytics-db.sql:2-10).  Flink refines a
+window's row on every late update; Spark's native streaming sinks can't
+upsert, so the engine runs the aggregation in `update` output mode and
+MERGEs each micro-batch inside `foreachBatch`.
+
+MERGE strategy ladder (documented for scale, implemented for this runtime):
+- Delta/Iceberg available → `MERGE INTO serving USING batch ON keys`
+  (transactional, partition-pruned — the 100 TB path);
+- JDBC target (the reference's actual sink) → INSERT .. ON CONFLICT upsert
+  per batch;
+- plain Parquet (this container) → key-partitioned read-merge-overwrite:
+  only the key-partitions present in the micro-batch are rewritten, the
+  rest of the table is untouched — same I/O shape as a partition-pruned
+  MERGE, no external dependency.
+
+The serving table is partitioned by event_type (the reference's serving
+indexes are (city, window_start) / last_updated — init-analytics-db.sql:
+13-14; partition-on-key + in-partition sort is the Spark substitute).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_COLS = ("event_type", "window_start")
+
+
+def merge_upsert_batch(batch: DataFrame, table_dir: str) -> None:
+    """MERGE one micro-batch into the Parquet serving table on KEY_COLS.
+
+    Rewrites only the event_type partitions the batch touches; within a
+    rewritten partition, new rows win over old on the full key.  Keyed
+    idempotence: replaying a micro-batch converges to the same table."""
+    spark = batch.sparkSession
+    batch = batch.withColumn("last_updated", F.current_timestamp())
+    touched = [r[0] for r in batch.select(KEY_COLS[0]).distinct().collect()]
+    if not touched:
+        return
+    existing_parts = [
+        p for p in touched
+        if os.path.exists(os.path.join(table_dir, f"{KEY_COLS[0]}={p}"))
+    ]
+    if existing_parts:
+        # partition value is encoded in the path; restore it per path read
+        olds = []
+        for p in existing_parts:
+            olds.append(
+                spark.read.parquet(os.path.join(table_dir, f"{KEY_COLS[0]}={p}"))
+                .withColumn(KEY_COLS[0], F.lit(p))
+            )
+        old = olds[0]
+        for o in olds[1:]:
+            old = old.unionByName(o)
+        keep = old.join(
+            batch.select(*KEY_COLS).distinct(), on=list(KEY_COLS), how="left_anti"
+        )
+        merged = keep.unionByName(batch.select(*keep.columns))
+    else:
+        merged = batch
+    (
+        merged.repartition(F.col(KEY_COLS[0]))
+        .sortWithinPartitions(*KEY_COLS)
+        .write.mode("overwrite")
+        .partitionBy(KEY_COLS[0])
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_dir)
+    )
+
+
+def run_upsert_stream(
+    agg_stream: DataFrame, table_dir: str, checkpoint: str
+) -> None:
+    """Drive a windowed aggregation stream (update mode) into the serving
+    table via foreachBatch MERGE — refinement semantics like Flink's
+    retract/upsert stream: a window's row is re-emitted and overwritten on
+    every in-watermark late arrival."""
+    q = (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: merge_upsert_batch(b, table_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)  # prod: processingTime="10 seconds"
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_serving_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(table_dir)

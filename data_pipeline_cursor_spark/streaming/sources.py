@@ -1,0 +1,138 @@
+"""Streaming sources — landing-dir JSON file streams.
+
+Mirrors the reference's ingest contract without a Kafka broker
+(/root/reference/flink/sql/weather-aggregation.sql:8-17: Kafka source,
+earliest offset, schemaless JSON, error-tolerant parse).  In this engine the
+landing directory plays the topic: producers append JSON-lines files; the
+engine `readStream`s the directory.  With a real broker the same pipeline
+swaps `format("json")` for `format("kafka")` + `from_json(value)` — the
+downstream plan is unchanged (SURVEY.md §3.2 mapping).
+
+Record shape parity (/root/reference/logging-server/server.py:64-70): the
+payload keeps the reference's *stringly-typed* semantics — `value` is a
+string holding a numeric, `ts` is a `yyyy-MM-dd HH:mm:ss` string — and
+typing happens at query time (CAST / to_timestamp), the load-bearing
+schema-on-read behavior (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from data_pipeline_cursor_spark.sources import load_table
+
+# Schemaless-JSON parity: everything lands as strings; downstream casts.
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("ts", StringType()),
+    ]
+)
+
+
+FLUSH_TYPE = "__flush__"
+# Bounded out-of-orderness for replaying the *unordered historical* fixture:
+# landing files carry no time ordering, so the disorder bound is the whole
+# corpus span (~30 days).  A live deployment replaying an ordered topic uses
+# the reference's small delay (5 s, weather-aggregation.sql:7) — same plan,
+# different constant.  s_watermark_late exercises the small-delay drop path.
+FIXTURE_WATERMARK = "35 days"
+
+
+def write_landing_fixture(spark: SparkSession, sf_dir: str, landing_dir: str) -> str:
+    """Materialize the events table as JSON-lines files in a landing dir,
+    in the reference's record shape (stringly value, formatted ts).
+
+    Appends a final *flush sentinel* file (event_type='__flush__', event
+    time far past the corpus) with a later mtime: the file source processes
+    it last, the watermark jumps past every real window, and the trailing
+    no-data micro-batch finalizes all append-mode state — end-of-stream for
+    a drained topic.  Jobs filter the sentinel out after the watermark node.
+
+    Idempotent per (sf_dir): keyed subdir + _flush marker, so repeated
+    streaming queries over the same scale factor reuse the files."""
+    import json as _json
+    import time
+
+    key = sf_dir.rstrip("/").replace("/", "_")
+    out = os.path.join(landing_dir, key)
+    flush_path = os.path.join(out, "zz_flush.json")
+    if os.path.exists(flush_path):
+        return out
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+        # a handful of files ≈ a partitioned topic; availableNow drains all
+        .repartition(8)
+        .write.mode("overwrite")
+        .json(out)
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = (max_ts + __import__("datetime").timedelta(days=40)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    with open(flush_path, "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": "-1", "event_type": FLUSH_TYPE, "value": "0", "ts": flush_ts}
+            )
+        )
+    # strictly later mtime than every part file → the source schedules the
+    # sentinel last.  All mtimes are set in the PAST: the file source
+    # excludes files stamped ahead of the query clock.
+    now = time.time()
+    for name in os.listdir(out):
+        if name.endswith(".json") and name != os.path.basename(flush_path):
+            p = os.path.join(out, name)
+            os.utime(p, (now - 60, now - 60))
+    os.utime(flush_path, (now - 30, now - 30))
+    return out
+
+
+def read_event_stream(spark: SparkSession, landing: str) -> DataFrame:
+    """readStream over the landing dir + typed projection.
+
+    PERMISSIVE json (default) ≈ Flink's ignore-parse-errors: malformed
+    records yield null columns instead of failing the query (A3)."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .json(landing)
+    )
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+    )
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "append"):
+    """Drain a stream with trigger(availableNow) into an in-memory sink and
+    return the result as a batch DataFrame.  The memory sink is test/driver
+    plumbing only — production sinks are the lakehouse appender and the
+    upsert sink (streaming.sinks)."""
+    import uuid
+
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

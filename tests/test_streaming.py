@@ -1,0 +1,130 @@
+"""Streaming-equivalence tests (SURVEY.md §5.2): each s_* job drained with
+availableNow must match its batch twin over the same fixture — plus
+semantics-specific checks (late-drop, upsert refinement, dedup)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import get_queries
+from data_pipeline_cursor_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import canonical_rows
+
+
+def _batch_tumble(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def test_tumble_batch_equivalence(spark):
+    qs = get_queries()
+    streamed = qs["s_tumble"](spark, SF_SMOKE).toPandas()
+    batch = _batch_tumble(spark, SF_SMOKE).toPandas()
+    # availableNow + append mode: every window is finalized once input is
+    # drained, so the streamed table must equal the batch aggregation.
+    assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_sliding_batch_equivalence(spark):
+    qs = get_queries()
+    streamed = qs["s_sliding"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+        .toPandas()
+    )
+    assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_session_batch_equivalence(spark):
+    qs = get_queries()
+    streamed = qs["s_session"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    # the landing record shape is second-precision (reference ts format);
+    # session bounds = ts + gap, so truncate before comparing
+    ev = ev.withColumn("ts", F.date_trunc("second", "ts"))
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type",
+            "n_events",
+        )
+        .toPandas()
+    )
+    assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_dedup_stream_counts(spark):
+    # fixture event_ids are unique → dedup is a no-op vs batch counts
+    qs = get_queries()
+    streamed = qs["s_dedup_stream"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "60 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_unique",
+        )
+        .toPandas()
+    )
+    assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_lakehouse_append_rows_survive(spark):
+    qs = get_queries()
+    out = qs["s_lakehouse_append"](spark, SF_SMOKE)
+    total = out.agg(F.sum("n_rows")).collect()[0][0]
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert total == expected  # every event landed in some hour partition
+
+
+def test_watermark_drops_too_late_row(spark):
+    qs = get_queries()
+    pdf = qs["s_watermark_late"](spark, SF_SMOKE).toPandas()
+    w = pdf[pdf["window_start"] == pd.Timestamp("2024-01-01 10:00:00")]
+    assert len(w) == 1
+    # the 999.0 replay arrived after the watermark closed the window:
+    # avg stays (10+20)/2, count stays 2
+    assert float(w.iloc[0]["avg_value"]) == 15.0
+    assert int(w.iloc[0]["n_events"]) == 2
+
+
+def test_upsert_serving_table_unique_keys(spark):
+    qs = get_queries()
+    out = qs["s_upsert_foreachbatch"](spark, SF_SMOKE)
+    pdf = out.toPandas()
+    assert len(pdf) == len(pdf[["event_type", "window_start"]].drop_duplicates())
+    # refinement semantics: final serving rows equal the batch aggregation
+    batch = _batch_tumble(spark, SF_SMOKE).toPandas()
+    assert canonical_rows(pdf) == canonical_rows(batch)

@@ -202,3 +202,38 @@ def coalesce_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nulled, F.lit("unknown")).alias("etype"),
         F.when(F.isnull(nulled), 1).otherwise(0).alias("was_error"),
     )
+
+
+@register("q_sample")
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling (D35): `df.sample(fraction, seed)`.
+
+    Seeded but engine-specific row selection → rows-only driver check
+    (SURVEY.md §2.D D35).  For a sample that is reproducible ACROSS engines
+    and stable under repartitioning, use q_sample_hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ('0x' || substr(md5('smp:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT % 10 = 0
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (D35 scale idiom): keep rows whose
+    key-hash falls in a fixed residue class — reproducible across engines,
+    runs, and partitionings (unlike `sample`), and pushes down as a plain
+    predicate.  The 100 TB way to carve stable train/eval splits."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(phash(key, "smp") % 10 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -98,7 +98,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
-    """doc_id + minhash_0..n over 3-word shingles (portable hash)."""
+    """doc_id + minhash_0..n over 3-word shingles (portable hash).
+
+    The fixture is a single parquet file → one scan task; the shingle-hash
+    projection is the dominant cost, so spread it across the cluster first.
+    (At 100 TB the corpus arrives in thousands of splits and this
+    repartition is a no-op to remove.)"""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = shingles_col(tokens_col())
 
     def mh(i: int) -> Column:
@@ -141,14 +147,32 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with k hashes in b bands of r, P(candidate) = 1-(1-j^r)^b for Jaccard j;
     tune (b, r) per corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signature(docs, 4)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    band1 = (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.mh1") == F.col("b.mh1"))
-    band2 = (F.col("a.mh2") == F.col("b.mh2")) & (F.col("a.mh3") == F.col("b.mh3"))
+    # cache: the signature feeds both sides of two self-joins — without it
+    # the 4×|shingles| hash pipeline runs four times
+    sig = _minhash_signature(docs, 4).cache()
+
+    def band_join(k1: str, k2: str) -> DataFrame:
+        # equi-join per band: an OR of band equalities in one join predicate
+        # has no extractable equi-keys and degenerates to a nested-loop join
+        # (observed 100× slower) — always UNION per-band equi-joins instead
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        return a.join(b, ["b1", "b2"]).filter(
+            F.col("doc_a") < F.col("doc_b")
+        ).select("doc_a", "doc_b")
+
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (band1 | band2))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        band_join("mh0", "mh1")
+        .unionByName(band_join("mh2", "mh3"))
+        .distinct()  # a pair may collide in both bands
     )
 
 
@@ -228,12 +252,14 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: blocking key choice is the scale lever; swap head_tok for a
     minhash band (x_dedup_minhash) when recall matters more than cost."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # cache: tokenization feeds both self-join sides
     d = docs.select(
         "doc_id",
         "lang",
         F.element_at(tokens_col(), 1).alias("head_tok"),
         F.array_distinct(tokens_col()).alias("toks"),
-    )
+    ).cache()
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))

@@ -1,0 +1,73 @@
+"""B18 DDL bootstrap + A1 ingest shim tests (SURVEY.md §2.A/§2.B)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_pipeline_cursor_spark import catalog, ingest
+from data_pipeline_cursor_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_lakehouse_ddl_roundtrip(spark, tmp_path):
+    loc = str(tmp_path / "lakehouse")
+    catalog.create_lakehouse_table(spark, "lakehouse_events", loc)
+    catalog.load_lakehouse(spark, "lakehouse_events", SF_SMOKE)
+    total = spark.table("lakehouse_events").count()
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+    # partition layout on disk: hour=YYYY-MM-DD-HH dirs
+    parts = [d for d in os.listdir(loc) if d.startswith("hour=")]
+    assert len(parts) > 1
+
+
+def test_hour_pruned_scan_prunes(spark, tmp_path):
+    loc = str(tmp_path / "lakehouse2")
+    catalog.create_lakehouse_table(spark, "lakehouse_events2", loc)
+    catalog.load_lakehouse(spark, "lakehouse_events2", SF_SMOKE)
+    some_hour = sorted(
+        d.split("=", 1)[1] for d in os.listdir(loc) if d.startswith("hour=")
+    )[0]
+    df = catalog.hour_pruned_scan(spark, "lakehouse_events2", some_hour)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "hour" in plan
+
+
+def test_serving_ddl(spark, tmp_path):
+    loc = str(tmp_path / "serving")
+    catalog.create_serving_table(spark, "serving_weather", loc)
+    cols = [f.name for f in spark.table("serving_weather").schema.fields]
+    assert set(cols) == {
+        "event_type", "window_start", "window_end",
+        "avg_value", "n_events", "last_updated",
+    }
+
+
+def test_ingest_validates_and_stamps():
+    rec = ingest.make_record("click", "12.5")
+    assert rec["value"] == "12.5" and isinstance(rec["value"], str)
+    assert len(rec["ts"]) == 19  # second-precision wall clock
+    with pytest.raises(ingest.ValidationError):
+        ingest.make_record("", "1.0")
+    with pytest.raises(ingest.ValidationError):
+        ingest.make_record("click", "not-a-number")
+
+
+def test_ingest_landing_roundtrip(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    w = ingest.LandingWriter(landing)
+    for i in range(5):
+        w.log("click", str(10.0 + i))
+    path = w.flush()
+    assert path and os.path.exists(path)
+    from data_pipeline_cursor_spark.streaming.sources import EVENT_SCHEMA
+
+    df = spark.read.schema(EVENT_SCHEMA).json(landing)
+    assert df.count() == 5
+    # stringly contract: value column arrives as string, casts cleanly
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("value").cast("double").isNull()).count() == 0

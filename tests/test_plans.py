@@ -1,0 +1,81 @@
+"""Physical-plan quality assertions (SURVEY.md §2.D D5; brief: pushdown,
+broadcast, codegen are graded, not assumed).
+
+These tests pin the *shape* of the plan, not timings: a regression that
+turns a broadcast join into a shuffle join, or lifts a filter off the scan,
+passes value-checks at sf0.01 but melts down at 100 TB — plan asserts are
+the only cheap guard for that class of bug.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_cursor_spark.registry import get_queries
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """q_join_broadcast: both dims must arrive via BroadcastExchange —
+    no shuffle exchange for nation/region (D5 plan-assert)."""
+    df = get_queries()["q_join_broadcast"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    """q_join_star: dims broadcast; at most the fact⋈fact join shuffles."""
+    df = get_queries()["q_join_star"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_time_range_filter_pushes_down(spark):
+    """q_time_range: the ts bounds must reach the parquet scan as
+    PushedFilters (row-group min/max skipping), not live only in a
+    post-scan Filter."""
+    df = get_queries()["q_time_range"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "ts" in pushed, plan
+
+
+def test_scan_project_prunes_columns(spark):
+    """q_scan_project: ReadSchema carries only the 3 projected columns —
+    a scan reading all columns for a narrow projection is wrong."""
+    df = get_queries()["q_scan_project"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "ReadSchema" in plan, plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "value" in read_schema and "event_type" in read_schema
+    # props is a wide JSON column on events; pruning must drop it
+    assert "props" not in read_schema, read_schema
+
+
+def test_groupby_runs_whole_stage_codegen(spark):
+    """q_groupby_avg: scan→partial agg→final agg stays inside
+    WholeStageCodegen (no Python/interpreted eval in the hot path).
+
+    AQE materializes the final plan only on execution, so run the query
+    (noop sink) before inspecting."""
+    df = get_queries()["q_groupby_avg"](spark, SF_SMOKE)
+    # collect() executes THIS DataFrame's QueryExecution (a noop write would
+    # spawn its own and leave df's plan un-finalized); result is |keys| rows.
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    # codegen'd operators carry the `*(stageId)` marker in the plan string
+    assert "*(" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    """q_groupby_avg: map-side combine (two HashAggregate levels) so the
+    shuffle moves |keys| rows, not |input| rows."""
+    df = get_queries()["q_groupby_avg"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, plan

@@ -17,10 +17,30 @@ Unity — identical statements; only the URI changes.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_cursor_spark.sources import load_table
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath.
+
+    The reference's lakehouse IS Iceberg (trino/sql/init-tables.sql:9
+    format_version=2, run.sh:100-108 REST/HMS catalog). This build targets
+    the same DDL through Spark; the connector jar isn't baked into the test
+    container, so table creation degrades to partitioned Parquet — identical
+    query surface, minus snapshot isolation/time-travel."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def create_lakehouse_table(
@@ -29,9 +49,27 @@ def create_lakehouse_table(
     """CREATE TABLE ... USING parquet PARTITIONED BY (hour) LOCATION ...
 
     The Spark rendition of init-tables.sql:1-12 (engine swap: Iceberg v2 on
-    MinIO+HMS → Spark session catalog over partitioned Parquet; USING
-    iceberg is a drop-in when the connector ships with the runtime)."""
+    MinIO+HMS → Spark session catalog over partitioned Parquet). When
+    `iceberg_available(spark)`, issues native Iceberg DDL with the hidden
+    `hours(ts)` partition transform instead (run.sh:109 parity)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if iceberg_available(spark):
+        spark.sql(
+            f"""
+            CREATE TABLE {name} (
+              event_id   BIGINT,
+              event_type STRING,
+              value      DOUBLE,
+              ts         TIMESTAMP
+            )
+            USING iceberg
+            PARTITIONED BY (hours(ts))
+            LOCATION '{location}'
+            TBLPROPERTIES ('format-version'='2',
+                           'write.parquet.compression-codec'='zstd')
+            """
+        )
+        return
     spark.sql(
         f"""
         CREATE TABLE {name} (
@@ -73,12 +111,16 @@ def load_lakehouse(spark: SparkSession, table: str, sf_dir: str) -> None:
     """Populate the lakehouse table from the events fixture with the hour
     partition transform (B13; run.sh:109 hours(ts))."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "value",
-        "ts",
-        F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+        "event_id", "event_type", "value", "ts"
     )
+    if "hour" in spark.table(table).columns:
+        # parquet layout: explicit partition column (iceberg's hours(ts) is
+        # hidden — the transform lives in table metadata, not the schema).
+        # repartition by the partition col first: without it every task
+        # opens a writer per hour → tasks×hours tiny files (PLANS.md).
+        ev = ev.withColumn(
+            "hour", F.date_format("ts", "yyyy-MM-dd-HH")
+        ).repartition(F.col("hour"))
     ev.write.mode("overwrite").insertInto(table)
 
 
@@ -88,3 +130,62 @@ def hour_pruned_scan(spark: SparkSession, table: str, hour: str) -> DataFrame:
     The predicate hits the partition column → Catalyst prunes at the file
     index; verify with .explain: 'partition filters: [isnotnull(hour), ...'."""
     return spark.table(table).filter(F.col("hour") == hour)
+
+
+def create_bucketed_facts(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> None:
+    """Materialize lineitem & orders bucketed (and sorted) on their join key.
+
+    The 100-TB layout rule from PLANS.md: the fact⋈fact join
+    (lineitem⋈orders on orderkey) is the one join in the star schema that
+    cannot broadcast; with both sides written `bucketBy(N, orderkey)` the
+    join needs NO shuffle exchange at read time — each bucket pair joins
+    co-located, cost linear in data size regardless of cluster scale.
+    (The reference has no bucketing — Iceberg hour(ts) partitioning only,
+    /root/reference/trino/sql/init-tables.sql:11 — this is the Spark-side
+    layout that replaces it for join-heavy batch workloads.)
+    """
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bkt")
+        # a fresh session's catalog may not know a table whose managed
+        # location survived from an earlier session — clear the dir too
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            f"{name}_bkt",
+        )
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"{name}_bkt")
+        )
+
+
+def bucketed_fact_join(spark: SparkSession) -> DataFrame:
+    """Per-order revenue over the bucketed facts — a ZERO-exchange plan.
+
+    Join keys == bucket keys on both sides, so the sort-merge join reads
+    buckets co-located; the groupBy key equals the join key, so the
+    aggregation reuses the same distribution. The whole plan (2 scans →
+    SMJ → partial+final agg) runs without one shuffle — the plan shape a
+    1000-executor cluster needs for its biggest join. Plan-asserted in
+    tests/test_plans.py::test_bucketed_fact_join_has_no_exchange.
+    """
+    li = spark.table("lineitem_bkt")
+    o = spark.table("orders_bkt")
+    return (
+        li.hint("merge")  # pin SMJ: broadcast would hide the bucketing story
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

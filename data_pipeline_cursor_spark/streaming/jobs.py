@@ -251,12 +251,15 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "6", "event_type": "click", "value": "40.0", "ts": base.format(m=33)},
         ],
     ]
-    now = time.time()
+    # strict mtime order, all IN THE PAST: the file source skips files
+    # stamped ahead of the query clock, so a future mtime makes the stream
+    # idle until wall-clock catches up (observed +40 s on this 7-row job)
+    now = time.time() - 300
     for i, rows in enumerate(files):
         p = os.path.join(landing, f"batch_{i}.json")
         with open(p, "w") as f:
             f.write("\n".join(json.dumps(r) for r in rows))
-        os.utime(p, (now + 10 * i, now + 10 * i))  # strict mtime order
+        os.utime(p, (now + 10 * i, now + 10 * i))
 
     # one file per micro-batch so the watermark advances between files;
     # 5-minute delay like the reference (scaled)

@@ -42,6 +42,18 @@ def merge_upsert_batch(batch: DataFrame, table_dir: str) -> None:
     idempotence: replaying a micro-batch converges to the same table."""
     spark = batch.sparkSession
     batch = batch.withColumn("last_updated", F.current_timestamp())
+    # persist: a foreachBatch DataFrame re-executes its (stateful) plan on
+    # every action — this function runs three (touched-keys collect,
+    # anti-join, table write); without the persist each replays the
+    # micro-batch's windowed aggregation against the state store.
+    batch.persist()
+    try:
+        _merge_upsert_batch(spark, batch, table_dir)
+    finally:
+        batch.unpersist()
+
+
+def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     touched = [r[0] for r in batch.select(KEY_COLS[0]).distinct().collect()]
     if not touched:
         return
@@ -83,14 +95,19 @@ def run_upsert_stream(
     table via foreachBatch MERGE — refinement semantics like Flink's
     retract/upsert stream: a window's row is re-emitted and overwritten on
     every in-watermark late arrival."""
-    q = (
-        agg_stream.writeStream.outputMode("update")
-        .foreachBatch(lambda b, _id: merge_upsert_batch(b, table_dir))
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)  # prod: processingTime="10 seconds"
-        .start()
+    from data_pipeline_cursor_spark.streaming.sources import (
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with stream_state_partitions(agg_stream.sparkSession):
+        q = (
+            agg_stream.writeStream.outputMode("update")
+            .foreachBatch(lambda b, _id: merge_upsert_batch(b, table_dir))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)  # prod: processingTime="10 seconds"
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_serving_table(spark: SparkSession, table_dir: str) -> DataFrame:

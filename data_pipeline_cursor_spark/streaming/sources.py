@@ -118,6 +118,29 @@ def read_event_stream(spark: SparkSession, landing: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Pin the stateful-shuffle width for a streaming query's lifetime.
+
+    The state-store partition count is frozen from
+    `spark.sql.shuffle.partitions` at first query start, and EVERY
+    micro-batch commits every state partition (delta file + fsync) even
+    when empty — observed ~40 ms/partition/batch on the HDFS-backed store,
+    i.e. 2.5 s of pure commit overhead per batch at 32 partitions × 2
+    stateful ops.  Size it to state volume, not to the session default: 8
+    fits the fixture's ≤50 k state keys; a 100 TB deployment sizes UP
+    (state_bytes / ~100 MB per store), set once at job launch."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "append"):
     """Drain a stream with trigger(availableNow) into an in-memory sink and
     return the result as a batch DataFrame.  The memory sink is test/driver
@@ -125,14 +148,16 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "ap
     upsert sink (streaming.sinks)."""
     import uuid
 
+    spark = stream_df.sparkSession
     name = "m" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(out_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    with stream_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(out_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -255,3 +255,121 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (D14 family) — orders count per priority × status.
+
+    The value list is passed EXPLICITLY: without it Spark runs an extra
+    distinct-collect job over the pivot column before planning — a full
+    scan + driver materialization a 100 TB run can't afford.  With the
+    list, this is one hash aggregate on composite keys, same cost as the
+    equivalent CASE-WHEN conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Trino surface: quantile fns).
+
+    `median`/`percentile` are exact: per-group sorted state — fine for
+    bounded groups.  The 100 TB path for high-cardinality/unbounded groups
+    is `approx_percentile` (t-digest sketch, constant state per group);
+    same call shape, swap when group payload outgrows memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Trino surface: stddev/corr).
+
+    Single-pass streaming moments (Welford-style partial states) — one
+    shuffle of O(groups) constant-size states, 100 TB safe.  Outputs are
+    pre-rounded (stddev to 2, corr to 4): the partial-state merge order
+    differs between engines, so the last few float ulps are not portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (PLANS.md skew recipe, runnable).
+
+    l_returnflag has 3 values over the whole fact table — the textbook
+    skewed groupBy where 3 reducers own everything.  Phase 1 salts the key
+    with pmod(hash(l_orderkey), 16) and partially aggregates on
+    (key, salt): 48 uniform cells.  Phase 2 merges cells per key.  The avg
+    is sum/count over the merged cells — NEVER avg-of-avgs.  Both shuffles
+    move O(keys×S) rows; identical result to the direct groupBy (the
+    oracle), which is the point: salting changes the schedule, not the
+    answer.  (At this SF the direct plan is fine; the recipe is what you
+    reach for when one key owns a reducer at 100 TB.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.sum("n").alias("n_items"),
+        F.round(F.sum("qty") / F.sum("n"), 4).alias("avg_qty"),
+    )

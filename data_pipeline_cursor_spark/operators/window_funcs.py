@@ -217,3 +217,27 @@ def frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend")
     )
+
+@register(
+    "q_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           ROUND(percent_rank() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal), 4) AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal), 4) AS cume
+    FROM supplier
+    """,
+)
+def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (D15 family: percent_rank, cume_dist)
+    — supplier account-balance position within its nation.  Same shuffle
+    profile as every ranking window: one exchange on the partition key."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )

@@ -306,3 +306,67 @@ def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "window_start", "window_end", "avg_value", "n_events"
     )
+
+@register("s_custom_state")
+def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`
+    (§2.C capability surface: Flink's KeyedProcessFunction equivalent).
+
+    Per event_type, explicit GroupState carries running (count, sum)
+    across micro-batches; each batch emits the cumulative stats (update
+    semantics).  After the availableNow drain, the last emission per key
+    must equal the batch groupBy over the same fixture —
+    tests/test_streaming.py::test_custom_state_batch_equivalence.
+
+    100 TB notes: state is one fixed-size tuple per key (no growth with
+    input); the operator shuffles once on the grouping key; the Python
+    boundary is Arrow-batched.  Use watermark + timeouts (here NoTimeout)
+    to bound keyspace when keys churn."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark.sql.window import Window
+
+    # no watermark node in this plan, so pre-filtering the sentinel is safe
+    # (contrast _with_fixture_watermark's warning)
+    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s, seq = state.get
+        else:
+            n, s, seq = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        seq += 1
+        state.update((n, s, seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "batch_seq": [seq],
+            }
+        )
+
+    emitted = df.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, n_events long, sum_value double, batch_seq long",
+        "n long, s double, seq long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_completion(emitted, _ckpt("custom-state"), out_mode="update")
+    # the memory sink logs every per-batch emission; the final state per key
+    # is the row with the highest batch_seq
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        )
+    )

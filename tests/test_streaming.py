@@ -128,3 +128,20 @@ def test_upsert_serving_table_unique_keys(spark):
     # refinement semantics: final serving rows equal the batch aggregation
     batch = _batch_tumble(spark, SF_SMOKE).toPandas()
     assert canonical_rows(pdf) == canonical_rows(batch)
+
+
+def test_custom_state_batch_equivalence(spark):
+    """s_custom_state: the last per-key emission of the running
+    applyInPandasWithState aggregate must equal the batch groupBy."""
+    qs = get_queries()
+    streamed = qs["s_custom_state"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .toPandas()
+    )
+    assert canonical_rows(streamed) == canonical_rows(batch)

@@ -52,13 +52,21 @@ def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed decode via from_json(schema) in PERMISSIVE mode (A4): malformed
-    documents yield NULL structs instead of failing the query — the batch
-    mirror of Flink's error-tolerant Kafka JSON source."""
+    documents yield NULL fields instead of failing the query — the batch
+    mirror of Flink's error-tolerant Kafka JSON source.
+
+    Validity can't come from the from_json result: since Spark 3.0 PERMISSIVE
+    mode returns an all-null-fields row (not a NULL struct) for malformed
+    input.  ``try_parse_json`` parses to VARIANT and returns NULL for any
+    malformed document, matching DuckDB's ``json_valid`` on both objects and
+    bare scalars."""
     ev = load_table(spark, sf_dir, "events")
     schema = StructType([StructField("k", IntegerType())])
     decoded = ev.withColumn("j", F.from_json("props", schema))
     return decoded.select(
         "event_id",
         F.col("j.k").alias("k_val"),
-        F.when(F.col("j").isNotNull(), 1).otherwise(0).alias("is_valid"),
+        F.when(F.try_parse_json("props").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_valid"),
     )

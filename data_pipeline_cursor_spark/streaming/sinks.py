@@ -27,6 +27,8 @@ indexes are (city, window_start) / last_updated — init-analytics-db.sql:
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,14 +80,36 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
         merged = keep.unionByName(batch.select(*keep.columns))
     else:
         merged = batch
-    (
-        merged.repartition(F.col(KEY_COLS[0]))
-        .sortWithinPartitions(*KEY_COLS)
-        .write.mode("overwrite")
-        .partitionBy(KEY_COLS[0])
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(table_dir)
-    )
+    # Never overwrite what we read: the Spark job writes to a fresh staging
+    # dir, then each touched partition dir is swapped in with an atomic
+    # rename.  A crash mid-job leaves the serving table untouched (stale but
+    # consistent); a crash mid-swap leaves whole partitions either old or
+    # new, and micro-batch replay (keyed idempotence) converges the rest.
+    # Delta/Iceberg MERGE gives the same guarantee transactionally at scale.
+    staging = f"{table_dir}.staging-{uuid.uuid4().hex[:12]}"
+    try:
+        (
+            merged.repartition(F.col(KEY_COLS[0]))
+            .sortWithinPartitions(*KEY_COLS)
+            .write.mode("overwrite")
+            .partitionBy(KEY_COLS[0])
+            .parquet(staging)
+        )
+        os.makedirs(table_dir, exist_ok=True)
+        for p in touched:
+            part = f"{KEY_COLS[0]}={p}"
+            src = os.path.join(staging, part)
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(table_dir, part)
+            retired = f"{dst}.retired-{uuid.uuid4().hex[:12]}"
+            if os.path.isdir(dst):
+                os.rename(dst, retired)
+            os.rename(src, dst)
+            if os.path.isdir(retired):
+                shutil.rmtree(retired, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def run_upsert_stream(

@@ -55,12 +55,19 @@ def write_landing_fixture(spark: SparkSession, sf_dir: str, landing_dir: str) ->
     no-data micro-batch finalizes all append-mode state — end-of-stream for
     a drained topic.  Jobs filter the sentinel out after the watermark node.
 
-    Idempotent per (sf_dir): keyed subdir + _flush marker, so repeated
-    streaming queries over the same scale factor reuse the files."""
+    Idempotent per (sf_dir, fixture content): the subdir key includes a
+    fingerprint of the events parquet (mtime + size), so repeated streaming
+    queries over the same scale factor reuse the files, while a regenerated
+    fixture at the same path gets a fresh landing dir instead of silently
+    replaying stale files from a previous run."""
     import json as _json
     import time
 
-    key = sf_dir.rstrip("/").replace("/", "_")
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "events"))
+    fingerprint = f"{int(st.st_mtime)}-{st.st_size}"
+    key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
     out = os.path.join(landing_dir, key)
     flush_path = os.path.join(out, "zz_flush.json")
     if os.path.exists(flush_path):

@@ -60,9 +60,11 @@ def _ckpt(name: str) -> str:
     return _work("ckpt", name + "-" + uuid.uuid4().hex[:8])
 
 
-def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 4
+) -> DataFrame:
     landing = write_landing_fixture(spark, sf_dir, _work("landing"))
-    return read_event_stream(spark, landing)
+    return read_event_stream(spark, landing, max_files_per_trigger)
 
 
 def _with_fixture_watermark(df: DataFrame, delay: str = FIXTURE_WATERMARK) -> DataFrame:
@@ -187,13 +189,18 @@ def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     df = (
-        _stream(spark, sf_dir)
+        # stateless append: one availableNow batch — every extra micro-batch
+        # re-commits all ~720 touched hour dirs (3 batches ≈ 3× wall-clock)
+        _stream(spark, sf_dir, max_files_per_trigger=None)
         .filter(F.col("event_type") != FLUSH_TYPE)
         .withColumn("hour", F.date_format("event_time", "yyyy-MM-dd-HH"))
         # co-locate each hour in one task: without this every input task
         # opens a writer for every hour it sees → |tasks|×|hours| tiny
-        # files (observed 10× slower at sf0.1) and a metadata-bloated table
-        .repartition(F.col("hour"))
+        # files (observed 10× slower at sf0.1) and a metadata-bloated table.
+        # Explicit width: AQE coalesces the tiny shuffle to ~2 tasks, which
+        # then open the ~720 hour-dir writers serially — file-open/commit
+        # latency, not bytes, is the cost, so keep all cores writing.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("hour"))
     )
     out_dir = _work("lakehouse", uuid.uuid4().hex[:8])
     q = (

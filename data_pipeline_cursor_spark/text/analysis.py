@@ -116,8 +116,13 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts (E6): per-row bigram array (1-indexed
-    element_at, matching DuckDB list semantics) → explode → hash agg."""
+    element_at, matching DuckDB list semantics) → explode → hash agg.
+
+    The fixture parquet is one file → one scan task; spread the
+    bigram/explode work first (no-op at 100 TB, where the corpus arrives
+    in thousands of splits)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = tokens_col()
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(tok) - 1),

@@ -100,30 +100,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signature(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
     """doc_id + minhash_0..n over 3-word shingles (portable hash).
 
+    All n minhashes come from ONE md5 per shingle — hash i is hex chars
+    [1+8i, 8+8i) parsed as a 32-bit value — instead of n seeded md5s: the
+    md5 is ~all of the signature cost, so this is an n× cut.  explode →
+    md5 → groupBy(min×n) guarantees the single evaluation (a 4-way
+    projection of transform() lambdas can be re-inlined by projection
+    collapse); map-side partial min keeps the shuffle at one row per doc.
+
     The fixture is a single parquet file → one scan task; the shingle-hash
     projection is the dominant cost, so spread it across the cluster first.
     (At 100 TB the corpus arrives in thousands of splits and this
     repartition is a no-op to remove.)"""
+    assert n_hashes <= 4  # md5 yields 32 hex chars = 4 × 8-char slices
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sh = shingles_col(tokens_col())
-
-    def mh(i: int) -> Column:
-        # one-arg lambda: F.transform must see arity 1 (element only) —
-        # a two-arg lambda would receive the array index as the 2nd param.
-        return F.array_min(F.transform(sh, lambda s: phash(s, f"mh{i}")))
-
-    return docs.select("doc_id", *[mh(i).alias(f"mh{i}") for i in range(n_hashes)])
+    ex = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col())).alias("s")
+    ).select("doc_id", F.md5(F.concat(F.lit("mh:"), F.col("s"))).alias("m"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring("m", 1 + 8 * i, 8), 16, 10).cast("bigint")
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 _DUCK_MINHASH = f"""
     WITH sh AS ({_DUCK_SHINGLES}),
+    ex AS (
+      SELECT doc_id, md5('mh:' || s.sh) AS m
+      FROM sh, unnest(shingles) AS s(sh)
+    ),
     sig AS (
       SELECT doc_id,
-             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh0')})) AS mh0,
-             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh1')})) AS mh1,
-             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh2')})) AS mh2,
-             list_min(list_transform(shingles, s -> {_duck_phash('s', 'mh3')})) AS mh3
-      FROM sh
+             MIN(('0x' || substr(m, 1, 8))::BIGINT)  AS mh0,
+             MIN(('0x' || substr(m, 9, 8))::BIGINT)  AS mh1,
+             MIN(('0x' || substr(m, 17, 8))::BIGINT) AS mh2,
+             MIN(('0x' || substr(m, 25, 8))::BIGINT) AS mh3
+      FROM ex GROUP BY doc_id
     )
 """
 

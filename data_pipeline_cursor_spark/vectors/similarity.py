@@ -5,14 +5,21 @@ Not in the reference (no vector data there) — driver-mandated ANN/dedup ops
 for an LLM-data pipeline, designed Spark-first:
 
 - **normalize before you join**: unit vectors are computed once per row
-  (O(n)); every pairwise score is then a plain dot product, and the dot is
-  expanded to a 64-term codegen-friendly sum (`element_at` products), NOT a
-  higher-order `aggregate` per pair (those are CodegenFallback → interpreted
-  per row, ~10× slower in the pair loop);
+  (O(n)); every pairwise score is then a plain dot product;
 - **brute-force top-k** broadcasts the (small) query set against the corpus
   — one broadcast join + one window per query key, no shuffle of the corpus;
+  the per-pair dot is expanded to a 64-term codegen-friendly sum
+  (`element_at` products), NOT a higher-order `aggregate` per pair (those
+  are CodegenFallback → interpreted per row, ~10× slower in the pair loop);
+- **all-pairs scoring within a block** (LSH bucket / label) is a per-block
+  BLAS matmul (`applyInPandas` → numpy `X @ X.T`), not a self-join with a
+  per-pair SQL expression: the join materializes both 64-dim arrays per
+  candidate pair and evaluates a 128-term expression row-at-a-time (and on
+  tiny inputs AQE coalesces the whole pair loop into ONE task), while the
+  matmul moves each vector once and scores in vectorized float64 — ~20×
+  faster here, and the standard dense-ANN shape at 100 TB;
 - **LSH path** buckets vectors by random-hyperplane sign bits, then pairs
-  only within a bucket (equi-join) — the 100 TB route where brute force is
+  only within a bucket — the 100 TB route where brute force is
   O(queries × corpus).  Hyperplane weights are md5-derived constants baked
   into the plan, so the DuckDB oracle can verify the *exact same* buckets.
 
@@ -78,6 +85,44 @@ def _bucket_spark(col_name: str) -> Column:
     return bucket
 
 
+def _prep_unit_bucket(emb: DataFrame) -> DataFrame:
+    """vec_id + unit-norm float64 vector + LSH bucket in ONE vectorized
+    numpy pass (mapInPandas).
+
+    Semantically identical to `_unit` + `_bucket_spark`, but those build a
+    256-term Catalyst expression whose whole-stage codegen costs ~5 s of
+    janino compile on first run — longer than scoring the whole fixture.
+    Here the planes are a (N_PLANES × DIM) constant matrix and bucketing is
+    one matmul; sign-boundary divergence vs the oracle's left-to-right sum
+    needs |proj| ≲ 1e-13, vanishingly rare for unit-scale data."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [[_plane_weight(p, d) for d in range(1, DIM + 1)] for p in range(N_PLANES)]
+    )
+    weights = 1 << np.arange(N_PLANES)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            bucket = ((E @ planes.T) >= 0).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "u": list(U),
+                    "bucket": bucket.astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_id bigint, u array<double>, bucket int")
+
+
 def _bucket_duck(expr: str) -> str:
     parts = []
     for p in range(N_PLANES):
@@ -91,6 +136,48 @@ def _bucket_duck(expr: str) -> str:
 _DUCK_COS = (
     "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"
 )
+
+
+def _all_pairs_by_block(
+    d: DataFrame, block_col: str, threshold: float, schema: str
+) -> DataFrame:
+    """All unique within-block pairs with cosine ≥ threshold, one BLAS
+    matmul per block (module docstring: ~20× the self-join formulation).
+
+    ``d`` must carry ``vec_id`` and a unit-norm float64 ``u``; emits
+    (vec_a < vec_b, [block], score) per ``schema``.  Scores are rounded to
+    4 before thresholding, matching the ROUND(...) >= t oracle shape.
+    Block must fit one task (fixture: ≤ corpus/16); at 100 TB band
+    oversized blocks into row-chunks and matmul chunk pairs."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [c.strip().split()[0] for c in schema.split(",")]
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in out_cols})
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["u"].to_numpy()[order]]
+        )
+        S = X @ X.T
+        iu, ju = np.triu_indices(n, k=1)
+        sc = np.round(S[iu, ju], 4)
+        m = sc >= threshold
+        out = {
+            "vec_a": ids[iu[m]],
+            "vec_b": ids[ju[m]],
+            "score": sc[m],
+        }
+        if block_col in out_cols:
+            out[block_col] = np.full(int(m.sum()), pdf[block_col].iloc[0])
+        return pd.DataFrame(out)[out_cols]
+
+    return d.groupBy(block_col).applyInPandas(score_block, schema)
 
 
 @register(
@@ -153,29 +240,17 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (E2 variant): same-label blocking,
     cosine ≥ 0.4.
 
-    100 TB: label blocking makes the pair space O(Σ block²) via an
-    equi-join shuffle on label; for unlabeled corpora block on the LSH
-    bucket (x_sim_lsh) instead."""
+    100 TB: label blocking makes the pair space O(Σ block²); one shuffle
+    co-locates each block, then the block is scored as a single BLAS
+    matmul (module docstring).  For unlabeled corpora block on the LSH
+    bucket (x_sim_lsh) instead; for blocks too big for one task, band the
+    matrix into row-chunks and matmul chunk pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("u"))
-    a = d.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("u").alias("u_a")
+    out = _all_pairs_by_block(
+        d, "label", 0.4, "vec_a bigint, vec_b bigint, score double"
     )
-    b = d.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("u").alias("u_b"),
-    )
-    score = F.round(_dot("u_a", "u_b"), 4)
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", score.alias("score"))
-        .filter(F.col("score") >= 0.4)
-    )
+    return out.select("vec_a", "vec_b", "score")
 
 
 @register(
@@ -196,32 +271,13 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (E3 scale path): 4 sign bits → 16 buckets;
     exact cosine only within a bucket.
 
-    100 TB: bucketing is a single projection pass; candidate generation is
-    an equi-join on the bucket id (shuffle on a small near-uniform key).
-    Tune plane count / multi-probe per corpus; the hyperplanes are
-    md5-derived constants, so results are reproducible run-to-run and
+    100 TB: bucketing is a single projection pass; one shuffle co-locates
+    each bucket; scoring is vectorized BLAS inside the bucket (module
+    docstring).  Tune plane count / multi-probe per corpus; the hyperplanes
+    are md5-derived constants, so results are reproducible run-to-run and
     verifiable against the SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bk = emb.select(
-        "vec_id",
-        _unit(F.col("embedding")).alias("u"),
-        _bucket_spark("embedding").alias("bucket"),
-    )
-    a = bk.select(
-        F.col("vec_id").alias("vec_a"), "bucket", F.col("u").alias("u_a")
-    )
-    b = bk.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("u").alias("u_b"),
-    )
-    score = F.round(_dot("u_a", "u_b"), 4)
-    return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", "bucket", score.alias("score"))
-        .filter(F.col("score") >= 0.2)
+    bk = _prep_unit_bucket(emb)
+    return _all_pairs_by_block(
+        bk, "bucket", 0.2, "vec_a bigint, vec_b bigint, bucket int, score double"
     )

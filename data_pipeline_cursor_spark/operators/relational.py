@@ -237,3 +237,35 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(phash(key, "smp") % 10 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'orderyear', CAST(date_part('year', o_orderdate) AS DOUBLE) FROM orders
+    """,
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (D19 twin of q_pivot): wide metric columns → long
+    (key, metric, val) rows via `DataFrame.unpivot` (SQL `UNPIVOT`).
+
+    100 TB: narrow map-side transform — no shuffle, no UDF; output is
+    3× the rows at 1/3 the width.  The oracle spells it as the portable
+    UNION ALL equivalent."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.year("o_orderdate").cast("double").alias("orderyear"),
+    ).unpivot(
+        "o_orderkey",
+        ["totalprice", "custkey", "orderyear"],
+        "metric",
+        "val",
+    )

@@ -241,3 +241,67 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY event_type ORDER BY epoch_us(ts))
+                  > 1800 * 1000000 THEN 1
+                  WHEN lag(epoch_us(ts)) OVER (
+                    PARTITION BY event_type ORDER BY epoch_us(ts)) IS NULL THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, us,
+             SUM(is_new) OVER (PARTITION BY event_type ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT event_type, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(us)), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM s GROUP BY event_type, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the gaps-and-islands idiom): a new session
+    starts after a >30-min silence per event_type; session_id is the
+    running count of session starts.  The batch twin of s_session's
+    streaming session window.
+
+    Deterministic under timestamp ties: tied rows have gap 0, so they land
+    in the same session whatever their sort order.  100 TB: two window
+    passes + one aggregate, all on the same event_type partitioning — one
+    shuffle total; skewed key → pre-split by (event_type, day) with a
+    stitch pass on day boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy(us)
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap > 1800 * 1_000_000, 1
+    ).when(F.lag(us).over(w).isNull(), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        Window.partitionBy("event_type").orderBy(us).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        ev.select("event_type", us.alias("us"), sess.alias("session_id"))
+        .groupBy("event_type", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(
+                F.timestamp_micros(F.min("us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(
+                F.timestamp_micros(F.max("us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_end"),
+        )
+    )

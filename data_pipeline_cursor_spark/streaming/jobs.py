@@ -377,3 +377,152 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """True iff `transformWithStateInPandas` can run here.
+
+    The operator drives state through a proto-serialized Python↔JVM state
+    server; without `google.protobuf` on the Python path the streaming
+    runner worker crashes at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE).  Gate pattern mirrors catalog.iceberg_available."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@register("s_transform_state")
+def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via `transformWithStateInPandas` (Spark 4's
+    arbitrary-state API — the successor of applyInPandasWithState used by
+    s_custom_state, with typed state handles, timers, and TTL support).
+
+    Same contract as s_custom_state: per event_type, a ValueState carries
+    running (count, sum) across micro-batches; each batch emits cumulative
+    stats and the last emission must equal the batch groupBy
+    (tests/test_streaming.py::test_transform_state_batch_equivalence).
+
+    Where the runtime lacks transformWithState's protobuf dependency
+    (this container), the job degrades to the applyInPandasWithState
+    formulation of the SAME processor — identical keyed-state semantics
+    and output; the typed-handle API engages on a full deployment.
+
+    transformWithState requires the RocksDB state store; the conf is
+    scoped to this query and restored after.  100 TB notes: identical
+    shuffle/state profile to s_custom_state (one shuffle on the key,
+    O(keys) fixed-size state), but RocksDB keeps state off-heap and
+    changelog-checkpoints incrementally — the right provider when keyspace
+    outgrows executor heap."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("s", DoubleType()),
+                    StructField("seq", LongType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, s, seq = self._agg.get()
+            else:
+                n, s, seq = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            seq += 1
+            self._agg.update((n, s, seq))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "batch_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = "event_type string, n_events long, sum_value double, batch_seq long"
+    if transform_with_state_available():
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            emitted = df.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=RunningAgg(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            log = run_to_completion(emitted, _ckpt("tws"), out_mode="update")
+        finally:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            if state.exists:
+                n, s, seq = state.get
+            else:
+                n, s, seq = 0, 0.0, 0
+            for pdf in pdfs:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            seq += 1
+            state.update((n, s, seq))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "batch_seq": [seq],
+                }
+            )
+
+        emitted = df.groupBy("event_type").applyInPandasWithState(
+            update,
+            out_schema,
+            "n long, s double, seq long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        log = run_to_completion(emitted, _ckpt("tws"), out_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        )
+    )

@@ -346,6 +346,9 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_cursor_spark.text.dedup import shingles_col
 
     docs = load_table(spark, sf_dir, "documents")
+    # one md5/shingle over a single-file scan task — spread it (no-op at
+    # 100 TB where the corpus arrives in thousands of splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = shingles_col(tokens_col())
     return docs.select(
         "doc_id",

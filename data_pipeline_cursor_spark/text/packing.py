@@ -1,0 +1,97 @@
+"""Sequence packing — the training-data step that concatenates documents
+into fixed-capacity token sequences (SURVEY.md §2.E family; not in the
+reference — /root/reference has no document processing).
+
+Packing rule: **deterministic next-fit** — docs are sharded by
+``doc_id % N_SHARDS``, walked in doc_id order within the shard, and a doc
+opens a new sequence whenever it would overflow ``SEQ_LEN`` tokens (a doc
+longer than SEQ_LEN gets a sequence of its own; downstream truncates).
+Next-fit is stateful-sequential, so it runs per-shard inside
+``applyInPandas`` — the shard IS the unit of parallelism, exactly how
+production packers shard a corpus across workers.  The DuckDB oracle
+replays the same recursion with a recursive CTE, so the assignment is
+fully value-checked, not rows-only.
+
+100 TB: one shuffle on the shard key; per-shard state is two integers
+(current sequence id + fill), the walk is O(docs/shard).  Shard count is
+the knob: more shards = more parallelism, marginally worse packing at
+shard boundaries (next-fit never crosses shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+
+SEQ_LEN = 1024
+N_SHARDS = 8
+
+_ORACLE = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % {N_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tok,
+             0 AS seq_id, 0 AS seq_offset, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN p.fill + d.n_tok > {SEQ_LEN}
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.fill + d.n_tok > {SEQ_LEN}
+                  THEN 0 ELSE p.fill END,
+             CASE WHEN p.fill + d.n_tok > {SEQ_LEN}
+                  THEN d.n_tok ELSE p.fill + d.n_tok END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT CAST(doc_id AS BIGINT)     AS doc_id,
+           CAST(shard AS BIGINT)      AS shard,
+           CAST(seq_id AS BIGINT)     AS seq_id,
+           CAST(seq_offset AS BIGINT) AS seq_offset,
+           CAST(n_tok AS BIGINT)      AS n_tok
+    FROM pack
+"""
+
+
+@register("x_seq_pack", oracle=_ORACLE)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ≤1024-token training sequences (module
+    docstring).  Output: one row per doc with its (shard, seq_id,
+    seq_offset) placement — the manifest a tokenizer/concat stage consumes."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = np.empty(len(pdf), dtype=np.int64)
+        offsets = np.empty(len(pdf), dtype=np.int64)
+        seq, fill = 0, 0
+        for i, n in enumerate(pdf["n_tok"].to_numpy()):
+            if fill > 0 and fill + n > SEQ_LEN:
+                seq += 1
+                fill = 0
+            seq_ids[i] = seq
+            offsets[i] = fill
+            fill += n
+        return pdf.assign(seq_id=seq_ids, seq_offset=offsets)[
+            ["doc_id", "shard", "seq_id", "seq_offset", "n_tok"]
+        ]
+
+    return d.groupBy("shard").applyInPandas(
+        pack_shard,
+        "doc_id bigint, shard bigint, seq_id bigint, seq_offset bigint, n_tok bigint",
+    )

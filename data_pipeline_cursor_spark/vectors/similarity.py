@@ -281,3 +281,139 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _all_pairs_by_block(
         bk, "bucket", 0.2, "vec_a bigint, vec_b bigint, bucket int, score double"
     )
+
+
+@register(
+    "x_sim_ivf",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    a AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cemb::DOUBLE[]) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id % 199 = 0
+    ),
+    p AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qemb::DOUBLE[],
+                                                 c.cemb::DOUBLE[]) DESC, c.cid) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, vec_id, cell, score FROM (
+      SELECT p.query_id, a.vec_id, a.cell,
+             ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ve.embedding::DOUBLE[]), 4) AS score,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                                     ve.embedding::DOUBLE[]), 4) DESC,
+                        a.vec_id) AS rn
+      FROM p
+      JOIN a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ve ON ve.vec_id = a.vec_id
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbour (E3 scale path #2): a coarse
+    quantizer partitions the corpus into inverted lists; a query scores
+    only the nprobe=2 nearest lists instead of the whole corpus.
+
+    The codebook here is deterministically sampled (vec_id % 97) so the
+    DuckDB oracle can replay the exact assignment; a production codebook
+    comes from an offline k-means and is swapped in the same way.  Ties in
+    both cell assignment and top-k break identically in both engines
+    (centroid id / vec_id ascending).
+
+    100 TB: the codebook is the ONLY driver-side collect (O(n_lists), a
+    few MB for 64k lists); assignment is one vectorized matmul pass;
+    candidate generation joins the broadcast query-probe table against the
+    cell-partitioned corpus — work is O(corpus/n_lists × nprobe) per
+    query, the IVF contract."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in cent], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent])
+    order = np.argsort(cids)
+    cids, C = cids[order], C[order]
+    Cu = C / np.linalg.norm(C, axis=1)[:, None]
+    nprobe = min(2, len(cids))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            S = U @ Cu.T
+            # argmax returns the FIRST max; cids ascending → smallest cid wins
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "u": list(U),
+                    "cell": cids[np.argmax(S, axis=1)],
+                }
+            )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            S = U @ Cu.T
+            # stable sort on -S: equal scores keep index order → smaller cid
+            top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, nprobe),
+                    "u_q": [u for u in U for _ in range(nprobe)],
+                    "cell": cids[top].ravel(),
+                }
+            )
+
+    assigned = emb.mapInPandas(assign, "vec_id bigint, u array<double>, cell bigint")
+    probes = emb.filter(F.col("vec_id") % 199 == 0).mapInPandas(
+        probe, "query_id bigint, u_q array<double>, cell bigint"
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, np.float64) for v in pdf["u"]])
+        uq = np.asarray(pdf["u_q"].iloc[0], np.float64)
+        sc = np.round(V @ uq, 4)
+        ids = pdf["vec_id"].to_numpy()
+        pick = np.lexsort((ids, -sc))[:5]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[pick],
+                "vec_id": ids[pick],
+                "cell": pdf["cell"].to_numpy()[pick],
+                "score": sc[pick],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        topk, "query_id bigint, vec_id bigint, cell bigint, score double"
+    )

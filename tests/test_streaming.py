@@ -145,3 +145,21 @@ def test_custom_state_batch_equivalence(spark):
         .toPandas()
     )
     assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_transform_state_batch_equivalence(spark):
+    """s_transform_state: same contract as s_custom_state via the
+    transformWithStateInPandas API (or its documented fallback where
+    protobuf is unavailable)."""
+    qs = get_queries()
+    streamed = qs["s_transform_state"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .toPandas()
+    )
+    assert canonical_rows(streamed) == canonical_rows(batch)

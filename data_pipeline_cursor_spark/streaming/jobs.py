@@ -526,3 +526,95 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "s_static_join",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, AVG(value) AS mean_v FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN e.value > m.mean_v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-surface stream-static join: enrich the live stream with a batch
+    reference table (per-type historical mean), then count above-mean
+    events per type — the Flink lookup-join / temporal-table pattern.
+
+    The static side is broadcast to every task; no streaming state beyond
+    the final aggregate.  Inner join on event_type drops the flush
+    sentinel for free (it has no reference row).  Deterministic end state
+    → full DuckDB oracle, not rows-only.
+
+    100 TB: the reference table re-broadcasts per micro-batch (Spark
+    re-plans the static side), so keep it compact or pin it with a
+    storage-level cache; skew-free because the stream side never
+    shuffles before the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
+    enriched = _stream(spark, sf_dir).join(F.broadcast(stats), "event_type")
+    agg = enriched.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("value") > F.col("mean_v"), 1).otherwise(0)
+        ).alias("n_above"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run_to_completion(agg, _ckpt("static-join"), out_mode="complete")
+
+
+@register(
+    "s_stream_join",
+    oracle="""
+    SELECT strftime(date_trunc('day', a.ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON date_trunc('minute', a.ts) = date_trunc('minute', b.ts)
+     AND a.event_type = 'click' AND b.event_type = 'error'
+    GROUP BY strftime(date_trunc('day', a.ts), '%Y-%m-%d')
+    """,
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-surface stream-stream join (Flink interval-join twin): click and
+    error events co-occurring in the same minute, paired as both sides
+    arrive; daily pair counts.
+
+    Both sides carry a watermark so the join state is evictable once the
+    watermark passes a minute bucket — without it, each side buffers
+    forever waiting for late matches.  Inner-join matches emit as they
+    occur (no end-of-window wait), so the drained result equals the batch
+    self-join and the query is fully oracle-checked.
+
+    100 TB: state is bounded by (watermark delay × arrival rate); the
+    join shuffles both sides on the minute key — at real volumes key on
+    (entity_id, minute) so the state and shuffle spread over entities
+    instead of hot minute buckets."""
+    src = _stream(spark, sf_dir)
+    a = (
+        _with_fixture_watermark(src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.date_trunc("minute", "event_time").alias("minute"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    b = (
+        _with_fixture_watermark(_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.date_trunc("minute", "event_time").alias("minute"),
+        )
+    )
+    pairs = a.join(b, "minute")
+    drained = run_to_completion(pairs, _ckpt("stream-join"))
+    return drained.groupBy(
+        F.date_format("click_time", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -125,12 +125,60 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         raw = raw.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = raw.json(landing)
+    return _typed_events(raw)
+
+
+def _typed_events(raw: DataFrame) -> DataFrame:
+    """Stringly payload → typed columns; shared by every source flavor so
+    the downstream plan is source-agnostic (SURVEY.md §3.2)."""
     return raw.select(
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",
         F.col("value").cast("double").alias("value"),
         F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
     )
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the classpath (it is a
+    separate artifact, not bundled with pyspark — absent in this
+    container).  Gate pattern mirrors catalog.iceberg_available."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_event_stream_kafka(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:
+    """The production source: Kafka topic → typed event stream, the direct
+    twin of the reference's Flink Kafka table
+    (/root/reference/flink/sql/weather-aggregation.sql:8-17 — earliest
+    offset, schemaless JSON, error-tolerant parse via PERMISSIVE
+    from_json).  Downstream plans are IDENTICAL to the file-source path —
+    swap read_event_stream for this and every job in streaming.jobs runs
+    unchanged; `maxOffsetsPerTrigger` replaces `maxFilesPerTrigger` as the
+    batch-size knob."""
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "spark-sql-kafka connector not on the classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("r")
+    ).select("r.*")
+    return _typed_events(parsed)
 
 
 from contextlib import contextmanager

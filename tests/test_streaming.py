@@ -163,3 +163,21 @@ def test_transform_state_batch_equivalence(spark):
         .toPandas()
     )
     assert canonical_rows(streamed) == canonical_rows(batch)
+
+
+def test_kafka_source_gate(spark):
+    """The Kafka source is a gated production path: absent the connector
+    it must fail loudly (clear remedy), never silently fall back."""
+    from data_pipeline_cursor_spark.streaming.sources import (
+        kafka_available,
+        read_event_stream_kafka,
+    )
+
+    if kafka_available(spark):
+        df = read_event_stream_kafka(spark, "localhost:9092", "events")
+        assert set(df.columns) == {"event_id", "event_type", "value", "event_time"}
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            read_event_stream_kafka(spark, "localhost:9092", "events")

@@ -341,19 +341,44 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing idea with window = whole doc) + an exact-content md5.
 
     Docs sharing `fingerprint` are near-dup candidates; docs sharing
-    `full_md5` are exact dups.  Pure projection per row — the fingerprint
-    join/groupBy downstream is on a 60-bit near-uniform key."""
-    from data_pipeline_cursor_spark.text.dedup import shingles_col
+    `full_md5` are exact dups.  The hash loop runs in Python (mapInPandas
+    + hashlib, C-speed md5 over identical bytes as the oracle): the
+    Catalyst formulation — array_min(transform(shingles, phash)) over the
+    nested sequence/concat_ws shingle lambda — spends ~4 s in whole-stage
+    codegen compile alone, ~10× the actual hashing work at sf0.1, and the
+    per-row compute is hash-bound either way.  Corpus is ASCII-verified,
+    so Python lower() == JVM/DuckDB lower()."""
+    import hashlib
+
+    import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
-    # one md5/shingle over a single-file scan task — spread it (no-op at
-    # 100 TB where the corpus arrives in thousands of splits)
+    # spread the single-file scan (no-op at 100 TB where the corpus
+    # arrives in thousands of splits)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = shingles_col(tokens_col())
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(sh, lambda s: phash(s, "fp"))).alias(
-            "fingerprint"
-        ),
-        F.md5(F.lower(F.col("text"))).alias("full_md5"),
+
+    def gen(batches):
+        for pdf in batches:
+            fps, fulls = [], []
+            for t in pdf["text"]:
+                lt = t.lower()
+                fulls.append(hashlib.md5(lt.encode()).hexdigest())
+                toks = lt.split(" ")
+                best = None
+                for i in range(max(len(toks) - 2, 1)):
+                    # toks[i:i+3] joined ≡ concat_ws(' ', t[i], t[i+1],
+                    # t[i+2]) with trailing NULLs skipped
+                    sh = " ".join(toks[i : i + 3])
+                    h = int(
+                        hashlib.md5(b"fp:" + sh.encode()).hexdigest()[:15], 16
+                    )
+                    if best is None or h < best:
+                        best = h
+                fps.append(best)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprint": fps, "full_md5": fulls}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, fingerprint bigint, full_md5 string"
     )

@@ -4,20 +4,19 @@ E3 + embedding-space near-dup).
 Not in the reference (no vector data there) — driver-mandated ANN/dedup ops
 for an LLM-data pipeline, designed Spark-first:
 
-- **normalize before you join**: unit vectors are computed once per row
-  (O(n)); every pairwise score is then a plain dot product;
-- **brute-force top-k** broadcasts the (small) query set against the corpus
-  — one broadcast join + one window per query key, no shuffle of the corpus;
-  the per-pair dot is expanded to a 64-term codegen-friendly sum
-  (`element_at` products), NOT a higher-order `aggregate` per pair (those
-  are CodegenFallback → interpreted per row, ~10× slower in the pair loop);
-- **all-pairs scoring within a block** (LSH bucket / label) is a per-block
-  BLAS matmul (`applyInPandas` → numpy `X @ X.T`), not a self-join with a
-  per-pair SQL expression: the join materializes both 64-dim arrays per
-  candidate pair and evaluates a 128-term expression row-at-a-time (and on
-  tiny inputs AQE coalesces the whole pair loop into ONE task), while the
-  matmul moves each vector once and scores in vectorized float64 — ~20×
-  faster here, and the standard dense-ANN shape at 100 TB;
+- **normalize once**: unit vectors are computed once per row (O(n));
+  every pairwise score is then a plain dot product;
+- **dense math is vectorized Python, not Catalyst expressions**: a
+  per-pair SQL dot product is either a higher-order `aggregate`
+  (CodegenFallback → interpreted per row) or a 128-term expanded sum
+  (seconds of janino compile per query, rows materialized per pair) —
+  numpy/BLAS over Arrow batches moves each vector once and beats both by
+  ~10-20×, and is the standard dense-ANN shape at 100 TB;
+- **brute-force top-k** is scan-once scatter-gather: the (small) query
+  matrix rides in the closure, each corpus partition emits its local
+  top-k per query from one matmul, a tiny global window merges;
+- **all-pairs scoring within a block** (LSH bucket / label) is a
+  per-block BLAS matmul (`applyInPandas` → numpy `X @ X.T`);
 - **LSH path** buckets vectors by random-hyperplane sign bits, then pairs
   only within a bucket — the 100 TB route where brute force is
   O(queries × corpus).  Hyperplane weights are md5-derived constants baked
@@ -51,17 +50,6 @@ def _unit(col: Column) -> Column:
     return F.transform(d, lambda x: x / norm)
 
 
-def _dot(a: str, b: str) -> Column:
-    """Expanded 64-term dot product — stays inside whole-stage codegen."""
-    terms = [
-        F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
-        for i in range(1, DIM + 1)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
 
 def _plane_weight(p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-1, 1].
@@ -73,25 +61,14 @@ def _plane_weight(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-def _bucket_spark(col_name: str) -> Column:
-    emb = F.col(col_name)
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        proj = None
-        for d in range(1, DIM + 1):
-            term = F.element_at(emb, d).cast("double") * F.lit(_plane_weight(p, d))
-            proj = term if proj is None else proj + term
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
-
 
 def _prep_unit_bucket(emb: DataFrame) -> DataFrame:
     """vec_id + unit-norm float64 vector + LSH bucket in ONE vectorized
     numpy pass (mapInPandas).
 
-    Semantically identical to `_unit` + `_bucket_spark`, but those build a
-    256-term Catalyst expression whose whole-stage codegen costs ~5 s of
-    janino compile on first run — longer than scoring the whole fixture.
+    Semantically identical to `_unit` + a sign-bit Catalyst expression, but
+    the latter is 256 terms whose whole-stage codegen costs ~5 s of janino
+    compile on first run — longer than scoring the whole fixture.
     Here the planes are a (N_PLANES × DIM) constant matrix and bucketing is
     one matmul; sign-boundary divergence vs the oracle's left-to-right sum
     needs |proj| ≲ 1e-13, vanishingly rare for unit-scale data."""
@@ -199,29 +176,61 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (E3 baseline): for each query vector
     (vec_id % 199 = 0), the 5 nearest neighbours by cosine.
 
-    100 TB: the query side is broadcast (it is small by construction); the
-    corpus is scanned once, never shuffled; per-query ranking is a window
-    over the broadcast-join output.  For corpus×corpus k-NN use x_sim_lsh."""
+    Scan-once scatter-gather: the query matrix rides in the mapInPandas
+    closure (broadcast; small by construction), each corpus partition is
+    scored as ONE (partition × queries) BLAS matmul and emits only its
+    local top-5 per query, and the global window ranks the surviving
+    |queries| × 5 × |partitions| rows — the corpus is scanned once and
+    never shuffled, and no per-pair row is ever materialized.  (The
+    broadcast-join + 128-term-dot formulation spent more time in codegen
+    compile than scoring; module docstring.)  For corpus×corpus k-NN use
+    x_sim_lsh / x_sim_ivf."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id"), _unit(F.col("embedding")).alias("u_b")
+    qrows = (
+        emb.filter(F.col("vec_id") % 199 == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    queries = emb.filter(F.col("vec_id") % 199 == 0).select(
-        F.col("vec_id").alias("query_id"), _unit(F.col("embedding")).alias("u_a")
-    )
-    pairs = corpus.join(
-        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        F.round(_dot("u_a", "u_b"), 4).alias("score"),
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    Qu = QM / np.linalg.norm(QM, axis=1)[:, None]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            ids = pdf["vec_id"].to_numpy()
+            S = np.round(U @ Qu.T, 4)  # (corpus_part, queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                sc = S[:, j]
+                mask = ids != qid
+                cand_ids, cand_sc = ids[mask], sc[mask]
+                pick = np.lexsort((cand_ids, -cand_sc))[:5]
+                out_q.append(np.full(len(pick), qid))
+                out_v.append(cand_ids[pick])
+                out_s.append(cand_sc[pick])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    local = emb.mapInPandas(
+        local_topk, "query_id bigint, vec_id bigint, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )

@@ -98,3 +98,31 @@ def test_bucketed_fact_join_has_no_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert df.count() > 0
+
+
+def test_unpivot_has_no_shuffle(spark):
+    """q_unpivot: melt is a narrow map-side Expand — any Exchange means
+    the plan regressed into a shuffle it never needs."""
+    df = get_queries()["q_unpivot"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_sessionize_single_exchange(spark):
+    """q_sessionize: both window passes and the final aggregate must
+    reuse ONE hash exchange on event_type — a second exchange means a
+    window lost the partitioning."""
+    df = get_queries()["q_sessionize"](spark, SF_SMOKE)
+    plan = _plan(df)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, f"{n_hash_exchanges} exchanges:\n{plan}"
+
+
+def test_seq_pack_shuffles_only_on_shard(spark):
+    """x_seq_pack: exactly one exchange, keyed on the shard column."""
+    df = get_queries()["x_seq_pack"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "shard" in plan.split("Exchange hashpartitioning", 1)[1].split(
+        ")", 1
+    )[0], plan

@@ -181,6 +181,35 @@ def read_event_stream_kafka(
     return _typed_events(parsed)
 
 
+def write_event_stream_kafka(
+    df: DataFrame, bootstrap: str, topic: str, checkpoint: str
+):
+    """Kafka producer sink (reference parity: the fire-and-forget producer,
+    /root/reference/client/producer.py:42-54 — Spark's Kafka sink batches
+    per micro-batch with checkpointed offsets, strictly stronger delivery
+    than poll(0)).  Keyed by event_type so a partitioned topic preserves
+    per-key order, the property the reference's keyless produce lacks.
+    Same gate as the source: the connector is a separate artifact."""
+    if not kafka_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-sql-kafka connector not on the classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+    payload = df.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "event_type", "value", "event_time")).alias(
+            "value"
+        ),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 from contextlib import contextmanager
 
 

@@ -173,6 +173,10 @@ def test_kafka_source_gate(spark):
         read_event_stream_kafka,
     )
 
+    from data_pipeline_cursor_spark.streaming.sources import (
+        write_event_stream_kafka,
+    )
+
     if kafka_available(spark):
         df = read_event_stream_kafka(spark, "localhost:9092", "events")
         assert set(df.columns) == {"event_id", "event_type", "value", "event_time"}
@@ -181,3 +185,11 @@ def test_kafka_source_gate(spark):
 
         with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
             read_event_stream_kafka(spark, "localhost:9092", "events")
+        from data_pipeline_cursor_spark.sources import load_table
+        from tests.conftest import SF_SMOKE
+
+        ev = load_table(spark, SF_SMOKE, "events").withColumnRenamed(
+            "ts", "event_time"
+        )
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            write_event_stream_kafka(ev, "localhost:9092", "events", "/tmp/x")

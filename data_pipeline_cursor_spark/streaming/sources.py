@@ -195,11 +195,20 @@ def write_event_stream_kafka(
             "spark-sql-kafka connector not on the classpath; submit with "
             "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
         )
+    # serialize in the EXACT record shape EVENT_SCHEMA parses back —
+    # stringly value, `ts` formatted 'yyyy-MM-dd HH:mm:ss' — so a
+    # write→read round trip through the topic is lossless (same contract
+    # as the landing-file fixture)
     payload = df.select(
         F.col("event_type").cast("string").alias("key"),
-        F.to_json(F.struct("event_id", "event_type", "value", "event_time")).alias(
-            "value"
-        ),
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("event_type"),
+                F.col("value").cast("string").alias("value"),
+                F.date_format("event_time", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            )
+        ).alias("value"),
     )
     return (
         payload.writeStream.format("kafka")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
-from data_pipeline_cursor_spark.text.dedup import phash, tokens_col
+from data_pipeline_cursor_spark.text.dedup import tokens_col
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deliberately minimal — the operator demonstrates the plan
@@ -361,6 +361,11 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             fps, fulls = [], []
             for t in pdf["text"]:
+                if t is None:
+                    # NULL propagates like md5(lower(NULL)) in both engines
+                    fps.append(None)
+                    fulls.append(None)
+                    continue
                 lt = t.lower()
                 fulls.append(hashlib.md5(lt.encode()).hexdigest())
                 toks = lt.split(" ")

@@ -240,23 +240,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
-@register(
-    "x_dedup_jaccard",
-    oracle="""
-    WITH d AS (
+JACCARD_THRESHOLD = 0.6
+
+_DUCK_JACCARD_D = """
       SELECT doc_id, lang,
              string_split(lower(text),' ')[1] AS head_tok,
              list_distinct(string_split(lower(text),' ')) AS toks
       FROM documents
-    )
+"""
+
+_DUCK_JACCARD_EXPR = (
+    "len(list_intersect(a.toks, b.toks))"
+    " / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)"
+)
+
+_DUCK_JACCARD_ON = (
+    "a.lang = b.lang AND a.head_tok = b.head_tok AND a.doc_id < b.doc_id"
+)
+
+# single source of truth for the candidate-pair SQL: the scoring oracle
+# (x_dedup_jaccard) and the clustering oracle (x_dedup_cluster) both build
+# on it, so a threshold/blocking change cannot drift between them
+_DUCK_JACCARD_PAIRS = f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_DUCK_JACCARD_D}) a JOIN ({_DUCK_JACCARD_D}) b ON {_DUCK_JACCARD_ON}
+      WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "x_dedup_jaccard",
+    oracle=f"""
+    WITH d AS ({_DUCK_JACCARD_D})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.toks, b.toks))
-                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
-                 4) AS jaccard
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.head_tok = b.head_tok AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.toks, b.toks))
-          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+           ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
+    FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
+    WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +305,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.head_tok") == F.col("b.head_tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= 0.6)
+        .filter(jac >= JACCARD_THRESHOLD)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -294,21 +313,6 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_DUCK_JACCARD_PAIRS = """
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM (SELECT doc_id, lang,
-                   string_split(lower(text),' ')[1] AS head_tok,
-                   list_distinct(string_split(lower(text),' ')) AS toks
-            FROM documents) a
-      JOIN (SELECT doc_id, lang,
-                   string_split(lower(text),' ')[1] AS head_tok,
-                   list_distinct(string_split(lower(text),' ')) AS toks
-            FROM documents) b
-        ON a.lang = b.lang AND a.head_tok = b.head_tok AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.toks, b.toks))
-            / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
-"""
 
 
 @register(
@@ -414,9 +418,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "connected components did not converge in 25 rounds"
             )
-        pairs.unpersist()
         return labels.select(
             F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
         )
     finally:
+        pairs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)

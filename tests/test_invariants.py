@@ -91,3 +91,52 @@ def test_sessionize_partitions_events(spark):
         starts = pd.to_datetime(grp["session_start"]).tolist()
         for prev_end, next_start in zip(ends, starts[1:]):
             assert next_start > prev_end
+
+
+def test_fingerprint_null_text_propagates(spark, tmp_path):
+    """NULL text → (doc_id, NULL, NULL), matching md5(lower(NULL)) oracle
+    semantics — must not crash the Python hash loop."""
+    import shutil
+
+    from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, table_path
+
+    sf = str(tmp_path / "sf_null")
+    (tmp_path / "sf_null").mkdir()
+    for name in TABLE_NAMES:
+        shutil.copy(table_path(SF_SMOKE, name), table_path(sf, name))
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "web", 16), (2, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(table_path(sf, "documents"))
+    pdf = (
+        get_queries()["x_fingerprint"](spark, sf)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert pdf.loc[2, "fingerprint"] is None or pdf.loc[2].isna()["fingerprint"]
+    assert pdf.loc[2].isna()["full_md5"]
+    assert pdf.loc[1].notna()["fingerprint"]
+
+
+def test_upsert_merge_handles_null_key(spark, tmp_path):
+    """A micro-batch row with a NULL partition key must survive the
+    staging swap (Spark writes it as __HIVE_DEFAULT_PARTITION__)."""
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        merge_upsert_batch,
+        read_serving_table,
+    )
+
+    table_dir = str(tmp_path / "serving")
+    batch = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 1.0, 3),
+         (None, "2024-01-01 00:05:00", 2.0, 4)],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    merge_upsert_batch(batch, table_dir)
+    out = read_serving_table(spark, table_dir).toPandas()
+    assert len(out) == 2
+    assert out["event_type"].isna().sum() == 1
+    # replay idempotence incl. the null-key partition
+    merge_upsert_batch(batch, table_dir)
+    out2 = read_serving_table(spark, table_dir).toPandas()
+    assert len(out2) == 2

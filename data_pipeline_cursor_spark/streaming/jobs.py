@@ -326,7 +326,9 @@ def _fold_running_agg(prev, pdfs):
     return n, s, seq + 1
 
 
-def _emit_running_agg(pd, key, n, s, seq):
+def _emit_running_agg(key, n, s, seq):
+    import pandas as pd
+
     return pd.DataFrame(
         {
             "event_type": [key[0]],
@@ -364,7 +366,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state):
         n, s, seq = _fold_running_agg(state.get if state.exists else None, pdfs)
         state.update((n, s, seq))
-        yield _emit_running_agg(pd, key, n, s, seq)
+        yield _emit_running_agg(key, n, s, seq)
 
     emitted = df.groupBy("event_type").applyInPandasWithState(
         update,
@@ -455,7 +457,7 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev = self._agg.get() if self._agg.exists() else None
             n, s, seq = _fold_running_agg(prev, rows)
             self._agg.update((n, s, seq))
-            yield _emit_running_agg(pd, key, n, s, seq)
+            yield _emit_running_agg(key, n, s, seq)
 
         def close(self) -> None:
             pass
@@ -490,7 +492,7 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state.get if state.exists else None, pdfs
             )
             state.update((n, s, seq))
-            yield _emit_running_agg(pd, key, n, s, seq)
+            yield _emit_running_agg(key, n, s, seq)
 
         emitted = df.groupBy("event_type").applyInPandasWithState(
             update,

@@ -55,9 +55,22 @@ def merge_upsert_batch(batch: DataFrame, table_dir: str) -> None:
         batch.unpersist()
 
 
+# the characters Spark's partitioned writer percent-escapes in a partition
+# path (Hive escapePathName contract): control chars + the set below
+_PATH_ESCAPE = set('"#%\'*/:=?\\^{[]\x7f') | {chr(c) for c in range(0x20)}
+
+
 def _part_dirname(p) -> str:
-    """Partition dir name as Spark writes it (NULL → Hive default)."""
-    return f"{KEY_COLS[0]}={'__HIVE_DEFAULT_PARTITION__' if p is None else p}"
+    """Partition dir name as Spark writes it: NULL → Hive default dir,
+    special characters percent-escaped (uppercase hex) per Hive
+    escapePathName — an unescaped name would miss the dir Spark actually
+    wrote and silently skip that key's swap."""
+    if p is None:
+        return f"{KEY_COLS[0]}=__HIVE_DEFAULT_PARTITION__"
+    escaped = "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in str(p)
+    )
+    return f"{KEY_COLS[0]}={escaped}"
 
 
 def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
@@ -119,9 +132,18 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
             if not os.path.isdir(src):
                 continue
             dst = os.path.join(table_dir, part)
+            retired = os.path.join(retired_root, part)
             if os.path.isdir(dst):
-                os.rename(dst, os.path.join(retired_root, part))
-            os.rename(src, dst)
+                os.rename(dst, retired)
+            try:
+                os.rename(src, dst)
+            except BaseException:
+                # roll the old copy back before the finally deletes
+                # retired_root — otherwise a failure between the two
+                # renames would destroy BOTH copies of the partition
+                if os.path.isdir(retired) and not os.path.isdir(dst):
+                    os.rename(retired, dst)
+                raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(retired_root, ignore_errors=True)

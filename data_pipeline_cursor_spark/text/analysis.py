@@ -330,8 +330,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_min(list_transform(shingles,
-             s -> ('0x' || substr(md5('fp:' || s), 1, 15))::BIGINT)) AS fingerprint,
+           CASE WHEN full_md5 IS NULL THEN NULL
+                ELSE list_min(list_transform(shingles,
+                  s -> ('0x' || substr(md5('fp:' || s), 1, 15))::BIGINT))
+           END AS fingerprint,
            full_md5
     FROM sh
     """,
@@ -362,7 +364,10 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             fps, fulls = [], []
             for t in pdf["text"]:
                 if t is None:
-                    # NULL propagates like md5(lower(NULL)) in both engines
+                    # NULL text → NULL outputs.  (The oracle spells the
+                    # fingerprint NULL explicitly: DuckDB's greatest/
+                    # concat_ws otherwise coerce a NULL doc into one empty
+                    # shingle and hash THAT — an artifact, not a semantic.)
                     fps.append(None)
                     fulls.append(None)
                     continue

@@ -96,14 +96,10 @@ def test_sessionize_partitions_events(spark):
 def test_fingerprint_null_text_propagates(spark, tmp_path):
     """NULL text → (doc_id, NULL, NULL), matching md5(lower(NULL)) oracle
     semantics — must not crash the Python hash loop."""
-    import shutil
-
-    from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, table_path
+    from data_pipeline_cursor_spark.sources.tables import table_path
 
     sf = str(tmp_path / "sf_null")
     (tmp_path / "sf_null").mkdir()
-    for name in TABLE_NAMES:
-        shutil.copy(table_path(SF_SMOKE, name), table_path(sf, name))
     spark.createDataFrame(
         [(1, "alpha beta gamma", "en", "web", 16), (2, None, "en", "web", 0)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -116,6 +112,20 @@ def test_fingerprint_null_text_propagates(spark, tmp_path):
     assert pdf.loc[2, "fingerprint"] is None or pdf.loc[2].isna()["fingerprint"]
     assert pdf.loc[2].isna()["full_md5"]
     assert pdf.loc[1].notna()["fingerprint"]
+    # and the ORACLE agrees on the NULL row (both columns NULL)
+    import duckdb
+
+    from data_pipeline_cursor_spark.registry import get_oracles
+
+    con = duckdb.connect()
+    # Spark wrote a directory of part files; glob them for DuckDB
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{table_path(sf, 'documents')}/*.parquet'"
+    )
+    orc = con.sql(get_oracles()["x_fingerprint"]).df().set_index("doc_id")
+    assert orc.loc[2].isna()["fingerprint"] and orc.loc[2].isna()["full_md5"]
+    assert int(orc.loc[1, "fingerprint"]) == int(pdf.loc[1, "fingerprint"])
 
 
 def test_upsert_merge_handles_null_key(spark, tmp_path):
@@ -140,3 +150,25 @@ def test_upsert_merge_handles_null_key(spark, tmp_path):
     merge_upsert_batch(batch, table_dir)
     out2 = read_serving_table(spark, table_dir).toPandas()
     assert len(out2) == 2
+
+
+def test_upsert_merge_escaped_partition_keys(spark, tmp_path):
+    """Partition keys with Hive-escaped characters ('%', ':', '=') must
+    survive the staging swap — the dir name must match what Spark's
+    partitioned writer actually produced."""
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        merge_upsert_batch,
+        read_serving_table,
+    )
+
+    table_dir = str(tmp_path / "serving_esc")
+    batch = spark.createDataFrame(
+        [("100%off", "2024-01-01 00:00:00", 1.0, 3),
+         ("a:b=c", "2024-01-01 00:05:00", 2.0, 4)],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    merge_upsert_batch(batch, table_dir)
+    out = read_serving_table(spark, table_dir).toPandas()
+    assert sorted(out["event_type"]) == ["100%off", "a:b=c"]
+    merge_upsert_batch(batch, table_dir)  # replay: idempotent, incl. merge path
+    assert read_serving_table(spark, table_dir).count() == 2

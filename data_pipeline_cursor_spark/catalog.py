@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from data_pipeline_cursor_spark.sources import load_table
 
 
+def _sql_str(v: str) -> str:
+    """Escape a string for embedding in single-quoted SQL (LOCATION paths:
+    a quote in the path would otherwise break the DDL statement)."""
+    return v.replace("'", "''")
+
+
+def _check_ident(name: str) -> str:
+    """Reject table names that aren't plain identifiers — these helpers
+    interpolate the name into DDL text."""
+    if not name.replace("_", "").isalnum() or not name:
+        raise ValueError(f"table name must be a plain identifier: {name!r}")
+    return name
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime is on the classpath.
 
@@ -52,6 +66,7 @@ def create_lakehouse_table(
     MinIO+HMS → Spark session catalog over partitioned Parquet). When
     `iceberg_available(spark)`, issues native Iceberg DDL with the hidden
     `hours(ts)` partition transform instead (run.sh:109 parity)."""
+    name = _check_ident(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if iceberg_available(spark):
         spark.sql(
@@ -64,7 +79,7 @@ def create_lakehouse_table(
             )
             USING iceberg
             PARTITIONED BY (hours(ts))
-            LOCATION '{location}'
+            LOCATION '{_sql_str(location)}'
             TBLPROPERTIES ('format-version'='2',
                            'write.parquet.compression-codec'='zstd')
             """
@@ -81,7 +96,7 @@ def create_lakehouse_table(
         )
         USING parquet
         PARTITIONED BY (hour)
-        LOCATION '{location}'
+        LOCATION '{_sql_str(location)}'
         """
     )
 
@@ -89,6 +104,7 @@ def create_lakehouse_table(
 def create_serving_table(spark: SparkSession, name: str, location: str) -> None:
     """The serving-store DDL (init-analytics-db.sql:2-10): keyed window
     aggregates + last_updated audit column."""
+    name = _check_ident(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"""
@@ -102,34 +118,47 @@ def create_serving_table(spark: SparkSession, name: str, location: str) -> None:
         )
         USING parquet
         PARTITIONED BY (event_type)
-        LOCATION '{location}'
+        LOCATION '{_sql_str(location)}'
         """
     )
 
 
 def load_lakehouse(spark: SparkSession, table: str, sf_dir: str) -> None:
     """Populate the lakehouse table from the events fixture with the hour
-    partition transform (B13; run.sh:109 hours(ts))."""
+    partition transform (B13; run.sh:109 hours(ts)).
+
+    Both layouts co-locate each hour into one writer task first — without
+    that every task opens a writer per hour → tasks×hours tiny files
+    (PLANS.md), and Iceberg's default non-fanout writer can reject
+    unclustered inserts outright."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "ts"
     )
     if "hour" in spark.table(table).columns:
         # parquet layout: explicit partition column (iceberg's hours(ts) is
-        # hidden — the transform lives in table metadata, not the schema).
-        # repartition by the partition col first: without it every task
-        # opens a writer per hour → tasks×hours tiny files (PLANS.md).
+        # hidden — the transform lives in table metadata, not the schema)
         ev = ev.withColumn(
             "hour", F.date_format("ts", "yyyy-MM-dd-HH")
         ).repartition(F.col("hour"))
+    else:
+        # iceberg layout: cluster on the same transform the table declares
+        ev = ev.repartition(F.date_trunc("hour", "ts"))
     ev.write.mode("overwrite").insertInto(table)
 
 
 def hour_pruned_scan(spark: SparkSession, table: str, hour: str) -> DataFrame:
     """Partition-pruned read (README.md:470-471: WHERE hour(ts) = N).
 
-    The predicate hits the partition column → Catalyst prunes at the file
-    index; verify with .explain: 'partition filters: [isnotnull(hour), ...'."""
-    return spark.table(table).filter(F.col("hour") == hour)
+    Parquet layout: the predicate hits the explicit partition column.
+    Iceberg layout: there is NO `hour` column — the predicate goes on the
+    hours(ts) transform source, and Iceberg prunes manifests through its
+    partition-transform metadata.  Either way the scan touches one hour's
+    files; verify with .explain: 'partition filters: [...]'."""
+    t = spark.table(table)
+    if "hour" in t.columns:
+        return t.filter(F.col("hour") == hour)
+    start = F.to_timestamp(F.lit(hour), "yyyy-MM-dd-HH")
+    return t.filter(F.date_trunc("hour", "ts") == start)
 
 
 def create_bucketed_facts(

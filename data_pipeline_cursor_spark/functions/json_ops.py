@@ -26,7 +26,9 @@ from data_pipeline_cursor_spark.sources import load_table
     "q_json_extract_cast",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k_val
     FROM events
     """,
 )
@@ -45,8 +47,10 @@ def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_typed_decode",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           CASE WHEN json_valid(props) THEN 1 ELSE 0 END      AS is_valid
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k_val,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
     FROM events
     """,
 )

@@ -35,16 +35,22 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def word_count(text: pd.Series) -> pd.Series:
-        # split on the literal single space to match string_split(text, ' ')
-        return text.str.split(" ").str.len().astype("int32")
+        # split on the literal single space to match string_split(text, ' ');
+        # nullable Int32 so a NULL text yields NULL (plain int32 astype
+        # raises on the NaN a null row produces, killing the whole task)
+        return text.str.split(" ").str.len().astype("Int32")
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # invoke the UDF ONCE and derive from the alias: Python UDFs are
+    # extracted before expression CSE, so two textual calls run the whole
+    # Arrow round trip twice
+    counted = docs.select("doc_id", "n_chars", word_count("text").alias("n_words"))
+    return counted.select(
         "doc_id",
-        word_count("text").alias("n_words"),
-        F.round(
-            F.col("n_chars") / (1.0 + word_count("text")), 4
-        ).alias("chars_per_word"),
+        "n_words",
+        F.round(F.col("n_chars") / (1.0 + F.col("n_words")), 4).alias(
+            "chars_per_word"
+        ),
     )
 
 

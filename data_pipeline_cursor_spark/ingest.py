@@ -17,6 +17,7 @@ fire-and-forget posture.
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 from datetime import datetime, timezone
@@ -36,9 +37,13 @@ def make_record(event_type: str, value: str, now: datetime | None = None) -> dic
     if value is None:
         raise ValidationError("value is required")
     try:
-        float(value)
+        v = float(value)
     except (TypeError, ValueError):
         raise ValidationError(f"value must be numeric, got {value!r}")
+    # float() accepts 'nan'/'inf'; one such record would turn its whole
+    # (event_type, window) aggregate NaN downstream — reject it here
+    if not math.isfinite(v):
+        raise ValidationError(f"value must be finite, got {value!r}")
     ts = (now or datetime.now(timezone.utc)).strftime("%Y-%m-%d %H:%M:%S")
     return {
         "event_id": uuid.uuid4().hex,
@@ -68,7 +73,10 @@ class LandingWriter:
         if not self._buf:
             return None
         path = os.path.join(self.landing_dir, f"ingest-{uuid.uuid4().hex}.json")
-        tmp = path + ".tmp"
+        # dot-prefixed tmp name: Spark's file source skips hidden files, so
+        # the stream can never list the partial write (a visible .tmp would
+        # be ingested half-written AND re-ingested after the rename)
+        tmp = os.path.join(self.landing_dir, "." + os.path.basename(path) + ".tmp")
         with open(tmp, "w") as f:
             f.write("\n".join(json.dumps(r) for r in self._buf))
         os.rename(tmp, path)  # atomic: the stream never sees partial files

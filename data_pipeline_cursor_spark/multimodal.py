@@ -203,5 +203,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "media_type",
         F.element_at("features", 1).cast("bigint").alias("feat_len"),
-        F.round(F.element_at("features", 4), 4).alias("mean_byte"),
+        # empty payload → NULL mean (the oracle's list_sum([])/0 is NULL;
+        # the stub vector's 0.0 placeholder would silently diverge)
+        F.when(
+            F.element_at("features", 1) > 0,
+            F.round(F.element_at("features", 4), 4),
+        ).alias("mean_byte"),
     )

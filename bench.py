@@ -53,11 +53,17 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
 
+    failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock, all declared queries (noop sink)",
+                "metric": (
+                    "total wall-clock, all declared queries (noop sink)"
+                    if not failed
+                    else f"total wall-clock, {len(failed)} queries FAILED (excluded)"
+                ),
+                "failed": failed,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -518,7 +518,8 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_static_join",
     oracle="""
     WITH m AS (
-      SELECT event_type, AVG(value) AS mean_v FROM events GROUP BY event_type
+      SELECT event_type, ROUND(AVG(value), 4) AS mean_v
+      FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(SUM(CASE WHEN e.value > m.mean_v THEN 1 ELSE 0 END) AS BIGINT)
@@ -543,7 +544,12 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage-level cache; skew-free because the stream side never
     shuffles before the aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
+    # ROUND the reference mean before thresholding: the two engines sum in
+    # different orders, and an unrounded cross-engine float comparison can
+    # flip value > mean for a borderline row (repo determinism rule)
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_v")
+    )
     enriched = _stream(spark, sf_dir).join(F.broadcast(stats), "event_type")
     agg = enriched.groupBy("event_type").agg(
         F.sum(

@@ -130,12 +130,19 @@ def read_event_stream(
 
 def _typed_events(raw: DataFrame) -> DataFrame:
     """Stringly payload → typed columns; shared by every source flavor so
-    the downstream plan is source-agnostic (SURVEY.md §3.2)."""
+    the downstream plan is source-agnostic (SURVEY.md §3.2).
+
+    try_cast / try_to_timestamp, not plain casts: under ANSI mode (Spark 4
+    default) one malformed record would abort the streaming query — the
+    error-tolerant contract (A3, Flink ignore-parse-errors parity) wants
+    NULL columns instead."""
     return raw.select(
-        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_id").try_cast("long").alias("event_id"),
         "event_type",
-        F.col("value").cast("double").alias("value"),
-        F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+        F.col("value").try_cast("double").alias("value"),
+        F.try_to_timestamp(
+            F.col("ts"), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("event_time"),
     )
 
 

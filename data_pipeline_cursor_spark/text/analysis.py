@@ -124,12 +124,15 @@ def ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = tokens_col()
-    bigrams = F.transform(
+    # guard the 1-token case: Spark's sequence(1, 0) counts DOWN ([1, 0] —
+    # step defaults to -1), then element_at(tok, 0) errors; DuckDB's
+    # generate_series(1, 0) is simply empty → emit an empty bigram array
+    bigrams = F.when(F.size(tok) >= 2, F.transform(
         F.sequence(F.lit(1), F.size(tok) - 1),
         lambda i: F.concat_ws(
-            " ", F.element_at(tok, i), F.element_at(tok, i + 1)
+            " ", F.try_element_at(tok, i), F.try_element_at(tok, i + 1)
         ),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

@@ -20,6 +20,15 @@ dedup groupBy keys on full text, where a pathological corpus (billions of
 copies of one page) would skew a reducer — AQE skew handling is on
 (session.py), and the group payload is a min/count pair, so partial
 aggregation keeps reducer input tiny.
+
+Cache lifetime: the intra-query caches here (tokenized docs feeding both
+self-join sides, the minhash signature feeding two band joins) cannot be
+unpersisted by the operator itself — the returned DataFrame is lazy and
+still references them.  They live in Spark's LRU-evictable storage pool
+(unified memory), so later queries reclaim the space under pressure; a
+long-lived service that wants eager release should materialize the result
+and call spark.catalog.clearCache() between jobs.  x_dedup_cluster, which
+DOES materialize internally, unpersists its pairs cache in a finally.
 """
 
 from __future__ import annotations
@@ -47,11 +56,19 @@ def tokens_col(text: str = "text") -> Column:
 
 
 def shingles_col(tok: Column) -> Column:
-    """3-word shingles from a token array (1-indexed element_at, like DuckDB)."""
+    """3-word shingles from a token array (1-indexed, like DuckDB lists).
+
+    try_element_at, not element_at: under ANSI mode (Spark 4 default) a
+    past-the-end index is an ERROR, so a <3-token document would abort the
+    whole query; try_element_at yields NULL exactly like DuckDB's
+    out-of-range list index, and concat_ws skips the NULLs."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tok) - 2, F.lit(1))),
         lambda i: F.concat_ws(
-            " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
+            " ",
+            F.try_element_at(tok, i),
+            F.try_element_at(tok, i + 1),
+            F.try_element_at(tok, i + 2),
         ),
     )
 

@@ -32,7 +32,7 @@ N_SHARDS = 8
 _ORACLE = f"""
     WITH RECURSIVE d AS (
       SELECT doc_id, doc_id % {N_SHARDS} AS shard,
-             len(string_split(lower(text), ' ')) AS n_tok,
+             COALESCE(len(string_split(lower(text), ' ')), 1) AS n_tok,
              row_number() OVER (PARTITION BY doc_id % {N_SHARDS}
                                 ORDER BY doc_id) AS rn
       FROM documents
@@ -72,7 +72,12 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         (F.col("doc_id") % N_SHARDS).alias("shard"),
-        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_tok"),
+        # NULL text counts as 1 token (= an empty doc), both engines: a
+        # NULL n_tok would NaN-crash the pandas walk here and NULL-poison
+        # the recursive CTE's running fill in the oracle
+        F.coalesce(
+            F.size(F.split(F.lower("text"), " ")).cast("bigint"), F.lit(1)
+        ).alias("n_tok"),
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:

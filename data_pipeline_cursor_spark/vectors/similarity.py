@@ -255,7 +255,11 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (x_sim_lsh) instead; for blocks too big for one task, band the
     matrix into row-chunks and matmul chunk pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("u"))
+    # drop NULL labels: the oracle's equi-join never matches NULL = NULL,
+    # but groupBy would gather all NULL-label rows into one scorable block
+    d = emb.filter(F.col("label").isNotNull()).select(
+        "vec_id", "label", _unit(F.col("embedding")).alias("u")
+    )
     out = _all_pairs_by_block(
         d, "label", 0.4, "vec_a bigint, vec_b bigint, score double"
     )

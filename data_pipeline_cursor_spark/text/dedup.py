@@ -259,12 +259,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.6
 
-_DUCK_JACCARD_D = """
+def _duck_jaccard_d(src: str = "documents") -> str:
+    return f"""
       SELECT doc_id, lang,
              string_split(lower(text),' ')[1] AS head_tok,
              list_distinct(string_split(lower(text),' ')) AS toks
-      FROM documents
+      FROM {src}
 """
+
+
+_DUCK_JACCARD_D = _duck_jaccard_d()
 
 _DUCK_JACCARD_EXPR = (
     "len(list_intersect(a.toks, b.toks))"
@@ -278,33 +282,27 @@ _DUCK_JACCARD_ON = (
 # single source of truth for the candidate-pair SQL: the scoring oracle
 # (x_dedup_jaccard) and the clustering oracle (x_dedup_cluster) both build
 # on it, so a threshold/blocking change cannot drift between them
-_DUCK_JACCARD_PAIRS = f"""
+def duck_jaccard_pairs(src: str = "documents") -> str:
+    """Candidate-pair SQL over any relation with (doc_id, lang, text)."""
+    d = _duck_jaccard_d(src)
+    return f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM ({_DUCK_JACCARD_D}) a JOIN ({_DUCK_JACCARD_D}) b ON {_DUCK_JACCARD_ON}
+      FROM ({d}) a JOIN ({d}) b ON {_DUCK_JACCARD_ON}
       WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
 """
 
 
-@register(
-    "x_dedup_jaccard",
-    oracle=f"""
-    WITH d AS ({_DUCK_JACCARD_D})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
-    FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
-    WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
-    """,
-)
-def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (E2 variant) with prefix blocking:
-    only pairs sharing (lang, first token) are compared — an equi-join, so
-    the candidate set is O(block²) per block, not O(n²) over the corpus.
+_DUCK_JACCARD_PAIRS = duck_jaccard_pairs()
 
-    100 TB: blocking key choice is the scale lever; swap head_tok for a
-    minhash band (x_dedup_minhash) when recall matters more than cost."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    # cache: tokenization feeds both self-join sides
+
+def jaccard_pairs_df(docs: DataFrame) -> DataFrame:
+    """Jaccard near-dup pairs (doc_a < doc_b, rounded score) over ANY docs
+    DataFrame with (doc_id, lang, text) — shared by x_dedup_jaccard,
+    x_dedup_cluster, and the curation pipeline, which runs it on an
+    already-filtered corpus."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # cache: tokenization feeds both self-join sides (LRU-managed; module
+    # docstring on cache lifetime)
     d = docs.select(
         "doc_id",
         "lang",
@@ -329,6 +327,26 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+@register(
+    "x_dedup_jaccard",
+    oracle=f"""
+    WITH d AS ({_DUCK_JACCARD_D})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
+    FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
+    WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (E2 variant) with prefix blocking:
+    only pairs sharing (lang, first token) are compared — an equi-join, so
+    the candidate set is O(block²) per block, not O(n²) over the corpus.
+
+    100 TB: blocking key choice is the scale lever; swap head_tok for a
+    minhash band (x_dedup_minhash) when recall matters more than cost."""
+    return jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
 

@@ -210,3 +210,81 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("features", 4), 4),
         ).alias("mean_byte"),
     )
+
+
+FRAME_BYTES = 32
+MAX_FRAMES = 4
+
+
+@register(
+    "x_media_frames",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    p AS (
+      SELECT media_id, text, n_bytes,
+             greatest((n_bytes // {FRAME_BYTES}) // {MAX_FRAMES}, 1) AS stride
+      FROM m
+    )
+    SELECT media_id, i AS frame_idx,
+           CAST(i * stride * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+           md5(substring(text, i * stride * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM p, unnest(generate_series(0, {MAX_FRAMES - 1})) AS t(i)
+    WHERE i * stride * {FRAME_BYTES} + {FRAME_BYTES} <= n_bytes
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video media (E8 plumbing): pick up to MAX_FRAMES
+    evenly-strided FRAME_BYTES windows of the payload — the byte-level
+    shape of 'seek to k evenly spaced frames', with the codec stubbed as
+    raw windowing.
+
+    Runs as Arrow-batched mapInPandas exactly like a real extractor
+    (frame loop per payload, vectorized batch iteration); emits
+    (frame_idx, offset, md5) so the oracle can re-derive every sampled
+    window.  The fixture payload is ASCII, so byte slices equal char
+    slices and DuckDB's VARCHAR substring+md5 verifies the binary path;
+    a real corpus keeps the same Spark code and swaps the oracle for a
+    binary-capable engine.
+
+    100 TB: zero shuffle — a narrow per-partition pass emitting ≤
+    MAX_FRAMES rows per asset; payload bytes never leave the task."""
+    import hashlib
+
+    media = media_table(spark, sf_dir).filter(
+        F.col("meta.media_type") == "video"
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, digests = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max((n // FRAME_BYTES) // MAX_FRAMES, 1)
+                for i in range(MAX_FRAMES):
+                    off = i * stride * FRAME_BYTES
+                    if off + FRAME_BYTES > n:
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    digests.append(
+                        hashlib.md5(payload[off : off + FRAME_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_md5": digests,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen,
+        "media_id bigint, frame_idx int, frame_offset bigint, frame_md5 string",
+    )

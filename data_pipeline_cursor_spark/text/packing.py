@@ -100,3 +100,43 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_shard,
         "doc_id bigint, shard bigint, seq_id bigint, seq_offset bigint, n_tok bigint",
     )
+
+
+@register(
+    "x_pack_manifest",
+    oracle=_ORACLE.replace(
+        """    SELECT CAST(doc_id AS BIGINT)     AS doc_id,
+           CAST(shard AS BIGINT)      AS shard,
+           CAST(seq_id AS BIGINT)     AS seq_id,
+           CAST(seq_offset AS BIGINT) AS seq_offset,
+           CAST(n_tok AS BIGINT)      AS n_tok
+    FROM pack""",
+        """    SELECT CAST(shard AS BIGINT)  AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           list(doc_id ORDER BY seq_offset) AS doc_ids,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tok
+    FROM pack
+    GROUP BY shard, seq_id""",
+    ),
+)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per PACKED SEQUENCE: the ordered doc list + token total the
+    concat/tokenize stage consumes — the aggregated view of x_seq_pack's
+    per-doc placement.  array_agg ordered by seq_offset is deterministic
+    (offsets are unique within a sequence by construction).
+
+    100 TB: reuses x_seq_pack's one shuffle, then a (shard, seq_id) hash
+    agg; sequences are bounded (≤ SEQ_LEN tokens) so no group outgrows a
+    task."""
+    placed = seq_pack(spark, sf_dir)
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seq_offset", "doc_id"))
+            ).getField("doc_id").alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tok"),
+        )
+    )

@@ -116,6 +116,7 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     run_id = uuid.uuid4().hex[:12]
     staging = f"{table_dir}.staging-{run_id}"
     retired_root = f"{table_dir}.retired-{run_id}"
+    swapped_ok = False
     try:
         (
             merged.repartition(F.col(KEY_COLS[0]))
@@ -138,15 +139,24 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
             try:
                 os.rename(src, dst)
             except BaseException:
-                # roll the old copy back before the finally deletes
-                # retired_root — otherwise a failure between the two
-                # renames would destroy BOTH copies of the partition
+                # restore the old copy so readers keep serving it
                 if os.path.isdir(retired) and not os.path.isdir(dst):
                     os.rename(retired, dst)
                 raise
+        swapped_ok = True
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(retired_root, ignore_errors=True)
+        if swapped_ok:
+            shutil.rmtree(retired_root, ignore_errors=True)
+        else:
+            # a failed swap (or failed rollback) may have left the only
+            # surviving copy of a partition here — NEVER delete it; it
+            # lives OUTSIDE the table dir so reads stay uncorrupted, and
+            # an empty dir can be removed safely
+            try:
+                os.rmdir(retired_root)
+            except OSError:
+                pass
 
 
 def run_upsert_stream(

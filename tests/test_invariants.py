@@ -235,3 +235,64 @@ def test_stream_tolerates_malformed_records(spark, tmp_path):
     bad = out[out["event_type"] == "click"].sort_values("event_id", na_position="last")
     assert bad["value"].isna().sum() == 1
     assert bad["event_time"].isna().sum() == 1
+
+
+def test_upsert_swap_rolls_back_on_rename_failure(spark, tmp_path, monkeypatch):
+    """If installing a new partition dir fails mid-swap, the OLD copy must
+    be restored (not destroyed with the retired dir) and the table must
+    keep serving the pre-merge rows."""
+    import os as os_mod
+
+    from data_pipeline_cursor_spark.streaming import sinks
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        merge_upsert_batch,
+        read_serving_table,
+    )
+
+    table_dir = str(tmp_path / "serving_crash")
+    batch1 = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 1.0, 3)],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    merge_upsert_batch(batch1, table_dir)
+    before = read_serving_table(spark, table_dir).toPandas()
+
+    real_rename = os_mod.rename
+    fired = []
+
+    def failing_rename(src, dst):
+        # fail ONCE, on the install into the live table dir — the
+        # subsequent rollback rename must succeed
+        if (
+            not fired
+            and dst.startswith(table_dir + os_mod.sep)
+            and "event_type=" in dst
+        ):
+            fired.append(1)
+            raise OSError("injected failure installing new partition")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", failing_rename)
+    batch2 = spark.createDataFrame(
+        [("click", "2024-01-01 00:00:00", 9.0, 9)],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    import pytest
+
+    with pytest.raises(OSError, match="injected"):
+        merge_upsert_batch(batch2, table_dir)
+    monkeypatch.setattr(sinks.os, "rename", real_rename)
+
+    after = read_serving_table(spark, table_dir).toPandas()
+    assert len(after) == len(before) == 1
+    assert float(after["avg_value"].iloc[0]) == 1.0  # old copy intact
+    # no stray staging/retired dirs left behind as bogus partitions
+    leftovers = [
+        d for d in os_mod.listdir(table_dir)
+        if not (d.startswith("event_type=") or d.startswith("_") or d.startswith("."))
+    ]
+    assert leftovers == [], leftovers
+    # and the merge succeeds once the failure clears (replay converges)
+    merge_upsert_batch(batch2, table_dir)
+    final = read_serving_table(spark, table_dir).toPandas()
+    assert len(final) == 1 and float(final["avg_value"].iloc[0]) == 9.0

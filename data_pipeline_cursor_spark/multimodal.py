@@ -195,7 +195,8 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checkable projection: payload length + mean byte value.
 
     The full feature vector (array<double>, FEATURE_DIM) is exercised by
-    tests/test_multimodal.py; this registered query projects the two
+    tests/test_invariants.py::test_media_features_full_vector; this
+    registered query projects the two
     moments DuckDB can recompute from first principles (bit-twiddling the
     BLOB), proving the Arrow round-trip didn't corrupt the payload."""
     feats = extract_media_features(media_table(spark, sf_dir))

@@ -296,3 +296,28 @@ def test_upsert_swap_rolls_back_on_rename_failure(spark, tmp_path, monkeypatch):
     merge_upsert_batch(batch2, table_dir)
     final = read_serving_table(spark, table_dir).toPandas()
     assert len(final) == 1 and float(final["avg_value"].iloc[0]) == 9.0
+
+
+def test_media_features_full_vector(spark):
+    """The full FEATURE_DIM vector (not just the SQL-checkable moments)
+    round-trips the Arrow boundary intact: recompute the stub decode
+    locally on the same payloads and compare exactly."""
+    from data_pipeline_cursor_spark.multimodal import (
+        FEATURE_DIM,
+        _decode_media,
+        extract_media_features,
+        media_table,
+    )
+
+    media = media_table(spark, SF_SMOKE)
+    rows = extract_media_features(media).collect()
+    payloads = {
+        r["media_id"]: (bytes(r["payload"]), r["meta"]["media_type"])
+        for r in media.collect()
+    }
+    assert len(rows) == len(payloads)
+    for r in rows:
+        feats = r["features"]
+        assert len(feats) == FEATURE_DIM
+        payload, mtype = payloads[r["media_id"]]
+        assert feats == _decode_media(payload, mtype)

@@ -94,8 +94,11 @@ def compare_query(spark, name, query_fn, oracle: str, sf_dir: str) -> None:
     s_rows = canonical_rows(spark_pdf)
     d_rows = canonical_rows(duck_pdf)
     if s_rows != d_rows:
-        diff_s = [r for r in s_rows if r not in set(d_rows)][:5]
-        diff_d = [r for r in d_rows if r not in set(s_rows)][:5]
+        from collections import Counter
+
+        cs, cd = Counter(s_rows), Counter(d_rows)
+        diff_s = list((cs - cd).elements())[:5]
+        diff_d = list((cd - cs).elements())[:5]
         raise AssertionError(
             f"{name}: value mismatch ({len(diff_s)}+ differing rows)\n"
             f" spark-only sample: {diff_s}\n duck-only sample: {diff_d}\n"

@@ -27,8 +27,16 @@ def test_seq_pack_capacity_and_offsets(spark):
         for _, row in grp.iterrows():
             assert row["seq_offset"] == expect, grp
             expect += row["n_tok"]
-    # every doc placed exactly once
+    # every doc placed EXACTLY once: unique AND covering the corpus
+    # (uniqueness alone would not catch silently dropped documents)
+    from data_pipeline_cursor_spark.sources import load_table
+
+    all_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF_ORACLE, "documents").select("doc_id").collect()
+    }
     assert pdf["doc_id"].is_unique
+    assert set(pdf["doc_id"]) == all_ids
 
 
 def test_dedup_cluster_well_formed(spark):
@@ -46,32 +54,44 @@ def test_dedup_cluster_well_formed(spark):
         assert lab[a] == lab[b], (a, b)
 
 
-def test_sim_topk_is_sorted_and_bounded(spark):
-    """Per query: <= 5 rows, scores in [-1, 1], descending by
-    (score, -vec_id) tiebreak, and the query never returns itself."""
+def test_sim_topk_matches_independent_recomputation(spark):
+    """Per query: exactly the true top-5 neighbours, recomputed in this
+    test with plain numpy over the raw embeddings — an implementation-
+    independent check (third code path besides Spark and DuckDB)."""
+    import numpy as np
+
+    from data_pipeline_cursor_spark.sources import load_table
+
     pdf = get_queries()["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    emb = load_table(spark, SF_ORACLE, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    X = np.stack([np.asarray(r["embedding"], np.float64) for r in emb])
+    U = X / np.linalg.norm(X, axis=1)[:, None]
+    queries = ids[ids % 199 == 0]
+    assert set(pdf["query_id"]) == set(queries)
     for qid, grp in pdf.groupby("query_id"):
-        assert len(grp) <= 5
         assert (grp["vec_id"] != qid).all()
         assert grp["score"].between(-1.0001, 1.0001).all()
-        ranked = grp.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        )["vec_id"].tolist()
-        assert ranked == grp["vec_id"].tolist() or set(ranked) == set(
-            grp["vec_id"]
-        )
+        qv = U[ids == qid][0]
+        sc = np.round(U @ qv, 4)
+        mask = ids != qid
+        pick = np.lexsort((ids[mask], -sc[mask]))[:5]
+        expect = set(ids[mask][pick])
+        assert set(grp["vec_id"]) == expect, (qid, set(grp["vec_id"]), expect)
 
 
-def test_ivf_candidates_come_from_probed_cells(spark):
-    """IVF results are a subset of brute-force candidates and carry
-    plausible scores; with nprobe < n_lists recall may be < 1, but every
-    returned neighbour must score no better than the true best."""
+def test_ivf_results_bind_per_query(spark):
+    """Every expected query id appears with a full top-5 (the 2 probed
+    cells hold far more than 5 candidates at sf0.01), and no IVF score
+    can beat the true global best — an empty or arbitrary result fails."""
     qs = get_queries()
     ivf = qs["x_sim_ivf"](spark, SF_ORACLE).toPandas()
     brute = qs["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    assert set(ivf["query_id"]) == set(brute["query_id"])
     best_true = brute.groupby("query_id")["score"].max()
     for qid, grp in ivf.groupby("query_id"):
-        assert len(grp) <= 5
+        assert len(grp) == 5, (qid, len(grp))
+        assert (grp["vec_id"] != qid).all()
         assert grp["score"].max() <= best_true.loc[qid] + 1e-9
 
 

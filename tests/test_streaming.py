@@ -12,6 +12,15 @@ from data_pipeline_cursor_spark.sources import load_table
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import canonical_rows
 
+def assert_same_result(a_pdf, b_pdf):
+    """Column-name set AND canonical values — canonical_rows alone encodes
+    no names, so a rename that keeps sorted position would pass silently."""
+    assert sorted(a_pdf.columns) == sorted(b_pdf.columns), (
+        a_pdf.columns, b_pdf.columns
+    )
+    assert canonical_rows(a_pdf) == canonical_rows(b_pdf)
+
+
 
 def _batch_tumble(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -37,7 +46,7 @@ def test_tumble_batch_equivalence(spark):
     batch = _batch_tumble(spark, SF_SMOKE).toPandas()
     # availableNow + append mode: every window is finalized once input is
     # drained, so the streamed table must equal the batch aggregation.
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_sliding_batch_equivalence(spark):
@@ -58,7 +67,7 @@ def test_sliding_batch_equivalence(spark):
         )
         .toPandas()
     )
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_session_batch_equivalence(spark):
@@ -79,7 +88,7 @@ def test_session_batch_equivalence(spark):
         )
         .toPandas()
     )
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_dedup_stream_counts(spark):
@@ -98,7 +107,7 @@ def test_dedup_stream_counts(spark):
         )
         .toPandas()
     )
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_lakehouse_append_rows_survive(spark):
@@ -127,7 +136,7 @@ def test_upsert_serving_table_unique_keys(spark):
     assert len(pdf) == len(pdf[["event_type", "window_start"]].drop_duplicates())
     # refinement semantics: final serving rows equal the batch aggregation
     batch = _batch_tumble(spark, SF_SMOKE).toPandas()
-    assert canonical_rows(pdf) == canonical_rows(batch)
+    assert_same_result(pdf, batch)
 
 
 def test_custom_state_batch_equivalence(spark):
@@ -144,7 +153,7 @@ def test_custom_state_batch_equivalence(spark):
         )
         .toPandas()
     )
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_transform_state_batch_equivalence(spark):
@@ -162,7 +171,7 @@ def test_transform_state_batch_equivalence(spark):
         )
         .toPandas()
     )
-    assert canonical_rows(streamed) == canonical_rows(batch)
+    assert_same_result(streamed, batch)
 
 
 def test_kafka_source_gate(spark):

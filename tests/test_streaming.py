@@ -202,3 +202,50 @@ def test_kafka_source_gate(spark):
         )
         with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
             write_event_stream_kafka(ev, "localhost:9092", "events", "/tmp/x")
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop a file-stream job, land more files, restart on the SAME
+    checkpoint: the parquet sink must contain every record exactly once —
+    the offset log skips already-committed files and processes only new
+    ones (the engine's exactly-once story for the lakehouse path)."""
+    import json
+
+    from data_pipeline_cursor_spark.streaming.sources import (
+        read_event_stream,
+        stream_state_partitions,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, ids):
+        recs = [
+            {"event_id": str(i), "event_type": "click", "value": str(i),
+             "ts": "2024-01-01 10:00:00"}
+            for i in ids
+        ]
+        (landing / name).write_text("\n".join(json.dumps(r) for r in recs))
+
+    def drain():
+        with stream_state_partitions(spark):
+            q = (
+                read_event_stream(spark, str(landing))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    land("a.json", range(0, 5))
+    drain()
+    land("b.json", range(5, 9))
+    drain()  # resume: must pick up ONLY b.json
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted(range(9)), got

@@ -100,3 +100,128 @@ def collect_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("points"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): concatenate the
+    group's values in a declared order — deterministic because the order
+    is total (names are unique per region).
+
+    Spark spells it listagg(...) WITHIN GROUP (ORDER BY ...) (4.0+);
+    same single hash-agg plan as any groupBy."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_sa")
+    return n.sparkSession.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM nation_sa
+        GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "q_width_bucket",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_quantity < 0 THEN 0
+                  WHEN l_quantity >= 50 THEN 11
+                  ELSE CAST(floor(l_quantity / 5) AS BIGINT) + 1
+             END AS bucket,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_extendedprice), 4)   AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucketing (width_bucket): equi-width binning of a
+    numeric column + per-bucket stats — the building block of histogram/
+    distribution reports.  One hash agg on a derived int key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.width_bucket(F.col("l_quantity"), F.lit(0), F.lit(50), F.lit(10))
+    return li.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents WHERE doc_id % 199 = 0) d,
+         unnest(generate_series(1, len(toks))) AS t(i)
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY): each array element with
+    its 0-based position — the token-offset view a tokenizer emits.
+    Same Generate node as explode; position costs nothing extra."""
+    from data_pipeline_cursor_spark.text.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 199 == 0).select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "token")
+    )
+
+
+@register(
+    "q_date_series",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                           INTERVAL 1 DAY) AS t(d)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN orders ON o_orderdate = day
+    GROUP BY day
+    """,
+)
+def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation (generate_series over dates) + left join —
+    the gap-free time series every dashboard needs (days with zero orders
+    still appear).
+
+    100 TB: the spine is sequence()+explode on a literal range (tiny,
+    broadcast side); facts aggregate once on the date key."""
+    o = load_table(spark, sf_dir, "orders")
+    days = (
+        o.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1995-03-31").cast("date"),
+                )
+            ).alias("day")
+        )
+    )
+    return (
+        F.broadcast(days)
+        .join(o, o.o_orderdate == F.col("day"), "left")
+        .groupBy("day")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        # string day: pandas renders an engine DATE as midnight Timestamp
+        # on one side and datetime.date on the other — format for parity
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n_orders"
+        )
+    )

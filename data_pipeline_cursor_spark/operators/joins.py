@@ -117,13 +117,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (D3) ≡ NOT EXISTS."""
+    """Left anti join (D3) ≡ NOT EXISTS.
+
+    The subquery is pre-filtered (``o_totalprice > 400000``) so the result is
+    non-empty at every fixture SF — at sf0.01 every customer has *some* order,
+    which previously made the unfiltered anti-join vacuously empty (0 = 0 rows
+    proves nothing; round-2 VERDICT item 1).  ~200/1500 customers survive.
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -67,14 +67,27 @@ def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'click'
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+    FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — users who clicked but never purchased."""
+    """EXCEPT (distinct) — (user, day) pairs that clicked but didn't purchase
+    that day.
+
+    Per-day granularity keeps the result non-empty: at sf0.01 all 150 users
+    perform every event type at least once over the fixture window, so the
+    plain user-level EXCEPT was vacuously empty (round-2 VERDICT item 1).
+    Day-level asymmetry gives ~1000 surviving pairs.
+    """
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
+    )
     return a.subtract(b)

@@ -27,17 +27,22 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery (D31): orders above twice the global average price."""
+    """Scalar subquery (D31): orders above 1.8x the global average price.
+
+    1.8x (not 2x): the fixture's price distribution is bounded near 2x the
+    mean, so the 2x threshold returned 0 rows at sf0.01 and the oracle match
+    was vacuous (round-2 VERDICT item 1).  1.8x keeps ~1.4k rows.
+    """
     _views(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
         """
     )
 

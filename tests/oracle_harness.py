@@ -84,6 +84,14 @@ def compare_query(spark, name, query_fn, oracle: str, sf_dir: str) -> None:
     finally:
         con.close()
 
+    # An oracled query that returns 0 rows proves nothing — both engines
+    # trivially agree on empty (round-2 VERDICT item 1: q_join_anti / q_except
+    # / q_scalar_subquery all passed vacuously).  Every oracled query must
+    # produce evidence at the smallest gate SF.
+    assert len(spark_pdf) > 0, (
+        f"{name}: oracled query returned 0 rows — vacuous oracle match; "
+        "tighten the predicate so the query produces evidence at this SF"
+    )
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch\n spark={sorted(spark_pdf.columns)}\n "
         f"duck={sorted(duck_pdf.columns)}"

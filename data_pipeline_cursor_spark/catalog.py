@@ -150,15 +150,20 @@ def hour_pruned_scan(spark: SparkSession, table: str, hour: str) -> DataFrame:
     """Partition-pruned read (README.md:470-471: WHERE hour(ts) = N).
 
     Parquet layout: the predicate hits the explicit partition column.
-    Iceberg layout: there is NO `hour` column — the predicate goes on the
-    hours(ts) transform source, and Iceberg prunes manifests through its
-    partition-transform metadata.  Either way the scan touches one hour's
-    files; verify with .explain: 'partition filters: [...]'."""
+    Iceberg layout: there is NO `hour` column — the predicate must be a
+    BOUND RANGE on the raw ts column (`ts >= start AND ts < start + 1h`):
+    Iceberg's Spark filter conversion only maps predicates on plain column
+    references through the hours(ts) partition transform, so a
+    `date_trunc('hour', ts) == lit` expression would silently degrade to a
+    full scan + row filter (correct rows, no manifest pruning — round-2
+    ADVICE).  Either way the scan touches one hour's files; verify with
+    .explain: 'partition filters: [...]'."""
     t = spark.table(table)
     if "hour" in t.columns:
         return t.filter(F.col("hour") == hour)
     start = F.to_timestamp(F.lit(hour), "yyyy-MM-dd-HH")
-    return t.filter(F.date_trunc("hour", "ts") == start)
+    end = start + F.expr("INTERVAL 1 HOUR")
+    return t.filter((F.col("ts") >= start) & (F.col("ts") < end))
 
 
 def create_bucketed_facts(

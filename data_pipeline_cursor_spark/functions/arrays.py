@@ -200,8 +200,13 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap-free time series every dashboard needs (days with zero orders
     still appear).
 
-    100 TB: the spine is sequence()+explode on a literal range (tiny,
-    broadcast side); facts aggregate once on the date key."""
+    100 TB: facts pre-aggregate to one row per day FIRST (one shuffle with
+    map-side partial agg), so the spine joins a per-day aggregate — and
+    that aggregate, now tiny, broadcasts as the right side of the left
+    join.  A broadcast hint on the spine itself is unusable: Spark cannot
+    broadcast the PRESERVED side of an outer join (BroadcastHashJoin
+    builds only the non-preserved side), so the previous spine-side hint
+    was silently ignored (round-2 ADVICE)."""
     o = load_table(spark, sf_dir, "orders")
     days = (
         o.sparkSession.range(1)
@@ -214,14 +219,17 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day")
         )
     )
+    per_day = o.groupBy("o_orderdate").agg(
+        F.count("o_orderkey").alias("cnt")
+    )
     return (
-        F.broadcast(days)
-        .join(o, o.o_orderdate == F.col("day"), "left")
-        .groupBy("day")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+        days.join(
+            F.broadcast(per_day), per_day.o_orderdate == F.col("day"), "left"
+        )
         # string day: pandas renders an engine DATE as midnight Timestamp
         # on one side and datetime.date on the other — format for parity
         .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"), "n_orders"
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"),
         )
     )

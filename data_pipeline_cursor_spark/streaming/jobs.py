@@ -317,26 +317,45 @@ def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fold_running_agg(prev, pdfs):
     """Shared accumulate step for the custom keyed-state operators
     (s_custom_state, s_transform_state + its fallback): fold a micro-batch's
-    pandas frames into (count, sum, batch_seq).  One source of truth — the
-    batch-equivalence tests of BOTH operators assert this exact contract."""
-    n, s, seq = prev if prev is not None else (0, 0.0, 0)
+    pandas frames into (row count, non-null count, sum, batch_seq).  One
+    source of truth — the batch-equivalence tests of BOTH operators assert
+    this exact contract.
+
+    Two counters on purpose: ``n`` counts every parsed row (the batch
+    ``F.count(lit(1))`` twin) while ``nn`` counts non-null values — pandas
+    ``.sum()`` skips NaN, so dividing by ``n`` would diverge from ``F.avg``
+    the moment the error-tolerant source emits a NULL value (round-2 ADVICE:
+    the fixture has no malformed rows, so only the counter split keeps the
+    contract honest)."""
+    n, nn, s, seq = prev if prev is not None else (0, 0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
+        nn += int(pdf["value"].notna().sum())
         s += float(pdf["value"].sum())
-    return n, s, seq + 1
+    return n, nn, s, seq + 1
 
 
-def _emit_running_agg(key, n, s, seq):
+def _emit_running_agg(key, n, nn, s, seq):
     import pandas as pd
 
     return pd.DataFrame(
         {
             "event_type": [key[0]],
             "n_events": [n],
+            "n_values": [nn],
             "sum_value": [s],
             "batch_seq": [seq],
         }
     )
+
+
+def _running_avg_col():
+    """avg_value from the emitted running totals: F.avg semantics — NULL (not
+    a zero-division error; ANSI mode is on) when every value was NULL."""
+    return F.when(
+        F.col("n_values") > 0,
+        F.round(F.col("sum_value") / F.col("n_values"), 4),
+    ).alias("avg_value")
 
 
 @register("s_custom_state")
@@ -364,14 +383,17 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
 
     def update(key, pdfs, state):
-        n, s, seq = _fold_running_agg(state.get if state.exists else None, pdfs)
-        state.update((n, s, seq))
-        yield _emit_running_agg(key, n, s, seq)
+        n, nn, s, seq = _fold_running_agg(
+            state.get if state.exists else None, pdfs
+        )
+        state.update((n, nn, s, seq))
+        yield _emit_running_agg(key, n, nn, s, seq)
 
     emitted = df.groupBy("event_type").applyInPandasWithState(
         update,
-        "event_type string, n_events long, sum_value double, batch_seq long",
-        "n long, s double, seq long",
+        "event_type string, n_events long, n_values long, "
+        "sum_value double, batch_seq long",
+        "n long, nn long, s double, seq long",
         "update",
         GroupStateTimeout.NoTimeout,
     )
@@ -382,11 +404,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            "n_events",
-            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
-        )
+        .select("event_type", "n_events", _running_avg_col())
     )
 
 
@@ -447,6 +465,7 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema = StructType(
                 [
                     StructField("n", LongType()),
+                    StructField("nn", LongType()),
                     StructField("s", DoubleType()),
                     StructField("seq", LongType()),
                 ]
@@ -455,14 +474,17 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self._agg.get() if self._agg.exists() else None
-            n, s, seq = _fold_running_agg(prev, rows)
-            self._agg.update((n, s, seq))
-            yield _emit_running_agg(key, n, s, seq)
+            n, nn, s, seq = _fold_running_agg(prev, rows)
+            self._agg.update((n, nn, s, seq))
+            yield _emit_running_agg(key, n, nn, s, seq)
 
         def close(self) -> None:
             pass
 
-    out_schema = "event_type string, n_events long, sum_value double, batch_seq long"
+    out_schema = (
+        "event_type string, n_events long, n_values long, "
+        "sum_value double, batch_seq long"
+    )
     if transform_with_state_available():
         provider_key = "spark.sql.streaming.stateStore.providerClass"
         old = spark.conf.get(provider_key, None)
@@ -488,16 +510,16 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         def update(key, pdfs, state):
-            n, s, seq = _fold_running_agg(
+            n, nn, s, seq = _fold_running_agg(
                 state.get if state.exists else None, pdfs
             )
-            state.update((n, s, seq))
-            yield _emit_running_agg(key, n, s, seq)
+            state.update((n, nn, s, seq))
+            yield _emit_running_agg(key, n, nn, s, seq)
 
         emitted = df.groupBy("event_type").applyInPandasWithState(
             update,
             out_schema,
-            "n long, s double, seq long",
+            "n long, nn long, s double, seq long",
             "update",
             GroupStateTimeout.NoTimeout,
         )
@@ -506,11 +528,7 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            "n_events",
-            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
-        )
+        .select("event_type", "n_events", _running_avg_col())
     )
 
 
@@ -577,9 +595,15 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     error events co-occurring in the same minute, paired as both sides
     arrive; daily pair counts.
 
-    Both sides carry a watermark so the join state is evictable once the
-    watermark passes a minute bucket — without it, each side buffers
-    forever waiting for late matches.  Inner-join matches emit as they
+    Both sides carry a watermark AND the join condition carries an
+    event-time band (`click_time BETWEEN error_time ± 1 minute`) — the
+    band is what lets Spark derive a state watermark and evict buffered
+    rows; minute-bucket equality alone is an opaque derived key, so
+    without the band each side buffers forever (round-2 ADVICE: state was
+    unbounded in a production run; the drained fixture hid it).  The band
+    is implied by same-minute equality (two timestamps in one minute
+    bucket differ by <60 s), so it changes no results and the oracle
+    stays the plain minute self-join.  Inner-join matches emit as they
     occur (no end-of-window wait), so the drained result equals the batch
     self-join and the query is fully oracle-checked.
 
@@ -602,10 +626,22 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_id"),
-            F.date_trunc("minute", "event_time").alias("minute"),
+            F.date_trunc("minute", "event_time").alias("err_minute"),
+            F.col("event_time").alias("error_time"),
         )
     )
-    pairs = a.join(b, "minute")
+    pairs = a.join(
+        b,
+        (F.col("minute") == F.col("err_minute"))
+        & (
+            F.col("click_time")
+            >= F.col("error_time") - F.expr("INTERVAL 1 MINUTE")
+        )
+        & (
+            F.col("click_time")
+            <= F.col("error_time") + F.expr("INTERVAL 1 MINUTE")
+        ),
+    )
     drained = run_to_completion(pairs, _ckpt("stream-join"))
     return drained.groupBy(
         F.date_format("click_time", "yyyy-MM-dd").alias("day")

@@ -35,6 +35,46 @@ from pyspark.sql import functions as F
 
 KEY_COLS = ("event_type", "window_start")
 
+# The read-merge-overwrite path collects the batch's touched partition keys
+# to the driver and swaps each partition dir with an os.rename — both are
+# per-key work, so the strategy is only sound while key cardinality stays
+# serving-table-sized (the reference serves ~10 city keys).  Above this
+# bound the sink refuses loudly rather than degrade into a driver-side
+# file-rename loop.
+MAX_TOUCHED_PARTITIONS = 256
+
+
+def _recover_retired_partitions(table_dir: str) -> list[str]:
+    """Crash recovery for the partition swap: a crash between retiring an
+    old partition dir and renaming its replacement in leaves the ONLY copy
+    of that partition in a `<table>.retired-*` sibling — the table would
+    serve zero rows for that key until a replay happened to rewrite it
+    (round-2 ADVICE).  On entry to every merge, restore any retired
+    partition missing from the table, then drop the sibling: a partition
+    dir present in the table is always a complete copy (dirs only ever
+    appear via atomic rename of fully-written staging or retired dirs), so
+    any remaining retired duplicate is stale.  Returns restored dir names."""
+    restored: list[str] = []
+    parent = os.path.dirname(os.path.abspath(table_dir)) or "."
+    base = os.path.basename(os.path.abspath(table_dir))
+    if not os.path.isdir(parent):
+        return restored
+    for name in sorted(os.listdir(parent)):
+        if not name.startswith(base + ".retired-"):
+            continue
+        root = os.path.join(parent, name)
+        if not os.path.isdir(root):
+            continue
+        for part in sorted(os.listdir(root)):
+            src = os.path.join(root, part)
+            dst = os.path.join(table_dir, part)
+            if os.path.isdir(src) and not os.path.isdir(dst):
+                os.makedirs(table_dir, exist_ok=True)
+                os.rename(src, dst)
+                restored.append(part)
+        shutil.rmtree(root, ignore_errors=True)
+    return restored
+
 
 def merge_upsert_batch(batch: DataFrame, table_dir: str) -> None:
     """MERGE one micro-batch into the Parquet serving table on KEY_COLS.
@@ -74,9 +114,19 @@ def _part_dirname(p) -> str:
 
 
 def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
+    _recover_retired_partitions(table_dir)
     touched = [r[0] for r in batch.select(KEY_COLS[0]).distinct().collect()]
     if not touched:
         return
+    if len(touched) > MAX_TOUCHED_PARTITIONS:
+        raise ValueError(
+            f"upsert batch touches {len(touched)} {KEY_COLS[0]!r} partitions "
+            f"(bound: {MAX_TOUCHED_PARTITIONS}) — the Parquet read-merge-"
+            "overwrite sink does per-key driver work and is only sound for "
+            "serving-table-sized key sets; for high-cardinality keys use a "
+            "transactional MERGE INTO target (Delta/Iceberg) instead "
+            "(see the strategy ladder in this module's docstring)"
+        )
     existing_parts = [
         p for p in touched
         if os.path.exists(os.path.join(table_dir, _part_dirname(p)))
@@ -107,8 +157,10 @@ def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     # Never overwrite what we read: the Spark job writes to a fresh staging
     # dir, then each touched partition dir is swapped in with an atomic
     # rename.  A crash mid-job leaves the serving table untouched (stale but
-    # consistent); a crash mid-swap leaves whole partitions either old or
-    # new, and micro-batch replay (keyed idempotence) converges the rest.
+    # consistent).  A crash BETWEEN the two renames of a swap leaves that
+    # partition absent from the table with its only copy in the retired
+    # sibling — _recover_retired_partitions restores it on the next merge's
+    # entry, and micro-batch replay (keyed idempotence) converges the rest.
     # Old partition dirs retire into a SIBLING dir of the table, never
     # inside it — a crash before their cleanup must not leave a dir that
     # partition discovery would read as a bogus key.

@@ -318,6 +318,82 @@ def test_upsert_swap_rolls_back_on_rename_failure(spark, tmp_path, monkeypatch):
     assert len(final) == 1 and float(final["avg_value"].iloc[0]) == 9.0
 
 
+def test_upsert_recovers_orphaned_retired_partition(spark, tmp_path):
+    """A crash between retiring an old partition dir and installing its
+    replacement leaves the partition's ONLY copy in the `.retired-*`
+    sibling.  The next merge must restore it before merging — and must
+    drop stale retired duplicates of partitions the table still has."""
+    import os as os_mod
+
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        merge_upsert_batch,
+        read_serving_table,
+    )
+
+    table_dir = str(tmp_path / "serving_rec")
+    batch = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 00:00:00", 1.0, 3),
+            ("view", "2024-01-01 00:00:00", 2.0, 5),
+        ],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    merge_upsert_batch(batch, table_dir)
+
+    # simulate the crash window: the 'view' partition was retired but its
+    # replacement never landed
+    retired = table_dir + ".retired-deadbeef"
+    os_mod.makedirs(retired)
+    os_mod.rename(
+        os_mod.path.join(table_dir, "event_type=view"),
+        os_mod.path.join(retired, "event_type=view"),
+    )
+    # plus a stale duplicate of a partition the table still serves
+    import shutil as shutil_mod
+
+    shutil_mod.copytree(
+        os_mod.path.join(table_dir, "event_type=click"),
+        os_mod.path.join(retired, "event_type=click"),
+    )
+
+    # any subsequent merge (here touching only 'click') triggers recovery
+    merge_upsert_batch(
+        spark.createDataFrame(
+            [("click", "2024-01-01 00:00:00", 9.0, 9)],
+            "event_type string, window_start string, avg_value double, "
+            "n_events long",
+        ),
+        table_dir,
+    )
+    after = read_serving_table(spark, table_dir).toPandas()
+    views = after[after["event_type"] == "view"]
+    assert len(views) == 1 and float(views["avg_value"].iloc[0]) == 2.0
+    clicks = after[after["event_type"] == "click"]
+    assert len(clicks) == 1 and float(clicks["avg_value"].iloc[0]) == 9.0
+    assert not os_mod.path.isdir(retired)  # sibling fully cleaned up
+
+
+def test_upsert_rejects_high_cardinality_key_batches(spark, tmp_path, monkeypatch):
+    """The Parquet read-merge-overwrite sink does per-key driver work, so it
+    must refuse (naming the MERGE INTO escape hatch) above the partition
+    bound instead of silently becoming a driver-side rename loop."""
+    import pytest
+
+    from data_pipeline_cursor_spark.streaming import sinks
+
+    monkeypatch.setattr(sinks, "MAX_TOUCHED_PARTITIONS", 2)
+    batch = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0, 1),
+            ("b", "2024-01-01 00:00:00", 1.0, 1),
+            ("c", "2024-01-01 00:00:00", 1.0, 1),
+        ],
+        "event_type string, window_start string, avg_value double, n_events long",
+    )
+    with pytest.raises(ValueError, match="MERGE INTO"):
+        sinks.merge_upsert_batch(batch, str(tmp_path / "serving_cap"))
+
+
 def test_media_features_full_vector(spark):
     """The full FEATURE_DIM vector (not just the SQL-checkable moments)
     round-trips the Arrow boundary intact: recompute the stub decode

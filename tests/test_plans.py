@@ -33,6 +33,18 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_date_series_broadcasts_aggregated_facts(spark):
+    """q_date_series: the spine joins the PRE-AGGREGATED per-day fact rows,
+    and that aggregate must broadcast — Spark cannot broadcast the
+    preserved side of an outer join, so hinting the spine itself is a
+    silent no-op (round-2 ADVICE)."""
+    df = get_queries()["q_date_series"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE so the chosen join strategy is real
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_time_range_filter_pushes_down(spark):
     """q_time_range: the ts bounds must reach the parquet scan as
     PushedFilters (row-group min/max skipping), not live only in a

@@ -57,6 +57,26 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def read_lakehouse_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolved read of a Parquet lakehouse path — the batch-read twin
+    of the reference sink's ``evolve-schema-enabled`` mode
+    (/root/reference/run.sh:97-98: the Iceberg sink auto-creates the table
+    and evolves its schema as the JSON payload grows fields).
+
+    Parquet has no table-level schema registry, so evolution lives at read
+    time: ``mergeSchema`` unions every file footer's schema, and rows from
+    files written before a column existed null-extend — exactly Iceberg's
+    add-column semantics.  Default parquet reads take ONE footer (fast but
+    drops late-added columns depending on file order); this entry point is
+    the contract for reading any landing zone whose producers may evolve.
+
+    100 TB: mergeSchema is a footer-only metadata pass (no data read), but
+    it touches every footer — on huge tables prefer a real table format
+    (Iceberg/Delta) where the union lives in table metadata; this helper is
+    the gate-degraded twin of that behavior."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def create_lakehouse_table(
     spark: SparkSession, name: str, location: str
 ) -> None:

@@ -185,7 +185,14 @@ def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Partition transform = hour bucket of event time (B13); zstd Parquet
     (engine-wide conf) mirrors init-tables.sql:7-8.  Returns the written
-    table read back (rows-only check: files exist, rows survive)."""
+    table read back (rows-only check: files exist, rows survive).
+
+    Schema evolution (run.sh:97-98 auto-create + evolve-schema): a
+    producer growing the payload is handled by redeploying this job with
+    the widened source schema on the same checkpoint/path — the sink
+    appends wider files and `catalog.read_lakehouse_evolved` (mergeSchema)
+    serves the union with old rows null-extended; see
+    tests/test_streaming.py::test_lakehouse_schema_evolution_null_extends."""
     import uuid
 
     df = (

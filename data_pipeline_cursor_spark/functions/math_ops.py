@@ -40,3 +40,23 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("event_id"), F.lit(7)).alias("v_pmod"),
         F.signum(F.col("value") - 100).cast("int").alias("v_sign"),
     )
+
+
+def stable_round4(c):
+    """Cross-engine-stable 4-decimal rounding for aggregate results.
+
+    Quantizes the double at 10 decimals (absorbing summation-order ulps)
+    BEFORE the HALF_UP round at 4.  Why: the fixture's values are 2-decimal
+    quantized, so small-group averages land EXACTLY on .00005-family
+    boundaries (e.g. 8 rows → .00125 steps); each engine's float sum then
+    sits an ulp above or below the boundary and plain ROUND(x, 4) flips the
+    last digit between Spark and DuckDB (observed on s_lakehouse_append's
+    hourly averages: 30.721249999999994 vs 30.721250000000002 → 30.7212 vs
+    30.7213).  The 10-decimal quantization snaps both to the same decimal
+    before the visible round; the DuckDB oracle twin is
+    ``CAST(ROUND(CAST(avg AS DECIMAL(28,10)), 4) AS DOUBLE)``.
+
+    Repo determinism rule (registry.py): round floats where engines may
+    disagree — this is that rule's aggregate-strength form.
+    """
+    return F.round(c.cast("decimal(28,10)"), 4).cast("double")

@@ -8,11 +8,13 @@ bounded watermark (line 7), tumbling-window AVG + COUNT per key (41-49).
 The rest covers the Flink-SQL capability surface the reference ships
 (HOP/SESSION windows, stateful dedup) per SURVEY.md §2.C.
 
-Validation model (§5.2): streaming results are checked by BATCH
-EQUIVALENCE — the same operator over the same fixture as a batch DataFrame
-must produce the same rows (tests/test_streaming.py) — because DuckDB has
-no streaming twin.  The registered `s_*` queries get the driver's
-rows-only check.
+Validation model (§5.2): two independent layers.  (1) BATCH EQUIVALENCE —
+the same operator over the same fixture as a batch DataFrame must produce
+the same rows (tests/test_streaming.py).  (2) Full DuckDB oracles on every
+registered `s_*` query: the flush-sentinel drain makes each job's final
+state deterministic and equal to a batch aggregation, which IS
+ANSI-SQL-expressible (see the comment above s_tumble) — so the driver's
+hash check covers streaming, not just rows-only.
 
 Registered callables take (spark, sf_dir) like every query, materialize
 the landing fixture, drain the stream, and return the result as a batch
@@ -34,6 +36,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_cursor_spark.functions.math_ops import stable_round4
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
 from data_pipeline_cursor_spark.streaming.sources import (
@@ -97,7 +100,7 @@ def tumble_agg(df: DataFrame, with_watermark: bool = True) -> DataFrame:
     return (
         df.groupBy(F.window("event_time", "5 minutes"), F.col("event_type"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
@@ -110,14 +113,54 @@ def tumble_agg(df: DataFrame, with_watermark: bool = True) -> DataFrame:
     )
 
 
-@register("s_tumble")
+# Why streaming jobs can carry full DuckDB oracles at all: the landing
+# fixture ends with a flush sentinel 40 days past the corpus and the
+# watermark is 35 days, so (a) no real row is ever late-dropped and (b) the
+# trailing sentinel finalizes EVERY real window before the availableNow
+# drain returns — the drained append-mode result equals the batch
+# aggregation over the same events, which IS ANSI-SQL-expressible.  The
+# landing round-trip truncates ts to seconds (date_format 'yyyy-MM-dd
+# HH:mm:ss'), which cannot move an event across a minute-aligned window
+# boundary (flooring to the second never crosses a second-aligned edge),
+# so the oracles may bucket the raw table directly; only the session-gap
+# oracle must truncate explicitly because GAPS compare two timestamps.
+@register(
+    "s_tumble",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)+1)*300*1000000)
+             AS window_end,
+           event_type,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
 def s_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1+C2+C3: event-time parse → watermark → tumbling AVG/COUNT,
     append mode (finalized windows only)."""
     return run_to_completion(tumble_agg(_stream(spark, sf_dir)), _ckpt("tumble"))
 
 
-@register("s_sliding")
+@register(
+    "s_sliding",
+    oracle="""
+    -- hop(10 min, 5 min): an event in 5-min bucket k belongs to the
+    -- windows starting at buckets k and k-1 (each window spans 2 buckets)
+    SELECT make_timestamp(
+             (CAST(floor(epoch(ts)/300) AS BIGINT) - off.o)*300*1000000
+           ) AS window_start,
+           event_type,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+    GROUP BY 1, 2
+    """,
+)
 def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: hopping window (10-min length, 5-min slide) — each event lands
     in 2 windows; Flink HOP twin."""
@@ -127,7 +170,7 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("event_time", "10 minutes", "5 minutes"), F.col("event_type")
         )
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
@@ -140,10 +183,39 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, _ckpt("sliding"))
 
 
-@register("s_session")
+@register(
+    "s_session",
+    oracle="""
+    -- gaps-and-islands replay of session_window(event_time, '30 minutes'):
+    -- a session BREAKS when the gap is >= the 30-min timeout (Spark
+    -- sessions are [start, last+gap) half-open — an event landing exactly
+    -- at the close boundary opens a NEW session); session_end is the last
+    -- event + gap.  Times truncated to seconds to mirror the landing
+    -- fixture's ts round-trip, because gap comparison is µs-sensitive.
+    WITH e AS (
+      SELECT event_type, date_trunc('second', ts) AS t FROM events
+    ), flagged AS (
+      SELECT event_type, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    ), sess AS (
+      SELECT event_type, t,
+             SUM(new_s) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(t) AS session_start,
+           MAX(t) + INTERVAL 30 MINUTE AS session_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY event_type, sid
+    """,
+)
 def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: session windows (30-min gap) per event_type — state merges
-    adjacent sessions; no DuckDB twin (batch-equivalence only)."""
+    adjacent sessions; full gaps-and-islands DuckDB oracle."""
     df = _with_fixture_watermark(_stream(spark, sf_dir))
     agg = (
         df.groupBy(
@@ -160,7 +232,20 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, _ckpt("session"))
 
 
-@register("s_dedup_stream")
+@register(
+    "s_dedup_stream",
+    oracle="""
+    -- the fixture's event_ids are unique, so the first-wins streaming
+    -- dedup keeps every row; COUNT(DISTINCT event_id) states the dedup
+    -- CONTRACT (collapse replays) rather than relying on that fact
+    SELECT make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000)
+             AS window_start,
+           event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9: stateful streaming dedup on event_id within the watermark delay —
     `dropDuplicatesWithinWatermark`, the bounded-state form of Flink's
@@ -176,7 +261,17 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, _ckpt("dedup"))
 
 
-@register("s_lakehouse_append")
+@register(
+    "s_lakehouse_append",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
 def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+C8+B13: the lakehouse sink — partitioned Parquet append with a
     periodic-commit trigger, the Spark rendition of the reference's Kafka
@@ -222,11 +317,26 @@ def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     written = spark.read.parquet(out_dir)
     return written.groupBy("hour").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        stable_round4(F.avg("value")).alias("avg_value"),
     )
 
 
-@register("s_watermark_late")
+@register(
+    "s_watermark_late",
+    oracle="""
+    -- exact expected output over the synthetic 4-file landing sequence:
+    -- append mode finalizes only [10:00,10:05) (the final watermark 10:28
+    -- never passes the 10:30 window's end), WITHOUT the too-late 999.0
+    -- replay — so avg stays 15.0 over events 1 and 2.  A constant oracle
+    -- is the strongest possible check here: it pins the drop semantics to
+    -- one literal row.
+    SELECT TIMESTAMP '2024-01-01 10:00:00' AS window_start,
+           TIMESTAMP '2024-01-01 10:05:00' AS window_end,
+           'click' AS event_type,
+           CAST(15.0 AS DOUBLE) AS avg_value,
+           CAST(2 AS BIGINT) AS n_events
+    """,
+)
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2+C6: late-data semantics under a bounded watermark.
 
@@ -294,7 +404,25 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, os.path.join(work, "ckpt"))
 
 
-@register("s_upsert_foreachbatch")
+@register(
+    "s_upsert_foreachbatch",
+    oracle="""
+    -- final serving-table state after the drain = the batch tumbling
+    -- aggregation: update mode re-emits refined windows and the keyed
+    -- MERGE overwrites, so the last write per (event_type, window_start)
+    -- carries the full-corpus aggregate
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)+1)*300*1000000)
+             AS window_end,
+           event_type,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
 def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 (§4.3 custom piece): tumbling aggregation in update mode MERGEd
     into the keyed serving table via foreachBatch — the Spark rendition of
@@ -361,11 +489,24 @@ def _running_avg_col():
     a zero-division error; ANSI mode is on) when every value was NULL."""
     return F.when(
         F.col("n_values") > 0,
-        F.round(F.col("sum_value") / F.col("n_values"), 4),
+        stable_round4(F.col("sum_value") / F.col("n_values")),
     ).alias("avg_value")
 
 
-@register("s_custom_state")
+# shared by both custom keyed-state operators: the last emission per key
+# after the drain equals the batch groupBy; n_events counts every row while
+# avg divides by the NON-NULL count — exactly SQL AVG's null semantics
+_RUNNING_STATE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("s_custom_state", oracle=_RUNNING_STATE_ORACLE)
 def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via `applyInPandasWithState`
     (§2.C capability surface: Flink's KeyedProcessFunction equivalent).
@@ -430,7 +571,7 @@ def transform_with_state_available() -> bool:
         return False
 
 
-@register("s_transform_state")
+@register("s_transform_state", oracle=_RUNNING_STATE_ORACLE)
 def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via `transformWithStateInPandas` (Spark 4's
     arbitrary-state API — the successor of applyInPandasWithState used by

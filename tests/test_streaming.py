@@ -7,6 +7,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from data_pipeline_cursor_spark.functions.math_ops import stable_round4
 from data_pipeline_cursor_spark.registry import get_queries
 from data_pipeline_cursor_spark.sources import load_table
 from tests.conftest import SF_SMOKE
@@ -27,7 +28,7 @@ def _batch_tumble(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
@@ -56,7 +57,7 @@ def test_sliding_batch_equivalence(spark):
     batch = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
@@ -223,7 +224,7 @@ def test_custom_state_batch_equivalence(spark):
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
         )
         .toPandas()
     )
@@ -241,7 +242,7 @@ def test_transform_state_batch_equivalence(spark):
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round4(F.avg("value")).alias("avg_value"),
         )
         .toPandas()
     )

@@ -138,3 +138,34 @@ def test_seq_pack_shuffles_only_on_shard(spark):
     assert "shard" in plan.split("Exchange hashpartitioning", 1)[1].split(
         ")", 1
     )[0], plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """x_contamination must be an inverted-index join with the benchmark
+    gram set BROADCAST — a shuffled benchmark side (or worse, a doc×doc
+    comparison) would not survive a 100 TB corpus."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    df = get_queries()["x_contamination"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_repetition_filter_has_no_shuffle(spark):
+    """x_repetition_filter is pure per-row expression work — any Exchange
+    in the plan means the scoring accidentally aggregates."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    df = get_queries()["x_repetition_filter"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_mix_broadcasts_plan(spark):
+    """x_domain_mix: the corpus joins the O(|sources|) mixing plan by
+    broadcast — the corpus itself must not shuffle before the audit agg."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    df = get_queries()["x_domain_mix"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan

@@ -456,3 +456,88 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("query_id").applyInPandas(
         topk, "query_id bigint, vec_id bigint, cell bigint, score double"
     )
+
+
+@register(
+    "x_embed_quantize",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, scale, embedding,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)/scale) AS INT))
+               AS qv
+      FROM qz
+    ), e AS (
+      SELECT vec_id, scale, qv,
+             list_transform(range(1, len(embedding)+1),
+                            i -> CAST(embedding[i] AS DOUBLE) - qv[i]*scale)
+               AS err,
+             len(embedding) AS n
+      FROM q
+    )
+    -- e*e + list_reduce left fold, NOT pow + list_sum: this mirrors
+    -- Spark's F.aggregate fold bit-for-bit (verified max|diff| = 0.0 over
+    -- the corpus); pow() and list_sum's summation differ by ulps, which
+    -- double-rounding then amplifies into visible 4th-decimal flips
+    -- scale and rmse ship UNROUNDED: both engines compute bit-identical
+    -- doubles here (verified max|diff| = 0.0 over the corpus), and any
+    -- visible rounding would REINTRODUCE divergence — Spark rounds the
+    -- shortest decimal repr while DuckDB rounds the binary value, which
+    -- disagree exactly at the .5 boundaries; the harness canonicalizes
+    -- both sides with the same function instead
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+           sqrt(list_reduce(list_transform(err, x -> x*x),
+                            (a, b) -> a + b) / n) AS rmse
+    FROM e
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (E20): scale = max|x|/127,
+    q_i = round(x_i/scale) — the compression step that makes a 100 TB
+    embedding store servable (4× smaller than float32, SIMD-friendly int8
+    dot products for ANN).  Emits the audit row per vector: the scale, the
+    L1 norm of the quantized code (an exact integer checksum — one
+    element off by one anywhere flips it), and the reconstruction RMSE.
+
+    Pure Catalyst array expressions, ZERO shuffle and zero Python: the
+    whole quantize+audit runs inside the scan's projection at 100 TB scan
+    speed.  Both engines fold the 64 elements in the same left-to-right
+    order over identical float64 promotions of the same float32 inputs, so
+    even the integer checksum is oracle-exact (module determinism note).
+    """
+    emb = F.col("embedding")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(127.0)
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", emb.alias("embedding"), scale.alias("scale")
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+    )
+    df = df.withColumn("qv", qv)
+    err_sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, q: x.cast("double") - q * F.col("scale"),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e * e,
+    )
+    return df.select(
+        "vec_id",
+        F.col("scale"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda a, q: a + F.abs(q)
+        ).alias("q_l1"),
+        F.sqrt(err_sq / F.size(F.col("embedding"))).alias("rmse"),
+    )

@@ -169,3 +169,13 @@ def test_domain_mix_broadcasts_plan(spark):
     df = get_queries()["x_domain_mix"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embed_quantize_has_no_shuffle(spark):
+    """x_embed_quantize quantizes per row inside the scan's projection —
+    an Exchange would mean the audit accidentally aggregates."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    df = get_queries()["x_embed_quantize"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan

@@ -58,7 +58,10 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # record the failure, keep benching
-                best = -1.0
+                # a flaked repeat must not erase an earlier SUCCESSFUL
+                # timing — only mark failed when no run ever succeeded
+                if best is None:
+                    best = -1.0
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
                 break
         timings[name] = best

@@ -187,11 +187,13 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_session",
     oracle="""
     -- gaps-and-islands replay of session_window(event_time, '30 minutes'):
-    -- a session BREAKS when the gap is >= the 30-min timeout (Spark
-    -- sessions are [start, last+gap) half-open — an event landing exactly
-    -- at the close boundary opens a NEW session); session_end is the last
-    -- event + gap.  Times truncated to seconds to mirror the landing
-    -- fixture's ts round-trip, because gap comparison is µs-sensitive.
+    -- Spark MERGES an event landing exactly at the previous session's
+    -- close boundary (verified empirically: two events exactly 30 min
+    -- apart form ONE session), so a session breaks only when the gap is
+    -- STRICTLY GREATER than the timeout — hence `>` below, never `>=`.
+    -- session_end is the last event + gap.  Times truncated to seconds to
+    -- mirror the landing fixture's ts round-trip, because gap comparison
+    -- is µs-sensitive.
     WITH e AS (
       SELECT event_type, date_trunc('second', ts) AS t FROM events
     ), flagged AS (
@@ -235,9 +237,12 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_dedup_stream",
     oracle="""
-    -- the fixture's event_ids are unique, so the first-wins streaming
-    -- dedup keeps every row; COUNT(DISTINCT event_id) states the dedup
-    -- CONTRACT (collapse replays) rather than relying on that fact
+    -- PRECONDITION (canary-asserted): fixture event_ids are unique, so
+    -- first-wins dedup keeps every row and per-group COUNT(DISTINCT) equals
+    -- COUNT(*).  With replayed ids the stream's keeper is ARRIVAL-order
+    -- dependent (not min-ts), so no SQL oracle could pin it — if the canary
+    -- ever reports duplicate ids, demote this query to rows-only instead
+    -- of patching the SQL
     SELECT make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000)
              AS window_start,
            event_type,

@@ -265,6 +265,10 @@ def merge_upsert_batch_jdbc(
             "read-merge-overwrite sink (merge_upsert_batch) is the "
             "container-native equivalent."
         )
+    if not table.replace("_", "").isalnum():
+        # the name is interpolated into SQL text (quoted, but a quote char
+        # in the name would still break out) — same rule as catalog DDL
+        raise ValueError(f"table name must be a plain identifier: {table!r}")
     batch = batch.withColumn("last_updated", F.current_timestamp())
     cols = batch.columns
     missing = [k for k in KEY_COLS if k not in cols]
@@ -285,7 +289,14 @@ def merge_upsert_batch_jdbc(
     )
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the driver-side statement must authenticate the same way the staging
+    # write did: forward every connection property (user/password/ssl…) —
+    # getConnection(url) alone would fail against any authenticated database
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
         try:

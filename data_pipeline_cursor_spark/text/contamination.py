@@ -36,8 +36,16 @@ NGRAM = 3
 
 
 def _shingles(tok, n: int):
-    """Distinct word n-grams of a token array as an array column (slice+zip
-    against shifted tails — x_ngram's idiom, no index arithmetic)."""
+    """DISTINCT word n-grams of a token array (slice+zip against shifted
+    tails — x_ngram's idiom, no index arithmetic).
+
+    Deliberately NOT shared with text.dedup.shingles_col: that one is
+    pinned to different edge semantics by its own oracle (non-distinct
+    grams; a <n-token doc emits one PARTIAL shingle via concat_ws
+    NULL-skipping, which MinHash needs so short docs still get a
+    signature).  Here a <n-token doc contributes nothing — containment
+    over partial grams would fabricate cross-length matches.  Distinctness
+    is load-bearing too: contamination counts each gram once per doc."""
     cnt = F.greatest(F.size(tok) - (n - 1), F.lit(0))
     parts = [F.slice(tok, i + 1, cnt) for i in range(n)]
     zipped = F.arrays_zip(*parts)
@@ -87,10 +95,13 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to a training corpus), then a per-doc hash agg.  Inverted
     index, not pairwise comparison: cost is O(corpus grams + hits).
 
-    100 TB: the only shuffle is the per-doc aggregation of hits; swap the
-    broadcast for a shuffle join if the benchmark side ever outgrows the
-    broadcast threshold.  Emit n_hit >= 1 docs only — the clean majority
-    would dominate the output with zeros."""
+    100 TB: the repartition below exists because the FIXTURE is one
+    parquet file → one scan task (a real corpus arrives in thousands of
+    splits and needs no such spreading); past that, the shuffles are the
+    per-doc gram/hit aggregations.  Swap the broadcast for a shuffle join
+    if the benchmark side ever outgrows the broadcast threshold.  Emit
+    n_hit >= 1 docs only — the clean majority would dominate the output
+    with zeros."""
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tri = docs.select(
@@ -184,9 +195,11 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT SUM(cnt) AS total, SUM(w) AS sum_w FROM per),
     plan AS (
+      -- pure BIGINT arithmetic (// is integer division): no floating
+      -- intermediate exists, so both engines compute the identical cutoff
+      -- by construction, not by luck
       SELECT source,
-             LEAST(10000, CAST(FLOOR(10000.0 * w * total / (sum_w * cnt))
-                               AS BIGINT)) AS keep_bp
+             LEAST(10000, (10000 * w * total) // (sum_w * cnt)) AS keep_bp
       FROM per CROSS JOIN s
     )
     SELECT d.source,
@@ -229,13 +242,8 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = per.crossJoin(F.broadcast(sums)).select(
         "source",
         F.least(
-            F.lit(10000),
-            F.floor(
-                10000.0
-                * F.col("w")
-                * F.col("total")
-                / (F.col("sum_w") * F.col("cnt"))
-            ),
+            F.lit(10000).cast("long"),
+            F.expr("10000L * w * total div (sum_w * cnt)"),
         ).alias("keep_bp"),
     )
     kept = docs.join(F.broadcast(plan), "source").filter(

@@ -469,8 +469,9 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), q AS (
       SELECT vec_id, scale, embedding,
              list_transform(embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE)/scale) AS INT))
-               AS qv
+                            x -> CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE round(CAST(x AS DOUBLE)/scale)
+                                      END AS INT)) AS qv
       FROM qz
     ), e AS (
       SELECT vec_id, scale, qv,
@@ -519,9 +520,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", emb.alias("embedding"), scale.alias("scale")
     )
+    # all-zero vector → scale 0 → x/scale is NaN and the ANSI int cast
+    # aborts the query; an all-zero vector quantizes to the all-zero code
+    # (err = x - 0·scale = 0, so rmse stays 0 through the shared formula)
     qv = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / F.col("scale")))
+        .cast("int"),
     )
     df = df.withColumn("qv", qv)
     err_sq = F.aggregate(

@@ -72,3 +72,21 @@ def test_events_ts_wall_clock_bounds(spark):
         "plausible fixture era — a timestamp-unit mix-up in "
         "sources/tables.py:load_table (ns vs µs vs ms)."
     )
+
+
+def test_events_ids_unique(spark):
+    """s_dedup_stream's oracle (COUNT DISTINCT == COUNT(*)) and several
+    keyed operators assume event_id is unique in the fixture.  With
+    replayed ids the streaming dedup's keeper becomes arrival-order
+    dependent and those oracles must be demoted to rows-only — this canary
+    makes that precondition explicit instead of a silent hash mismatch."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    dup = (
+        ev.groupBy("event_id").count().filter(F.col("count") > 1).limit(1)
+    ).count()
+    assert dup == 0, (
+        "events.event_id has duplicates — demote s_dedup_stream's oracle "
+        "to rows-only (see its oracle comment) and audit keyed operators"
+    )

@@ -386,14 +386,19 @@ def test_jdbc_upsert_sql_shape(spark):
 
     class _DriverManager:
         @staticmethod
-        def getConnection(url):
+        def getConnection(url, jprops=None):
             captured["url"] = url
+            captured["props"] = jprops
             return _Conn()
 
     class _Class:
         @staticmethod
         def forName(name):
             return None
+
+    class _Props(dict):
+        def setProperty(self, k, v):
+            self[k] = v
 
     class _FakeJvm:
         class java:
@@ -402,6 +407,9 @@ def test_jdbc_upsert_sql_shape(spark):
 
             class sql:
                 DriverManager = _DriverManager
+
+            class util:
+                Properties = _Props
 
     import pandas as pd
 
@@ -442,6 +450,9 @@ def test_jdbc_upsert_sql_shape(spark):
         sinks.jdbc_available = orig
 
     assert staged["table"] == "serving_staging" and staged["mode"] == "overwrite"
+    # the driver-side connection must receive the forwarded properties
+    # object (credentials travel with it), never the bare URL alone
+    assert captured["props"] is not None
     sql = captured["sql"]
     assert sql.count("INSERT INTO") == 1 and "ON CONFLICT" in sql
     assert '("event_type", "window_start")' in sql

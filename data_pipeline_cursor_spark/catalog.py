@@ -23,6 +23,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
 
 
@@ -237,9 +239,61 @@ def bucketed_fact_join(spark: SparkSession) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            stable_round4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# (warehouse, sf_dir, lineitem fingerprint) → bucketed tables are current.
+# Same idempotence idiom as streaming.sources.write_landing_fixture: reuse
+# within a process, rebuild when the fixture regenerates or tables vanish.
+_BUCKETED_READY: set[tuple[str, str, str]] = set()
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> None:
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "lineitem"))
+    key = (
+        spark.conf.get("spark.sql.warehouse.dir"),
+        sf_dir,
+        f"{st.st_mtime_ns}-{st.st_size}",
+    )
+    if key in _BUCKETED_READY and all(
+        spark.catalog.tableExists(t) for t in ("lineitem_bkt", "orders_bkt")
+    ):
+        return
+    create_bucketed_facts(spark, sf_dir, buckets)
+    _BUCKETED_READY.add(key)
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderpriority,
+           CAST(ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange fact⋈fact join as a first-class query: lineitem
+    and orders materialized `bucketBy(8, orderkey)` once per fixture
+    (reused across calls via fingerprint), then joined AND aggregated with
+    no shuffle — plan-asserted Exchange-free in
+    tests/test_plans.py::test_bucketed_fact_join_has_no_exchange.
+
+    This is the 100 TB layout answer for the one join in the schema that
+    cannot broadcast: pay the shuffle ONCE at write time, run every
+    subsequent join/agg on the bucket distribution for free.  Results are
+    value-identical to the unbucketed join, which is exactly what the
+    oracle checks."""
+    ensure_bucketed_facts(spark, sf_dir)
+    return bucketed_fact_join(spark)

@@ -68,7 +68,7 @@ def _load_all_modules() -> None:
         strings,
         udfs,
     )
-    from data_pipeline_cursor_spark import multimodal, serving  # noqa: F401
+    from data_pipeline_cursor_spark import catalog, multimodal, serving  # noqa: F401
     from data_pipeline_cursor_spark.text import (  # noqa: F401
         analysis,
         contamination,

@@ -140,3 +140,53 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tok"),
         )
     )
+
+
+@register(
+    "x_shard_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('shuf:' || doc_id), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT hv % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(hv) AS BIGINT) AS first_hash,
+           CAST(MAX(hv) AS BIGINT) AS last_hash
+    FROM h GROUP BY 1
+    """,
+)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic shuffle → shard assignment (E21): the
+    shuffle-before-sharding step of training-data assembly.  Each doc's
+    position is a portable md5 hash of its id — a reproducible random
+    permutation that no engine, run, or partitioning changes — and its
+    shard is the hash residue; within a shard the hash IS the read order.
+    Emits the per-shard manifest (doc/char counts + hash range) that a
+    data loader would consume.
+
+    100 TB: ONE hash-partition shuffle, uniform by construction (md5
+    residues can't skew); writing the shards is
+    ``repartition(N, shard).sortWithinPartitions(hash)`` — the manifest
+    here audits exactly that layout without materializing it.  Contrast
+    x_seq_pack's ``doc_id % N`` sharding (locality-preserving for the
+    packer) — THIS op is the one that destroys curation-order correlation
+    before training reads the corpus sequentially."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = phash(F.col("doc_id").cast("string"), "shuf")
+    return (
+        docs.select(
+            (hv % 16).alias("shard"), F.col("n_chars"), hv.alias("hv")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("hv").alias("first_hash"),
+            F.max("hv").alias("last_hash"),
+        )
+    )

@@ -476,3 +476,51 @@ def test_media_features_full_vector(spark):
         assert len(feats) == FEATURE_DIM
         payload, mtype = payloads[r["media_id"]]
         assert feats == _decode_media(payload, mtype)
+
+
+def test_stable_round4_cross_engine_boundary_sweep(spark):
+    """stable_round4's contract (round-4 VERDICT-era determinism rule):
+    averages of 2-decimal-quantized values land EXACTLY on .00005-family
+    boundaries, where each engine's float sum sits an ulp to either side
+    and plain ROUND(x, 4) flips the last digit between Spark and DuckDB.
+    Sweep every .00125-step boundary shape from the fixture's failure
+    class (n=8 groups) plus ulp-perturbed straddlers, and require the
+    Spark stable_round4 value to equal the DuckDB decimal-cast twin
+    bit-for-bit."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+    from pyspark.sql import functions as F
+
+    vals = []
+    for k in range(1, 200):
+        base = k * 0.00125 + 30.0  # the observed failure shape
+        for ulps in (-2, -1, 0, 1, 2):
+            v = base
+            for _ in range(abs(ulps)):
+                v = math.nextafter(v, math.copysign(math.inf, ulps))
+            vals.append(v)
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals})
+
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", stable_round4(F.col("v")).alias("r"))
+        .toPandas()
+        .sort_values("i")["r"]
+        .to_numpy()
+    )
+    want = (
+        duckdb.sql(
+            "SELECT i, CAST(ROUND(CAST(v AS DECIMAL(28,10)), 4) AS DOUBLE) r "
+            "FROM pdf ORDER BY i"
+        )
+        .df()["r"]
+        .to_numpy()
+    )
+    mismatches = [
+        (vals[j], got[j], want[j]) for j in range(len(vals)) if got[j] != want[j]
+    ]
+    assert not mismatches, mismatches[:5]

@@ -50,13 +50,11 @@ def iceberg_available(spark: SparkSession) -> bool:
     the same DDL through Spark; the connector jar isn't baked into the test
     container, so table creation degrades to partitioned Parquet — identical
     query surface, minus snapshot isolation/time-travel."""
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.source.IcebergSource"
-        )
-        return True
-    except Exception:
-        return False
+    from data_pipeline_cursor_spark.capability import jvm_class_available
+
+    return jvm_class_available(
+        spark, "org.apache.iceberg.spark.source.IcebergSource"
+    )
 
 
 def read_lakehouse_evolved(spark: SparkSession, path: str) -> DataFrame:
@@ -188,6 +186,29 @@ def hour_pruned_scan(spark: SparkSession, table: str, hour: str) -> DataFrame:
     return t.filter((F.col("ts") >= start) & (F.col("ts") < end))
 
 
+# What the bucketed tables CURRENTLY contain — a single value, not a
+# grow-only set: lineitem_bkt/orders_bkt are one global resource, so only
+# the LAST build matters (a set would let an sf0.01 key pass after an
+# sf0.001 rebuild and serve wrong-scale data — r4 review finding).  Set by
+# create_bucketed_facts itself so direct calls (tests) update it too.
+_BUCKETED_CURRENT: tuple | None = None
+
+
+def _bucketed_key(spark: SparkSession, sf_dir: str, buckets: int) -> tuple:
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    prints = []
+    for name in ("lineitem", "orders"):  # BOTH sides: either may regenerate
+        st = os.stat(table_path(sf_dir, name))
+        prints.append(f"{st.st_mtime_ns}-{st.st_size}")
+    return (
+        spark.conf.get("spark.sql.warehouse.dir"),
+        sf_dir,
+        buckets,
+        *prints,
+    )
+
+
 def create_bucketed_facts(
     spark: SparkSession, sf_dir: str, buckets: int = 8
 ) -> None:
@@ -220,6 +241,8 @@ def create_bucketed_facts(
             .sortBy(key)
             .saveAsTable(f"{name}_bkt")
         )
+    global _BUCKETED_CURRENT
+    _BUCKETED_CURRENT = _bucketed_key(spark, sf_dir, buckets)
 
 
 def bucketed_fact_join(spark: SparkSession) -> DataFrame:
@@ -247,29 +270,19 @@ def bucketed_fact_join(spark: SparkSession) -> DataFrame:
     )
 
 
-# (warehouse, sf_dir, lineitem fingerprint) → bucketed tables are current.
-# Same idempotence idiom as streaming.sources.write_landing_fixture: reuse
-# within a process, rebuild when the fixture regenerates or tables vanish.
-_BUCKETED_READY: set[tuple[str, str, str]] = set()
-
-
 def ensure_bucketed_facts(
     spark: SparkSession, sf_dir: str, buckets: int = 8
 ) -> None:
-    from data_pipeline_cursor_spark.sources.tables import table_path
-
-    st = os.stat(table_path(sf_dir, "lineitem"))
-    key = (
-        spark.conf.get("spark.sql.warehouse.dir"),
-        sf_dir,
-        f"{st.st_mtime_ns}-{st.st_size}",
-    )
-    if key in _BUCKETED_READY and all(
+    """Rebuild the bucketed facts unless the CURRENT build already matches
+    this exact (warehouse, sf_dir, buckets, fixture fingerprints) request
+    and the tables still exist.  Reuse-within-process like
+    write_landing_fixture; any other build in between invalidates."""
+    key = _bucketed_key(spark, sf_dir, buckets)
+    if _BUCKETED_CURRENT == key and all(
         spark.catalog.tableExists(t) for t in ("lineitem_bkt", "orders_bkt")
     ):
         return
     create_bucketed_facts(spark, sf_dir, buckets)
-    _BUCKETED_READY.add(key)
 
 
 @register(

@@ -224,11 +224,9 @@ def jdbc_available(spark: SparkSession, driver: str = POSTGRES_DRIVER) -> bool:
     database, so the path is capability-gated like Kafka
     (streaming/sources.py:kafka_available) and Iceberg
     (catalog.py:iceberg_available)."""
-    try:
-        spark._jvm.java.lang.Class.forName(driver)
-        return True
-    except Exception:
-        return False
+    from data_pipeline_cursor_spark.capability import jvm_class_available
+
+    return jvm_class_available(spark, driver)
 
 
 def merge_upsert_batch_jdbc(

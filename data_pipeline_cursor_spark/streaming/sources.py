@@ -150,13 +150,11 @@ def kafka_available(spark: SparkSession) -> bool:
     """True iff the spark-sql-kafka connector is on the classpath (it is a
     separate artifact, not bundled with pyspark — absent in this
     container).  Gate pattern mirrors catalog.iceberg_available."""
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
-        return True
-    except Exception:
-        return False
+    from data_pipeline_cursor_spark.capability import jvm_class_available
+
+    return jvm_class_available(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
 
 
 def read_event_stream_kafka(

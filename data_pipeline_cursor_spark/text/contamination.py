@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_cursor_spark.functions.math_ops import stable_round4
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
 from data_pipeline_cursor_spark.text.analysis import tokens_col
@@ -79,7 +80,8 @@ def _shingles(tok, n: int):
     SELECT p.doc_id,
            CAST(p.n_grams AS BIGINT) AS n_grams,
            CAST(h.n_hit AS BIGINT) AS n_hit,
-           ROUND(h.n_hit * 1.0 / p.n_grams, 4) AS contamination
+           CAST(ROUND(CAST(h.n_hit * 1.0 / p.n_grams AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS contamination
     FROM per_doc p JOIN hits h USING (doc_id)
     """,
 )
@@ -108,20 +110,32 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_shingles(tokens_col(), NGRAM)).alias("g")
     )
     bench = (
-        tri.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+        tri.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
+    # ONE traversal of the corpus grams: left-join the broadcast benchmark
+    # set as a hit MARKER, then a single per-doc agg counts total grams and
+    # hits together (the naive per_doc ⋈ hits formulation recomputes the
+    # tokenize+shingle+explode subtree three times — r4 review finding)
     corp = tri.filter(F.col("doc_id") % BENCH_MOD != 0)
-    per_doc = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corp.join(F.broadcast(bench), "g")
+    return (
+        corp.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return per_doc.join(hits, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_hit",
-        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contamination"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") >= 1)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            stable_round4(F.col("n_hit") / F.col("n_grams")).alias(
+                "contamination"
+            ),
+        )
     )
 
 
@@ -146,8 +160,11 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_token_ratio,
-           ROUND(dup_bigrams * 1.0 / greatest(n_tokens - 1, 1), 4)
+           CAST(ROUND(CAST(1.0 - n_distinct * 1.0 / n_tokens
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS dup_token_ratio,
+           CAST(ROUND(CAST(dup_bigrams * 1.0 / greatest(n_tokens - 1, 1)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
              AS dup_bigram_ratio
     FROM stats
     WHERE 1.0 - n_distinct * 1.0 / n_tokens > 0.55
@@ -175,8 +192,8 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             n_tok.cast("long").alias("n_tokens"),
-            F.round(dup_tok, 4).alias("dup_token_ratio"),
-            F.round(dup_bi, 4).alias("dup_bigram_ratio"),
+            stable_round4(dup_tok).alias("dup_token_ratio"),
+            stable_round4(dup_bi).alias("dup_bigram_ratio"),
             dup_tok.alias("_raw"),
         )
         .filter(F.col("_raw") > 0.55)

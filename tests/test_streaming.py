@@ -353,6 +353,12 @@ def test_jdbc_upsert_sink_gate(spark):
     )
     url = "jdbc:postgresql://localhost:5432/analytics"
     if jdbc_available(spark):
+        import socket
+
+        try:
+            socket.create_connection(("localhost", 5432), timeout=2).close()
+        except OSError:
+            pytest.skip("postgres driver on classpath but no database running")
         merge_upsert_batch_jdbc(batch, url, "event_aggregates")
     else:
         with pytest.raises(NotImplementedError, match="JDBC driver"):

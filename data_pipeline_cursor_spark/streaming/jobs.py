@@ -576,6 +576,44 @@ def transform_with_state_available() -> bool:
         return False
 
 
+@register(
+    "q_serving_backfill",
+    oracle="""
+    -- identical to s_upsert_foreachbatch's oracle: the batch backfill must
+    -- reproduce the streamed serving table exactly (Lambda repair path)
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)+1)*300*1000000)
+             AS window_end,
+           event_type,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def serving_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's batch twin: bootstrap/repair the keyed serving table WITHOUT
+    replaying the stream — the same tumbling aggregation and the same
+    keyed MERGE, executed as one batch job (sinks.backfill_serving_table).
+    The reference cannot do this (its serving store only fills via
+    Kafka→Flink replay); in Spark the batch and streaming paths share the
+    plan, so the repair is free."""
+    import uuid
+
+    from data_pipeline_cursor_spark.streaming.sinks import (
+        backfill_serving_table,
+        read_serving_table,
+    )
+
+    table_dir = _work("serving-backfill", uuid.uuid4().hex[:8])
+    backfill_serving_table(spark, sf_dir, table_dir)
+    return read_serving_table(spark, table_dir).select(
+        "event_type", "window_start", "window_end", "avg_value", "n_events"
+    )
+
+
 @register("s_transform_state", oracle=_RUNNING_STATE_ORACLE)
 def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via `transformWithStateInPandas` (Spark 4's

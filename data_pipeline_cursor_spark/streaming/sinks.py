@@ -349,3 +349,29 @@ def run_upsert_stream(
 
 def read_serving_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(table_dir)
+
+
+def backfill_serving_table(
+    spark: SparkSession, sf_dir: str, table_dir: str
+) -> None:
+    """Batch bootstrap/repair of the streaming serving table — the Lambda
+    repair path the reference lacks (its Postgres store can only be
+    rebuilt by replaying Kafka through Flink).  Expresses the SAME
+    tumbling aggregation over the batch events table and writes it through
+    the SAME merge_upsert_batch the streaming foreachBatch uses: one code
+    path, two execution modes (Spark's core unification).  After a
+    checkpoint loss or bad deploy, run this once; subsequent streaming
+    upserts converge on keyed idempotence.
+
+    Equivalence to the streamed table is exact: window assignment is
+    µs-insensitive (flooring to the second never crosses a second-aligned
+    bucket edge) and the aggregates use the same stable rounding —
+    asserted by tests/test_streaming.py::test_backfill_equals_streamed."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.streaming.jobs import tumble_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "ts", "event_time"
+    )
+    agg = tumble_agg(ev, with_watermark=False)
+    merge_upsert_batch(agg, table_dir)

@@ -465,3 +465,13 @@ def test_jdbc_upsert_sql_shape(spark):
     for c in ("avg_value", "n", "last_updated"):
         assert f'"{c}" = EXCLUDED."{c}"' in sql
     assert '"event_type" = EXCLUDED' not in sql  # keys never in SET list
+
+
+def test_backfill_equals_streamed(spark, tmp_path):
+    """The batch backfill (q_serving_backfill) must reproduce the streamed
+    serving table (s_upsert_foreachbatch) row-for-row — one aggregation,
+    two execution modes; this is the Lambda repair-path guarantee."""
+    qs = get_queries()
+    streamed = qs["s_upsert_foreachbatch"](spark, SF_SMOKE).toPandas()
+    backfilled = qs["q_serving_backfill"](spark, SF_SMOKE).toPandas()
+    assert canonical_rows(streamed) == canonical_rows(backfilled)

@@ -8,7 +8,11 @@ sf0.01 (SURVEY.md §5.2).
 Determinism rules enforced by convention in every registered query
 (SURVEY.md §7.4):
 - alias every computed column identically in Spark and SQL dialects,
-- ROUND(x, 4) float aggregates / scores,
+- ROUND(x, 4) float aggregates / scores; where group averages can land on
+  .00005-family boundaries (quantized inputs, small groups) use
+  functions.math_ops.stable_round4 + the DECIMAL(28,10)-cast oracle twin,
+  and when both engines provably compute bit-identical doubles, ship them
+  UNROUNDED (any visible rounding reintroduces repr-vs-binary divergence),
 - sort arrays before comparison,
 - never emit raw µs-precision event timestamps (bucket/truncate/format),
 - CAST(SUM(<integer col>) AS BIGINT) in DuckDB oracles (DuckDB widens integer

@@ -31,9 +31,10 @@ _RUNTIME_SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
-    # The events fixture stores ts as parquet TIMESTAMP(NANOS) which Spark
-    # cannot map to TimestampType; read the raw int64 nanos and rebuild the
-    # µs timestamp in the loader (sources/tables.py).
+    # The events fixture has shipped as both TIMESTAMP(NANOS) (r1-r2) and
+    # TIMESTAMP(MICROS) (current); this conf keeps the legacy nanos branch
+    # alive (harmless for µs files) and the loader branches on the
+    # observed dtype (sources/tables.py, schema-on-read).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Spark 4's ICU case-mapping path (lower/upper/initcap) triggers a
     # CollationAwareUTF8String static init that walks the full Unicode

@@ -90,3 +90,31 @@ def test_events_ids_unique(spark):
         "events.event_id has duplicates — demote s_dedup_stream's oracle "
         "to rows-only (see its oracle comment) and audit keyed operators"
     )
+
+
+def test_loader_rejects_unknown_ts_encoding(spark, tmp_path):
+    """A THIRD events.ts encoding must fail with the loader's readable
+    TypeError naming the dtype — not 72 identical AnalysisExceptions
+    downstream (the round-3 failure mode this module exists to prevent)."""
+    import shutil
+
+    import pytest
+
+    from data_pipeline_cursor_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    fake_sf = tmp_path / "sfx"
+    fake_sf.mkdir()
+    # string-typed ts = an encoding the loader has never seen
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(fake_sf / "_ev"))
+    part = next((fake_sf / "_ev").glob("part-*.parquet"))
+    shutil.copy(part, fake_sf / "events.parquet")
+
+    with pytest.raises(TypeError, match="unexpected dtype"):
+        load_table(spark, str(fake_sf), "events")

@@ -49,8 +49,38 @@ from data_pipeline_cursor_spark.streaming.sources import (
 
 _WORK_ROOT = os.path.join(tempfile.gettempdir(), "dpc_stream")
 
+_PRUNED = False
+
+
+def _prune_stale(max_age_s: int = 6 * 3600) -> None:
+    """Drop work dirs (checkpoints, uuid-fresh sink outputs) older than
+    max_age_s — every streaming query makes a fresh one, so without this
+    the work root grows without bound across benchmark/test runs (~1 GB
+    per session observed).  Landing fixtures are exempt: they are
+    content-keyed and REUSED across runs.  Once per process."""
+    global _PRUNED
+    if _PRUNED:
+        return
+    _PRUNED = True
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_s
+    for family in ("ckpt", "lakehouse", "serving", "serving-backfill", "late"):
+        root = os.path.join(_WORK_ROOT, family)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
 
 def _work(*parts: str) -> str:
+    _prune_stale()
     p = os.path.join(_WORK_ROOT, *parts)
     os.makedirs(p, exist_ok=True)
     return p

@@ -73,10 +73,27 @@ def _prune_stale(max_age_s: int = 6 * 3600) -> None:
         for name in os.listdir(root):
             p = os.path.join(root, name)
             try:
-                if os.path.getmtime(p) < cutoff:
+                if _newest_mtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in the tree — a live checkpoint's TOP-level
+    mtime is its creation time (nested offset/state writes don't refresh
+    it), so pruning on top-level mtime could delete the working state of a
+    concurrent process older than the cutoff.  Work dirs are small (tens of
+    files), so the walk is cheap."""
+    newest = os.path.getmtime(path)
+    for dirpath, _dirnames, filenames in os.walk(path):
+        try:
+            newest = max(newest, os.path.getmtime(dirpath))
+            for f in filenames:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+        except OSError:
+            continue
+    return newest
 
 
 def _work(*parts: str) -> str:

@@ -269,6 +269,11 @@ def merge_upsert_batch_jdbc(
         raise ValueError(f"table name must be a plain identifier: {table!r}")
     batch = batch.withColumn("last_updated", F.current_timestamp())
     cols = batch.columns
+    bad = [c for c in cols if not c.replace("_", "").isalnum()]
+    if bad:
+        # column names are interpolated into the upsert statement too —
+        # identifier quoting alone doesn't survive an embedded quote char
+        raise ValueError(f"column names must be plain identifiers: {bad!r}")
     missing = [k for k in KEY_COLS if k not in cols]
     if missing:
         raise ValueError(f"upsert batch lacks key column(s) {missing}")

@@ -468,9 +468,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), q AS (
       SELECT vec_id, scale, embedding,
+             -- floor(q + 0.5), NOT round(q): both engines evaluate the
+             -- identical exact double expression, so a .5 tie in x/scale
+             -- cannot flip between Spark HALF_UP and DuckDB rounding
+             -- (round-4 ADVICE item 4) — agreement by construction
              list_transform(embedding,
                             x -> CAST(CASE WHEN scale = 0 THEN 0
-                                      ELSE round(CAST(x AS DOUBLE)/scale)
+                                      ELSE floor(CAST(x AS DOUBLE)/scale + 0.5)
                                       END AS INT)) AS qv
       FROM qz
     ), e AS (
@@ -523,10 +527,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-zero vector → scale 0 → x/scale is NaN and the ANSI int cast
     # aborts the query; an all-zero vector quantizes to the all-zero code
     # (err = x - 0·scale = 0, so rmse stays 0 through the shared formula)
+    # floor(q + 0.5), not F.round: F.round is HALF_UP while DuckDB rounds
+    # the binary double — they agree on this corpus only empirically.  The
+    # floor form is the same exact double expression in both engines, so a
+    # regenerated fixture landing on a .5 quotient cannot diverge.
     qv = F.transform(
         F.col("embedding"),
         lambda x: F.when(F.col("scale") == 0, F.lit(0))
-        .otherwise(F.round(x.cast("double") / F.col("scale")))
+        .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
         .cast("int"),
     )
     df = df.withColumn("qv", qv)

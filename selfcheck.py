@@ -17,7 +17,7 @@ import json
 import sys
 import traceback
 
-from tests.oracle_harness import canonical_rows, duckdb_connection
+from tests.oracle_harness import canon_dtypes, canonical_rows, duckdb_connection
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -44,9 +44,10 @@ def check_one(spark, name, query_fn, oracle):
             con.close()
         out["oracle_rows"] = len(duck_pdf)
         out["rows_match"] = len(spark_pdf) == len(duck_pdf)
-        out["schema_match"] = sorted(spark_pdf.columns) == sorted(
-            duck_pdf.columns
-        )
+        # names AND canonical dtype families — a dtype regression (int
+        # column turning into str/float) must not hide behind matching
+        # column names (round-4 ADVICE item 5)
+        out["schema_match"] = canon_dtypes(spark_pdf) == canon_dtypes(duck_pdf)
         out["hash_match"] = (
             out["rows_match"]
             and out["schema_match"]

@@ -64,6 +64,54 @@ def _canon_scalar(v):
     return str(v)
 
 
+def canon_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
+    """Column → canonical dtype FAMILY, comparable across Spark/DuckDB
+    pandas exports.  Exact pandas dtypes differ legitimately between the
+    engines (Spark hour() → int32, DuckDB hour() → int64; DuckDB sum(int)
+    → HUGEINT → float64/object), so widths are collapsed; families (int vs
+    float vs str vs timestamp vs array …) still expose real regressions
+    that a names-only schema compare misses (round-4 ADVICE, selfcheck.py)."""
+    out = {}
+    for col in pdf.columns:
+        out[col] = _dtype_family(pdf[col])
+    return out
+
+
+def _dtype_family(series: pd.Series) -> str:
+    dt = series.dtype
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "timestamp"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    non_null = series.dropna()
+    if not len(non_null):
+        return "unknown"  # all-NULL object column carries no dtype evidence
+    v = non_null.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating, Decimal)):
+        return "float"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return "timestamp"
+    if isinstance(v, date):
+        return "date"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "array"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, dict):
+        return "struct"
+    if isinstance(v, str):
+        return "str"
+    return type(v).__name__
+
+
 def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]

@@ -66,23 +66,29 @@ def main() -> None:
 
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "total wall-clock, all declared queries (noop sink)"
-                    if not failed
-                    else f"total wall-clock, {len(failed)} queries FAILED (excluded)"
-                ),
-                "failed": failed,
-                "value": total,
-                "repeats": repeats,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
+    payload = {
+        "metric": (
+            "total wall-clock, all declared queries (noop sink)"
+            if not failed
+            else f"total wall-clock, {len(failed)} queries FAILED (excluded)"
+        ),
+        "failed": failed,
+        "value": total,
+        "repeats": repeats,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    print(json.dumps(payload))
+    # The driver keeps only a 2 kB stdout tail in BENCH_r{N}.json, which
+    # truncates the per-query dict past ~80 queries (round-4 VERDICT item
+    # 7) — persist the complete payload next to it so the artifact alone
+    # proves the per-query 2× clause for the whole registry.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

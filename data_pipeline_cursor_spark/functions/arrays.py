@@ -88,16 +88,49 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_collect_struct")  # rows-only: list-of-struct hashing is fragile (B17)
+@register(
+    "q_collect_struct",
+    oracle="""
+    SELECT event_type,
+           md5(string_agg(
+                 strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                 CAST(event_id AS VARCHAR) || '|' ||
+                 CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR),
+                 ';' ORDER BY ts, event_id)) AS points_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def collect_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regroup rows → per-key collection of structs (B17). Parity:
     rows → {city: [points]} (/root/reference/visualization-server/server.js:45-57).
-    Sorted by (ts, event_id) inside each array for reproducibility."""
+
+    Was rows-only through round 4 (list-of-struct hashing is engine-
+    fragile: Spark Rows vs DuckDB dicts canonicalize differently).
+    Promoted to a full oracle by rendering the SORTED collection to one
+    canonical string per key and md5-ing it — the same portable-hash trick
+    the MinHash/SimHash signatures use.  The struct collection itself is
+    still built in-plan (collect_list(struct) + sort_array, total order on
+    (ts, event_id)); the md5 then pins every element, in order, including
+    the decimal(18,4) rendering of value (double→decimal(.,4) has no
+    dyadic midpoints, so both engines round identically)."""
     ev = load_table(spark, sf_dir, "events")
+    points = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    canon = F.array_join(
+        F.transform(
+            points,
+            lambda p: F.concat_ws(
+                "|",
+                F.date_format(p["ts"], "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                p["event_id"].cast("string"),
+                p["value"].cast("decimal(18,4)").cast("string"),
+            ),
+        ),
+        ";",
+    )
     return ev.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("points"),
+        F.md5(canon).alias("points_md5"),
         F.count(F.lit(1)).alias("n_points"),
     )
 

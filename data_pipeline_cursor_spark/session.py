@@ -21,6 +21,7 @@ for a 1000-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -58,6 +59,50 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # conf locked by the host environment — proceed
     return spark
+
+
+# 100 TB streaming-state posture: the default HDFS-backed state store keeps
+# every key in executor heap — fine for the fixture's 5 event types, fatal
+# for, say, per-document dedup state over a 100 TB corpus.  RocksDB spills
+# state to local disk with incremental checkpointing; Spark bundles both the
+# provider and rocksdbjni, so this is a config flip, not a dependency.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def rocksdb_state_available(spark: SparkSession) -> bool:
+    """True iff the RocksDB state-store provider is loadable (bundled with
+    Spark ≥ 3.2, including this container's pyspark; gate kept for exotic
+    builds)."""
+    from data_pipeline_cursor_spark.capability import jvm_class_available
+
+    return jvm_class_available(spark, ROCKSDB_STATE_PROVIDER)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope under which newly-STARTED streaming queries use the RocksDB
+    state store (the provider is read at query start; running queries keep
+    theirs).  Raises if the provider class is unavailable rather than
+    silently running on-heap — state-store choice is a capacity decision
+    the caller made explicitly."""
+    if not rocksdb_state_available(spark):
+        raise NotImplementedError(
+            f"{ROCKSDB_STATE_PROVIDER} not loadable in this Spark build; "
+            "the default HDFS-backed (on-heap) state store remains in "
+            "effect"
+        )
+    prior = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    spark.conf.set(_STATE_PROVIDER_CONF, ROCKSDB_STATE_PROVIDER)
+    try:
+        yield spark
+    finally:
+        if prior is None:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+        else:
+            spark.conf.set(_STATE_PROVIDER_CONF, prior)
 
 
 def get_spark(app_name: str = "data-pipeline-cursor-spark") -> SparkSession:

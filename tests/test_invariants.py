@@ -625,3 +625,67 @@ def test_lsh_width_shrinks_buckets(spark):
         ).fetchall()
     }
     assert spark_b == duck_b
+
+
+def test_approx_distinct_within_hll_error_of_exact(spark):
+    """q_approx_distinct is rows-only by design (HLL is engine-specific) —
+    bound it instead (round-4 VERDICT item 6): every group's sketch
+    estimate must sit within the configured 2% relative error (×3 slack
+    for the guarantee being probabilistic) of q_count_distinct's exact
+    answer, and be deterministic across two runs."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    qs = get_queries()
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in qs["q_count_distinct"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["q_approx_distinct"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.06 * exact[k]), (
+            k, est, exact[k],
+        )
+    rerun = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["q_approx_distinct"](spark, SF_ORACLE).collect()
+    }
+    assert rerun == approx  # the sketch is deterministic for fixed input
+
+
+def test_sample_within_binomial_bounds_and_seed_stable(spark):
+    """q_sample is rows-only by design (Bernoulli selection is
+    engine-specific) — bound it instead: the kept-row count must sit
+    within ±5σ of Binomial(n, 0.1), every kept row must come from the
+    source relation, and the same seed must reproduce the same sample."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+
+    n = load_table(spark, SF_ORACLE, "lineitem").count()
+    fraction = 0.1
+    sample_fn = get_queries()["q_sample"]
+    got = sample_fn(spark, SF_ORACLE).collect()
+    k = len(got)
+    mean, sigma = n * fraction, (n * fraction * (1 - fraction)) ** 0.5
+    assert abs(k - mean) <= 5 * sigma, (k, mean, sigma)
+    # multiset semantics: (l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic fixture, so compare with multiplicity throughout
+    from collections import Counter
+
+    keys = Counter((r["l_orderkey"], r["l_linenumber"]) for r in got)
+    src = Counter(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert not keys - src  # every sampled row exists in the source, with
+    # no key sampled more often than it occurs (Bernoulli never duplicates)
+    again = Counter(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in sample_fn(spark, SF_ORACLE).collect()
+    )
+    assert again == keys  # seed-stable across runs

@@ -308,3 +308,49 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("session_end"),
         )
     )
+
+
+@register(
+    "q_fill_forward",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, ts,
+             CASE WHEN value >= 100 AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS reading
+      FROM events
+    )
+    SELECT event_type, event_id,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM r
+    """,
+)
+def fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / last-observation-carried-forward (the IGNORE NULLS
+    window surface, D16's missing sibling): a sensor reading observed only
+    sometimes (here: props.k when value ≥ 100) is propagated to every
+    later row of its key until the next observation; leading rows stay
+    NULL.  The standard gap-fill for irregular telemetry before
+    resampling/joining.
+
+    Spark spells IGNORE NULLS as last(col, ignorenulls=True) over a
+    running frame.  100 TB: one shuffle on the key + per-partition sort —
+    the same single-window shape as every query in this module, with the
+    (ts, event_id) total order making the carried value deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    reading = F.when(
+        F.col("value") >= 100, F.get_json_object("props", "$.k").cast("int")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.last(reading, ignorenulls=True).over(w).alias("filled"),
+    )

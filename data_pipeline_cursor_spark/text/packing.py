@@ -190,3 +190,99 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hv").alias("last_hash"),
         )
     )
+
+
+@register(
+    "x_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('spl:' || doc_id), 1, 15))::BIGINT % 100 AS r
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN r < 98 THEN 'train'
+                WHEN r = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (98/1/1): each doc's
+    split is a pure function of its id via the portable md5 hash — stable
+    across engines, runs, partitionings, AND corpus growth (a new doc
+    never flips an old doc's split, unlike fraction-based sample()).  The
+    standard holdout-carving step before packing/sharding.
+
+    100 TB: a zero-shuffle projection that pushes down as a predicate when
+    a consumer filters one split (same plan shape as q_sample_hash);
+    stratify by crossing the residue with a grouping column if per-source
+    balance matters (x_stratified_sample)."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = phash(F.col("doc_id").cast("string"), "spl") % 100
+    return docs.select(
+        "doc_id",
+        F.when(r < 98, "train")
+        .when(r == 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CHUNK_TOKENS = 64  # max tokens per training chunk
+CHUNK_STRIDE = 48  # chunk start spacing → 16-token overlap between chunks
+
+
+@register(
+    "x_doc_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tok,
+             unnest(range(1, greatest(len(tok), 1) + 1, {CHUNK_STRIDE}))
+               AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(tok[start:start + {CHUNK_TOKENS} - 1]) AS INTEGER)
+             AS n_tokens,
+           md5(array_to_string(tok[start:start + {CHUNK_TOKENS} - 1], ' '))
+             AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-length prep): split each
+    doc's token stream into CHUNK_TOKENS-token windows every CHUNK_STRIDE
+    tokens (16-token overlap keeps boundary context in two chunks — the
+    standard pre-tokenization chunking for long documents that exceed a
+    model's context).  Emits (doc_id, chunk_idx, n_tokens, chunk_md5);
+    the md5 pins the exact chunk text cross-engine without shipping it.
+
+    100 TB: zero shuffle — tokenize, start-offset generation (sequence +
+    explode) and slicing all run inside the scan's projection, so chunking
+    is scan-speed and the output is already partitioned like the input.
+    Chunk COUNT per doc is ceil(n/STRIDE) — output rows ≈ corpus tokens /
+    STRIDE regardless of skew; one pathological mega-doc still explodes to
+    its own rows, not into one task's memory."""
+    from data_pipeline_cursor_spark.text.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_col()
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tok), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    d = docs.select("doc_id", tok.alias("tok"), F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("tok"), F.col("start"), CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -602,3 +602,79 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.sqrt(err_sq / F.size(F.col("embedding"))).alias("rmse"),
     )
+
+
+@register(
+    "x_embed_gram_int8",
+    oracle=f"""
+    WITH qz AS (
+      SELECT embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE floor(CAST(x AS DOUBLE)/scale + 0.5)
+                                      END AS INT)) AS qv
+      FROM qz
+    )
+    SELECT i.i AS i, j.j AS j,
+           CAST(SUM(qv[i.i] * qv[j.j]) AS BIGINT) AS gram
+    FROM q, range(1, {DIM + 1}) AS i(i), range(1, {DIM + 1}) AS j(j)
+    WHERE i.i <= j.j
+    GROUP BY 1, 2
+    """,
+)
+def embed_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gramian of the int8-quantized corpus: G = Qᵀ Q over
+    every vector's quantized code, emitted as the upper triangle
+    (i ≤ j, 1-based).  The Gramian is the one-pass sufficient statistic
+    behind PCA/whitening/OPQ rotation of an embedding store — the
+    compression-codebook step after x_embed_quantize.
+
+    Exactly the aggregation shape that survives 100 TB: each task folds
+    its rows into ONE DIM×DIM integer partial (a BLAS-shaped matmul per
+    Arrow batch), and only the DIM²/2 partial cells shuffle — corpus rows
+    never do.  Integer arithmetic end-to-end (codes ≤ 127 in magnitude →
+    Σ|q_i·q_j| < 2⁶³ until ~10¹⁴ rows), so the result is bit-exact and
+    fold-order-free: the DuckDB oracle's row-at-a-time SUM equals the
+    partial-matmul tree by associativity of integer addition."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(127.0)
+    d = emb.select("embedding", scale.alias("scale"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
+        .cast("int"),
+    )
+    codes = d.select(qv.alias("qv"))
+
+    iu, ju = np.triu_indices(DIM)
+
+    def partial_gram(batches):
+        G = np.zeros((DIM, DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            G += Q.T @ Q
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int64),
+                    "j": (ju + 1).astype(np.int64),
+                    "g": G[iu, ju],
+                }
+            )
+
+    part = codes.mapInPandas(partial_gram, "i bigint, j bigint, g bigint")
+    return part.groupBy("i", "j").agg(F.sum("g").alias("gram"))

@@ -179,3 +179,34 @@ def test_embed_quantize_has_no_shuffle(spark):
     df = get_queries()["x_embed_quantize"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_split_assign_has_no_shuffle(spark):
+    """x_split_assign is a pure projection of a hash residue — an Exchange
+    would mean the split assignment accidentally aggregates/shuffles."""
+    df = get_queries()["x_split_assign"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_chunk_has_no_shuffle(spark):
+    """x_doc_chunk tokenizes, generates chunk offsets, and slices inside
+    the scan's projection (explode is per-row, not a shuffle)."""
+    df = get_queries()["x_doc_chunk"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_embed_gram_shuffles_only_partials(spark):
+    """x_embed_gram_int8 must shuffle the DIM²/2 per-task partial cells,
+    never corpus rows: exactly one Exchange, sitting ABOVE the Python
+    (mapInPandas) partial-Gramian stage in the physical plan."""
+    df = get_queries()["x_embed_gram_int8"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    py = plan.find("MapInPandas")
+    ex = plan.find("Exchange")
+    assert py != -1 and ex != -1
+    # explain prints consumers above producers: the Exchange line must
+    # precede (consume) the MapInPandas stage, i.e. partials shuffle
+    assert ex < py, plan

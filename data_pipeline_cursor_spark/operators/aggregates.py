@@ -373,3 +373,54 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_items"),
         F.round(F.sum("qty") / F.sum("n"), 4).alias("avg_qty"),
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+             AS avg_winsor,
+           CAST(COUNT(*) FILTER (WHERE l.l_extendedprice < b.lo
+                                    OR l.l_extendedprice > b.hi) AS BIGINT)
+             AS n_clipped,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (robust-stats surface): clip each group's values at
+    its own exact p05/p95 before averaging — the outlier-insensitive
+    aggregate quality pipelines use on heavy-tailed metrics (doc lengths,
+    prices) where a raw AVG follows the tail.
+
+    Two aggregations over one relation: the per-group bounds (O(groups)
+    rows) BROADCAST back onto the fact scan, so the fact table shuffles
+    once for the final aggregate and never for the bounds join.  The
+    bounds themselves are exact interpolated percentiles — bit-identical
+    cross-engine on identical input doubles — so the clip decisions, and
+    hence n_clipped, are integers both engines agree on exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    outlier = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.round(F.avg(clipped), 4).alias("avg_winsor"),
+        F.count_if(outlier).alias("n_clipped"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -81,7 +81,10 @@ def _load_all_modules() -> None:
         pipeline,
     )
     from data_pipeline_cursor_spark.streaming import jobs  # noqa: F401
-    from data_pipeline_cursor_spark.vectors import similarity  # noqa: F401
+    from data_pipeline_cursor_spark.vectors import (  # noqa: F401
+        clustering,
+        similarity,
+    )
 
 
 def get_queries() -> dict[str, QueryFn]:

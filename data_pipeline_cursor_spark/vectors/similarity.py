@@ -126,6 +126,41 @@ _DUCK_COS = (
     "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"
 )
 
+# Shared quantize CTE prefix (WITH {DUCK_QV_CTE}, ...): (vec_id, qv) int8
+# codes, the tie-stable floor(x/scale + 0.5) construction of
+# x_embed_quantize — used by every oracle that consumes quantized codes.
+DUCK_QV_CTE = """qz AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE floor(CAST(x AS DOUBLE)/scale + 0.5)
+                                      END AS INT)) AS qv
+      FROM qz
+    )"""
+
+
+def quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv array<int>) — the int8 codes of x_embed_quantize, as a
+    reusable input for code-space operators (Gramian, k-means).  Pure
+    Catalyst projection, zero shuffle; DUCK_QV_CTE is its oracle twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(127.0)
+    d = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
+        .cast("int"),
+    )
+    return d.select("vec_id", qv.alias("qv"))
+
 
 # Above this many rows a block's n×n score matrix stops fitting a task
 # (4096² float64 = 128 MB peak per chunk-pair; a dense 1M-row block would
@@ -607,18 +642,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_embed_gram_int8",
     oracle=f"""
-    WITH qz AS (
-      SELECT embedding,
-             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-               / 127.0 AS scale
-      FROM embeddings
-    ), q AS (
-      SELECT list_transform(embedding,
-                            x -> CAST(CASE WHEN scale = 0 THEN 0
-                                      ELSE floor(CAST(x AS DOUBLE)/scale + 0.5)
-                                      END AS INT)) AS qv
-      FROM qz
-    )
+    WITH {DUCK_QV_CTE}
     SELECT i.i AS i, j.j AS j,
            CAST(SUM(qv[i.i] * qv[j.j]) AS BIGINT) AS gram
     FROM q, range(1, {DIM + 1}) AS i(i), range(1, {DIM + 1}) AS j(j)
@@ -643,18 +667,7 @@ def embed_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
-        "double"
-    ) / F.lit(127.0)
-    d = emb.select("embedding", scale.alias("scale"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.when(F.col("scale") == 0, F.lit(0))
-        .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
-        .cast("int"),
-    )
-    codes = d.select(qv.alias("qv"))
+    codes = quantized_codes(spark, sf_dir).select("qv")
 
     iu, ju = np.triu_indices(DIM)
 

@@ -689,3 +689,24 @@ def test_sample_within_binomial_bounds_and_seed_stable(spark):
         for r in sample_fn(spark, SF_ORACLE).collect()
     )
     assert again == keys  # seed-stable across runs
+
+
+def test_kmeans_partitions_whole_corpus(spark):
+    """x_kmeans_int8 structural invariants: cells emitted as K×DIM rows
+    max (an emptied centroid may drop in both engines identically), every
+    dim present per surviving centroid, member counts partition the
+    corpus exactly, and codebook values stay in int8 code range."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.vectors.clustering import DIM, K
+
+    out = get_queries()["x_kmeans_int8"](spark, SF_ORACLE).toPandas()
+    cids = sorted(out["cid"].unique())
+    assert 1 <= len(cids) <= K
+    per_cid = out.groupby("cid")
+    assert (per_cid.size() == DIM).all()  # a full codebook row per cell
+    # n_members constant within a centroid; cells partition the corpus
+    assert (per_cid["n_members"].nunique() == 1).all()
+    total = int(per_cid["n_members"].first().sum())
+    assert total == load_table(spark, SF_ORACLE, "embeddings").count()
+    assert out["c_val"].abs().max() <= 127

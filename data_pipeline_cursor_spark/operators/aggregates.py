@@ -424,3 +424,22 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(outlier).alias("n_clipped"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register("q_approx_percentile")  # sketch → rows-only check (like D11's HLL)
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the 100 TB percentile path q_percentile's
+    docstring routes to): KLL/GK-style sketch with bounded per-group
+    state, vs the exact percentile's per-group sorted payload.  Sketch
+    internals are engine-specific → rows-only driver check, bounded by
+    test_approx_percentile_within_accuracy_of_exact the same way the HLL
+    count is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(1000)
+        ).alias("approx_median"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.9), F.lit(1000)
+        ).alias("approx_p90"),
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
@@ -484,4 +485,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "x_vocab_coverage",
+    oracle="""
+    WITH tc AS (
+      SELECT t.tk AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+      GROUP BY t.tk
+    ),
+    tot AS (SELECT SUM(n) AS total FROM tc)
+    SELECT rank, token, n,
+           ROUND(CAST(cum AS DOUBLE) / total, 4) AS cum_share
+    FROM (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tc
+    ) CROSS JOIN tot
+    WHERE rank <= 100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer design): rank tokens by corpus
+    frequency and emit each rank's CUMULATIVE share of all token
+    occurrences — how much of the corpus the top-k vocabulary covers, the
+    curve that sizes a tokenizer's vocab / UNK budget.  Top 100 ranks,
+    (count DESC, token) total order so ties are deterministic.
+
+    100 TB: token counts are one partial-aggregated shuffle on the
+    vocabulary (corpus rows collapse per task); the top-100 prefix comes
+    from a distributed TakeOrdered (orderBy + limit — per-partition heaps,
+    never a global sort), so the ranking window only ever sees 100 rows;
+    the grand total rides in as a broadcast one-row crossJoin — the same
+    no-driver-count trick as TF-IDF's N."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tc.agg(F.sum("n").alias("total"))
+    top = tc.orderBy(F.col("n").desc(), F.col("token")).limit(100)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = top.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "token",
+        "n",
+        F.round(F.col("cum").cast("double") / F.col("total"), 4).alias(
+            "cum_share"
+        ),
     )

@@ -49,9 +49,11 @@ K = 8  # codebook size; fixture-sized (≈ sqrt-ish of 6k vectors / cell ~800)
 ITERS = 2  # Lloyd rounds; the oracle unrolls the same fixed count
 
 
-def _duck_assign(src: str, cents: str) -> str:
-    """Assignment CTE body: nearest centroid by exact integer L2², ties to
-    the smallest cid — the same (dist, cid) total order as the Spark side."""
+def _duck_assign(src: str, cents: str, rn: str = "= 1", where: str = "") -> str:
+    """Assignment CTE body: nearest centroid(s) by exact integer L2², ties
+    to the smallest cid — the same (dist, cid) total order as the Spark
+    side.  ``rn`` widens to "<= nprobe" for IVF probing; ``where``
+    restricts the source (e.g. to the query subset)."""
     return f"""
       SELECT vec_id, qv, cid FROM (
         SELECT h.vec_id, h.qv, s.cid,
@@ -62,8 +64,8 @@ def _duck_assign(src: str, cents: str) -> str:
                                       * (h.qv[i] - s.cv[i]) AS BIGINT))),
                           s.cid
                ) AS rn
-        FROM {src} h CROSS JOIN {cents} s
-      ) WHERE rn = 1
+        FROM {src} h CROSS JOIN {cents} s {where}
+      ) WHERE rn {rn}
     """
 
 
@@ -96,6 +98,39 @@ _KMEANS_ORACLE = f"""
     u2 AS ({_duck_update('a2')})
     SELECT cid, dim, c AS c_val, n AS n_members FROM u2
 """
+
+
+def _train_codebook(codes: DataFrame, iters: int):
+    """md5-seeded seeds + ``iters`` Lloyd rounds; returns the resulting
+    codebook as collected rows [(cid, cv)] sorted by cid — K×DIM ints,
+    the only driver-materialized state (bounded by contract)."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    h = codes.withColumn("hv", phash(F.col("vec_id").cast("string"), "km"))
+    w = Window.orderBy("hv", "vec_id")
+    seeds = (
+        h.orderBy("hv", "vec_id")
+        .limit(K)
+        .select(
+            F.row_number().over(w).cast("int").alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    cent_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+    for _ in range(iters):
+        update = _update(_assign(codes, cent_rows))
+        cent_rows = sorted(
+            update.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .collect(),
+            key=lambda r: r["cid"],
+        )
+    return cent_rows
 
 
 def _assign(codes: DataFrame, cent_rows) -> DataFrame:
@@ -153,41 +188,152 @@ def kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final codebook as (cid, dim, c_val) cells with each centroid's
     member count — the artifact an IVF index (x_sim_ivf) or corpus
     bucketing step consumes."""
-    from data_pipeline_cursor_spark.text.dedup import phash
-
     codes = quantized_codes(spark, sf_dir)
-    h = codes.withColumn("hv", phash(F.col("vec_id").cast("string"), "km"))
-    w = Window.orderBy("hv", "vec_id")
-    seeds = (
-        h.orderBy("hv", "vec_id")
-        .limit(K)
-        .select(
-            F.row_number().over(w).cast("int").alias("cid"),
-            F.col("qv").alias("cv"),
-        )
-    )
-    cent_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
-    update = None
-    for it in range(ITERS):
-        assigned = _assign(codes, cent_rows)
-        update = _update(assigned)
-        if it < ITERS - 1:  # the last codebook stays lazy in `update`
-            cent_rows = sorted(
-                update.groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                        lambda s: s["c"],
-                    ).alias("cv")
-                )
-                .collect(),
-                key=lambda r: r["cid"],
-            )
-    # the LAST round's update is returned lazily — only the K×DIM codebook
-    # was ever collected (bounded by contract, like x_sim_ivf's codebook)
+    # train ITERS-1 rounds eagerly; the LAST round's update is returned
+    # lazily — only the K×DIM codebook was ever collected (bounded by
+    # contract, like x_sim_ivf's codebook)
+    cent_rows = _train_codebook(codes, ITERS - 1)
+    update = _update(_assign(codes, cent_rows))
     return update.select(
         "cid",
         F.col("dim").cast("bigint").alias("dim"),
         F.col("c").alias("c_val"),
         F.col("n").alias("n_members"),
+    )
+
+
+_IVF_TRAINED_ORACLE = f"""
+    WITH {DUCK_QV_CTE},
+    h AS (
+      SELECT vec_id, qv,
+             ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT AS hv
+      FROM q
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, qv AS cv
+      FROM h ORDER BY hv, vec_id LIMIT {K}
+    ),
+    a1 AS ({_duck_assign('h', 'seeds')}),
+    u1 AS ({_duck_update('a1')}),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    a2 AS ({_duck_assign('h', 'c1')}),
+    u2 AS ({_duck_update('a2')}),
+    c2 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u2 GROUP BY cid),
+    av AS (SELECT vec_id, cid AS cell FROM ({_duck_assign('h', 'c2')})),
+    qp AS (
+      SELECT vec_id AS query_id, cid AS cell
+      FROM ({_duck_assign('h', 'c2', rn='<= 2',
+                          where='WHERE h.vec_id % 199 = 0')})
+    )
+    SELECT query_id, vec_id, cell, score FROM (
+      SELECT qp.query_id, av.vec_id, av.cell,
+             ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ve.embedding::DOUBLE[]), 4) AS score,
+             row_number() OVER (PARTITION BY qp.query_id
+               ORDER BY ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                                     ve.embedding::DOUBLE[]),
+                              4) DESC,
+                        av.vec_id) AS rn
+      FROM qp
+      JOIN av ON av.cell = qp.cell AND av.vec_id <> qp.query_id
+      JOIN embeddings qe ON qe.vec_id = qp.query_id
+      JOIN embeddings ve ON ve.vec_id = av.vec_id
+    ) WHERE rn <= 5
+"""
+
+
+@register("x_sim_ivf_trained", oracle=_IVF_TRAINED_ORACLE)
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the TRAINED codebook — the composition x_sim_ivf's
+    docstring promises ("a production codebook comes from an offline
+    k-means and is swapped in the same way"): train x_kmeans_int8's
+    codebook, invert the corpus into its cells, probe each query's
+    nprobe=2 nearest cells, exact-cosine re-rank the candidates.
+
+    Cell assignment and probing run in exact INTEGER code space (the same
+    (dist, cid) total order as training), so the candidate set is
+    bit-reproducible cross-engine; only the final re-rank scores are
+    float, rounded like every other score.  100 TB: identical cost shape
+    to x_sim_ivf — K×DIM codebook in the closure, one vectorized
+    assignment pass, broadcast probes joined to cell-partitioned
+    candidates, per-query top-k in one applyInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.vectors.similarity import quantized_codes
+
+    d = quantized_codes(spark, sf_dir, keep_embedding=True)
+    cb = _train_codebook(d.select("vec_id", "qv"), ITERS)
+    cids = np.array([r["cid"] for r in cb], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in cb])
+    nprobe = min(2, len(cids))
+
+    def cells(pdf):
+        Q = np.stack([np.asarray(v, np.int64) for v in pdf["qv"]])
+        return (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+
+    def unit(pdf):
+        E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+        return E / np.linalg.norm(E, axis=1)[:, None]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dist = cells(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "u": list(unit(pdf)),
+                    # argmin takes the FIRST min; C ordered by cid →
+                    # smallest cid wins ties, as in training
+                    "cell": cids[dist.argmin(axis=1)],
+                }
+            )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dist = cells(pdf)
+            top = np.argsort(dist, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy()
+            U = unit(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, nprobe),
+                    "u_q": [u for u in U for _ in range(nprobe)],
+                    "cell": cids[top].ravel(),
+                }
+            )
+
+    assigned = d.mapInPandas(assign, "vec_id bigint, u array<double>, cell bigint")
+    probes = d.filter(F.col("vec_id") % 199 == 0).mapInPandas(
+        probe, "query_id bigint, u_q array<double>, cell bigint"
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, np.float64) for v in pdf["u"]])
+        uq = np.asarray(pdf["u_q"].iloc[0], np.float64)
+        sc = np.round(V @ uq, 4)
+        ids = pdf["vec_id"].to_numpy()
+        pick = np.lexsort((ids, -sc))[:5]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[pick],
+                "vec_id": ids[pick],
+                "cell": pdf["cell"].to_numpy()[pick],
+                "score": sc[pick],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        topk, "query_id bigint, vec_id bigint, cell bigint, score double"
     )

@@ -144,10 +144,14 @@ DUCK_QV_CTE = """qz AS (
     )"""
 
 
-def quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qv array<int>) — the int8 codes of x_embed_quantize, as a
-    reusable input for code-space operators (Gramian, k-means).  Pure
-    Catalyst projection, zero shuffle; DUCK_QV_CTE is its oracle twin."""
+def quantized_codes(
+    spark: SparkSession, sf_dir: str, keep_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, qv array<int>[, embedding]) — the int8 codes of
+    x_embed_quantize, as a reusable input for code-space operators
+    (Gramian, k-means, trained IVF).  Pure Catalyst projection, zero
+    shuffle; DUCK_QV_CTE is its oracle twin.  ``keep_embedding`` carries
+    the raw vector through for consumers that re-rank in float space."""
     emb = load_table(spark, sf_dir, "embeddings")
     scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
         "double"
@@ -159,7 +163,10 @@ def quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)))
         .cast("int"),
     )
-    return d.select("vec_id", qv.alias("qv"))
+    cols = ["vec_id", qv.alias("qv")]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return d.select(*cols)
 
 
 # Above this many rows a block's n×n score matrix stops fitting a task

@@ -710,3 +710,51 @@ def test_kmeans_partitions_whole_corpus(spark):
     total = int(per_cid["n_members"].first().sum())
     assert total == load_table(spark, SF_ORACLE, "embeddings").count()
     assert out["c_val"].abs().max() <= 127
+
+
+def test_approx_percentile_within_accuracy_of_exact(spark):
+    """q_approx_percentile (rows-only by design) bounded against
+    q_percentile's exact answers: with accuracy=1000 the sketch's rank
+    error is ≤ 1/1000, so on ~15k rows/group the value error stays well
+    inside the local density — assert within 2% relative, and
+    deterministic across runs."""
+    qs = get_queries()
+    exact = (
+        qs["q_percentile"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    approx = (
+        qs["q_approx_percentile"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    assert set(approx.index) == set(exact.index)
+    for flag in exact.index:
+        assert abs(
+            approx.loc[flag, "approx_median"] - exact.loc[flag, "median_price"]
+        ) <= 0.02 * exact.loc[flag, "median_price"]
+        assert abs(
+            approx.loc[flag, "approx_p90"] - exact.loc[flag, "p90_price"]
+        ) <= 0.02 * exact.loc[flag, "p90_price"]
+    rerun = (
+        qs["q_approx_percentile"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    assert rerun.sort_index().equals(approx.sort_index())
+
+
+def test_ivf_trained_results_bind_per_query(spark):
+    """x_sim_ivf_trained: every expected query id appears with a full
+    top-5 (2 probed cells of K=8 hold far more than 5 candidates), no
+    self-matches, and no trained-IVF score can beat the true global best."""
+    qs = get_queries()
+    ivf = qs["x_sim_ivf_trained"](spark, SF_ORACLE).toPandas()
+    brute = qs["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    assert set(ivf["query_id"]) == set(brute["query_id"])
+    best_true = brute.groupby("query_id")["score"].max()
+    for qid, grp in ivf.groupby("query_id"):
+        assert len(grp) == 5, (qid, len(grp))
+        assert (grp["vec_id"] != qid).all()
+        assert grp["score"].max() <= best_true.loc[qid] + 1e-9

@@ -141,3 +141,46 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON r.r_regionkey = t.region_code
         """
     )
+
+
+@register(
+    "q_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           strftime(l.o_orderdate, '%Y-%m-%d') AS last_order_date,
+           l.o_totalprice AS last_price
+    FROM customer c, LATERAL (
+      SELECT o_orderdate, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      LIMIT 1
+    ) l
+    """,
+)
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (D41): each customer's most recent order
+    via a per-row ordered-LIMIT subquery — the top-1-per-entity idiom
+    written the SQL-standard way instead of a window.  Deterministic by
+    the (o_orderdate DESC, o_orderkey DESC) total order; customers with
+    no orders drop in both engines (inner lateral).
+
+    Catalyst DECORRELATES this (DomainJoin rewrite) into the same
+    shuffle-join + per-key aggregation shape as q_topk_per_group — no
+    per-row subquery execution survives into the physical plan, which is
+    what makes the construct 100 TB-safe."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               date_format(l.o_orderdate, 'yyyy-MM-dd') AS last_order_date,
+               l.o_totalprice AS last_price
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderdate, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 1
+        ) l
+        """
+    )

@@ -758,3 +758,42 @@ def test_ivf_trained_results_bind_per_query(spark):
         assert len(grp) == 5, (qid, len(grp))
         assert (grp["vec_id"] != qid).all()
         assert grp["score"].max() <= best_true.loc[qid] + 1e-9
+
+
+def test_phash_portable_over_adversarial_strings(spark):
+    """phash (the portable md5-residue hash under sampling, splits,
+    sharding, shuffles, fingerprints) must agree with its DuckDB twin on
+    ADVERSARIAL keys, not just numeric ids: unicode (multi-byte UTF-8),
+    quotes, backslashes, separators colliding with the seed delimiter,
+    long strings, and the empty string."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.text.dedup import phash
+    from pyspark.sql import functions as F
+
+    keys = [
+        "", " ", "plain", "with space", "tab\there", "quote'single",
+        'quote"double', "back\\slash", "semi;colon", "colon:inside",
+        "smp:123",  # collides with the seed-prefix shape
+        "Ünïcodé", "日本語テキスト", "emoji🙂mix", "ñ" * 300, "a" * 5000,
+        "0", "-1", "3.14159", "NaN", "null", "None",
+    ] + [f"doc-{i}" for i in range(200)]
+    pdf = pd.DataFrame({"i": range(len(keys)), "k": keys})
+    got = {
+        r["i"]: r["h"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", phash(F.col("k"), "adv").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        i: h
+        for i, h in con.sql(
+            "SELECT i, ('0x' || substr(md5('adv:' || k), 1, 15))::BIGINT "
+            "FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

@@ -884,3 +884,106 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy(
         F.date_format("click_time", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "s_fill_forward",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, value AS reading,
+             date_trunc('second', ts) AS tss, event_id
+      FROM events WHERE value >= 100
+    ),
+    last AS (
+      SELECT event_type, reading,
+             strftime(tss, '%Y-%m-%d %H:%M:%S') AS last_obs_ts
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY tss DESC, event_id DESC) AS rn
+        FROM obs
+      ) WHERE rn = 1
+    )
+    SELECT l.event_type, n.n_obs, l.reading AS last_reading, l.last_obs_ts
+    FROM last l
+    JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM obs GROUP BY 1) n USING (event_type)
+    """,
+)
+def s_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming forward-fill readout (q_fill_forward's streaming twin,
+    D38 × C11): per event_type, carry the latest sparse observation
+    (value ≥ 100) as explicit keyed state and serve the current filled
+    value — the live LOCF a dashboard reads between observations.
+
+    State is ORDER-ROBUST by construction: one (event-time, event_id,
+    reading, n_obs) tuple per key updated by argmax on (event-time,
+    event_id), so the late landing file folds in correctly no matter
+    which micro-batch delivers it — unlike a processing-order LOCF, a
+    replay or reordering converges to the same state.  Event time is
+    compared at the landing format's second granularity with event_id as
+    the total-order tiebreak, which is exactly the order the batch oracle
+    replays.
+
+    100 TB: fixed-size state per key, one shuffle on the key, Arrow-
+    batched updates that fold each micro-batch to at most one candidate
+    per key before touching state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+    src = df.select(
+        "event_type",
+        F.col("event_id"),
+        F.unix_micros(F.col("event_time")).alias("us"),
+        F.when(F.col("value") >= 100, F.col("value")).alias("reading"),
+    )
+
+    def update(key, pdfs, state):
+        us0, eid0, rd0, n0, seq = (
+            state.get if state.exists else (-1, -1, 0.0, 0, 0)
+        )
+        for pdf in pdfs:
+            obs = pdf[pdf["reading"].notna()]
+            if not len(obs):
+                continue
+            n0 += len(obs)
+            top = obs.sort_values(["us", "event_id"]).iloc[-1]
+            cand = (int(top["us"]), int(top["event_id"]))
+            if cand > (us0, eid0):
+                us0, eid0, rd0 = cand[0], cand[1], float(top["reading"])
+        seq += 1
+        state.update((us0, eid0, rd0, n0, seq))
+        if n0 > 0:  # keys with no observation yet serve nothing
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_obs": [n0],
+                    "last_reading": [rd0],
+                    "last_us": [us0],
+                    "batch_seq": [seq],
+                }
+            )
+
+    emitted = src.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, n_obs long, last_reading double, "
+        "last_us long, batch_seq long",
+        "us long, eid long, rd double, n long, seq long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_completion(emitted, _ckpt("fill-forward"), out_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_obs",
+            "last_reading",
+            F.date_format(
+                F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_obs_ts"),
+        )
+    )

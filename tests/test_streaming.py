@@ -583,3 +583,43 @@ def test_rocksdb_state_store_runs_stateful_job(spark):
         not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
     assert canonical_rows(rocks) == canonical_rows(on_heap)
+
+
+def test_fill_forward_batch_equivalence(spark):
+    """s_fill_forward's drained state must equal the batch argmax over the
+    same fixture: latest (second-truncated ts, event_id) observation with
+    value >= 100 per key, plus the observation count."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonical_rows
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = get_queries()["s_fill_forward"](spark, SF_SMOKE).toPandas()
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    obs = ev.filter(F.col("value") >= 100).select(
+        "event_type",
+        F.col("value").alias("last_reading"),
+        F.date_trunc("second", F.col("ts")).alias("tss"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("tss"), F.desc("event_id")
+    )
+    last = (
+        obs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "last_reading",
+            F.date_format("tss", "yyyy-MM-dd HH:mm:ss").alias("last_obs_ts"),
+        )
+    )
+    counts = obs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_obs"))
+    want = last.join(counts, "event_type").select(
+        "event_type", "n_obs", "last_reading", "last_obs_ts"
+    ).toPandas()
+    assert canonical_rows(got) == canonical_rows(want)

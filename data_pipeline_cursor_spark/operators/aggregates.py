@@ -443,3 +443,30 @@ def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.lit(0.9), F.lit(1000)
         ).alias("approx_p90"),
     )
+
+
+@register(
+    "q_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id over ROLLUP (D14's disambiguator): the bit
+    vector that tells a subtotal row's NULL apart from a data NULL — the
+    only correct way to consume rollup output when grouping columns are
+    nullable (q_rollup alone cannot make that distinction).  Emitted as
+    the standard gid = Σ grouping(col)·2^i."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        (
+            F.grouping("o_orderstatus").cast("long") * 2
+            + F.grouping("o_orderpriority").cast("long")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -182,16 +182,25 @@ def test_upsert_merge_escaped_partition_keys(spark, tmp_path):
     )
 
     table_dir = str(tmp_path / "serving_esc")
+    # every Hive-escape class in one batch: %, separators, quotes,
+    # whitespace variants, control char, backslash, hash, braces/brackets,
+    # unicode (NOT escaped — must round-trip verbatim), and '.' prefixes
+    keys = [
+        "100%off", "a:b=c", "semi;colon", "sla/sh", "back\\slash",
+        'quo"te', "quo'te", "spa ce", "tab\there", "ctrl\x01char",
+        "hash#key", "curly{brace}", "square[bracket]", "quest?mark",
+        "star*key", "caret^key", "Ünïcodé-日本語", ".hidden", "..dots",
+    ]
     batch = spark.createDataFrame(
-        [("100%off", "2024-01-01 00:00:00", 1.0, 3),
-         ("a:b=c", "2024-01-01 00:05:00", 2.0, 4)],
+        [(k, f"2024-01-01 00:{i:02d}:00", float(i), i)
+         for i, k in enumerate(keys)],
         "event_type string, window_start string, avg_value double, n_events long",
     )
     merge_upsert_batch(batch, table_dir)
     out = read_serving_table(spark, table_dir).toPandas()
-    assert sorted(out["event_type"]) == ["100%off", "a:b=c"]
+    assert sorted(out["event_type"]) == sorted(keys)
     merge_upsert_batch(batch, table_dir)  # replay: idempotent, incl. merge path
-    assert read_serving_table(spark, table_dir).count() == 2
+    assert read_serving_table(spark, table_dir).count() == len(keys)
 
 
 def test_text_ops_survive_short_docs(spark, tmp_path):

@@ -91,3 +91,39 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
     )
     return a.subtract(b)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each user_id appears
+    min(click count, view count) times, the bag semantics DISTINCT
+    intersect destroys.  One hash shuffle with per-key counters."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each user_id survives
+    (click count − purchase count) times when positive — the occurrence
+    accounting that distinct EXCEPT cannot express."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.exceptAll(b)

@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     """Import every operator module for its registration side effects."""
     from data_pipeline_cursor_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         relational,
         setops,

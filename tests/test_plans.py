@@ -210,3 +210,38 @@ def test_embed_gram_shuffles_only_partials(spark):
     # explain prints consumers above producers: the Exchange line must
     # precede (consume) the MapInPandas stage, i.e. partials shuffle
     assert ex < py, plan
+
+
+def test_tpch_local_supplier_broadcasts_dims(spark):
+    """q_tpch_local_supplier (Q5-shape): supplier/nation/region arrive via
+    BroadcastExchange — only the lineitem⋈orders⋈customer chain may
+    shuffle.  At 100 TB a sort-merge against a dim table is a plan bug."""
+    df = get_queries()["q_tpch_local_supplier"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE so the chosen strategies are real
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_pricing_pushes_shipdate(spark):
+    """q_tpch_pricing (Q1-shape): the l_shipdate bound must reach the
+    parquet scan as a PushedFilter (row-group skipping on the date-sorted
+    fact), not survive only as a post-scan Filter."""
+    df = get_queries()["q_tpch_pricing"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
+
+
+def test_tpch_large_orders_aggregates_before_join(spark):
+    """q_tpch_large_orders (Q18-shape): the quantity HAVING-aggregate runs
+    on lineitem BEFORE the joins — the HashAggregate must sit below the
+    first join in the plan, so the join input is the filtered key set."""
+    df = get_queries()["q_tpch_large_orders"](spark, SF_SMOKE)
+    plan = _plan(df)
+    agg = plan.find("HashAggregate")
+    join = plan.find("Join")
+    assert agg != -1 and join != -1
+    # explain prints consumers above producers: the first Join line must
+    # precede the aggregate that feeds it only if agg runs pre-join
+    assert join < agg, plan

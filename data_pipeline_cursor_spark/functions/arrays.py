@@ -266,3 +266,31 @@ def date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"),
         )
     )
+
+
+@register(
+    "q_array_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT set aggregation to a sorted array (D24b's set-valued form):
+    collect_set + array_sort ≡ list_sort(list(DISTINCT)).  The sort is the
+    determinism rule (registry.py: sort arrays before comparison); the
+    distinct fold combines map-side so per-group state is bounded by
+    cardinality, not row count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -60,3 +60,30 @@ def stable_round4(c):
     disagree — this is that rule's aggregate-strength form.
     """
     return F.round(c.cast("decimal(28,10)"), 4).cast("double")
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+    SELECT event_id,
+           ROUND(value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0), 4) AS safe_div,
+           TRY_CAST(props AS DOUBLE)                                 AS props_num,
+           TRY_CAST(substr(event_type, 1, 4) AS INTEGER)             AS type_num
+    FROM events
+    """,
+)
+def try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_-family error-safe arithmetic (D30's expression-level form):
+    try_divide → NULL on zero denominator, try_cast → NULL on malformed
+    input instead of a task-killing exception.  The 100 TB argument: one
+    bad row must never fail a 10k-task stage; NULL-and-filter beats
+    rerun-the-stage."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), (F.col("event_id") % 5).cast("double")), 4
+        ).alias("safe_div"),
+        F.col("props").try_cast("double").alias("props_num"),
+        F.substring("event_type", 1, 4).try_cast("int").alias("type_num"),
+    )

@@ -82,3 +82,31 @@ def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
     )
+
+
+@register(
+    "q_levenshtein",
+    oracle="""
+    SELECT n_name,
+           levenshtein(n_name, 'NATION_12')                  AS dist_lit,
+           levenshtein(lower(n_name), replace(lower(n_name), '_', '-'))
+                                                             AS dist_sep
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+def levenshtein_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (D21's fuzzy-match sibling; both engines ship
+    levenshtein as a built-in).  Integer outputs — no float hazard.
+    100 TB note: levenshtein is O(len²) per pair — fine as a projection,
+    but fuzzy JOINS should band candidates first (the x_dedup_* pattern),
+    never theta-join on edit distance."""
+    n = load_table(spark, sf_dir, "nation")
+    lower = F.lower(F.col("n_name"))
+    return n.select(
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("NATION_12")).alias("dist_lit"),
+        F.levenshtein(lower, F.replace(lower, F.lit("_"), F.lit("-"))).alias(
+            "dist_sep"
+        ),
+    ).orderBy("n_name")

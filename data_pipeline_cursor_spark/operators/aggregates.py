@@ -470,3 +470,154 @@ def grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4)      AS med_qty,
+           ROUND(median(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN (D14b's exact-midpoint sibling): even-count groups return the
+    mean of the two middle values in both engines — deterministic, unlike
+    MODE whose tie-break is engine-specific (deliberately not registered).
+    Same 100 TB note as q_percentile: exact medians sort per-group payloads;
+    the sketch path is q_approx_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_regr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 4)           AS r,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (D14b family): corr / regr_slope /
+    regr_intercept / regr_count of price on quantity per flag.  Both engines
+    use numerically-stable covariance updates; results agree well inside
+    ROUND 4 (quantity spans only [1,50] so no catastrophic cancellation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(y, x), 4).alias("r"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.regr_count(y, x).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_bool_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+           bool_and(value > 0)   AS all_positive,
+           bool_or(value > 190)  AS any_extreme
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or (D12's boolean-algebra siblings) —
+    predicate aggregates fold map-side like any sum; the oracle spells
+    count_if as the portable COUNT(*) FILTER."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_high"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 190).alias("any_extreme"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_arg_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_orderdate || '|' || lpad(CAST(o_orderkey AS VARCHAR), 20, '0'))
+             AS latest_orderkey,
+           min_by(o_orderkey, o_orderdate || '|' || lpad(CAST(o_orderkey AS VARCHAR), 20, '0'))
+             AS earliest_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates, B15's single-pass form): the
+    latest/earliest order per priority WITHOUT a window sort — one partial
+    agg carrying (key, orderby) pairs.  Ordering key is made total by
+    appending the zero-padded orderkey: max_by on a tied key is
+    engine-arbitrary, the classic silent-nondeterminism trap."""
+    o = load_table(spark, sf_dir, "orders")
+    tot = F.concat_ws(
+        "|",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lpad(F.col("o_orderkey").cast("string"), 20, "0"),
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", tot).alias("latest_orderkey"),
+            F.min_by("o_orderkey", tot).alias("earliest_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_bit_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS band,
+           bit_or(event_id)  AS bor,
+           bit_xor(event_id) AS bxor
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor aggregates (D28's aggregate form) —
+    bitwise folds are associative+commutative, so they combine map-side
+    with no ordering hazard at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("event_id").alias("band"),
+            F.bit_or("event_id").alias("bor"),
+            F.bit_xor("event_id").alias("bxor"),
+        )
+        .orderBy("event_type")
+    )

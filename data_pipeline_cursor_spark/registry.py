@@ -84,6 +84,7 @@ def _load_all_modules() -> None:
     from data_pipeline_cursor_spark.streaming import jobs  # noqa: F401
     from data_pipeline_cursor_spark.vectors import (  # noqa: F401
         clustering,
+        decomposition,
         similarity,
     )
 

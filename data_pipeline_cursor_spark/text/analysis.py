@@ -545,3 +545,173 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+# BM25 constants (Robertson k1/b defaults; 1-b pre-folded to 0.25 so both
+# engines see the same literal instead of each constant-folding 1-0.75).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "vector")
+
+
+@register(
+    "x_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1}
+                  * (0.25 + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))
+               AS sc
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(sc), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (E5's retrieval-grade sibling): top-20 documents for
+    the fixed query {spark, join, vector}, Robertson idf
+    ln(1+(N−df+.5)/(df+.5)) and k1=1.2 / b=0.75 length normalization.
+
+    All-integer corpus statistics (dl, tf, df, N are counts; avgdl is one
+    exact bigint-sum division), so the only float folds are the ≤|terms|
+    per-doc score sum — same determinism posture as x_tfidf.
+
+    100 TB: tf is filtered to the query terms BEFORE its aggregate (the
+    scan prunes to matching tokens); df/avgdl/N are tiny broadcast sides;
+    nothing vocabulary-sized is ever collected.  Cost is one token
+    explode + three hash aggs + broadcast joins — the same shape a search
+    index BUILD would amortize, which is the honest 100 TB note: serve
+    repeated queries from an inverted index (x_contamination's shape),
+    not a per-query corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    sc = (
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (0.25 + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfx), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("sc"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# Fixed quality-classifier weights (a stand-in for a trained fastText-style
+# filter: the FEATURES and the serving plan are the real artifact; weights
+# would come from offline training in production).
+_QL_W0 = -3.0   # bias
+_QL_W_DIV = 4.0  # lexical diversity (distinct/total tokens)
+_QL_W_LEN = 0.35  # mean token length
+_QL_W_LOG = 0.25  # ln(token count)
+
+
+@register(
+    "x_quality_logit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*)      AS diversity,
+             CAST(SUM(length(token)) AS DOUBLE) / COUNT(*)         AS mean_len,
+             ln(COUNT(*))                                          AS log_len
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(diversity, 4) AS diversity,
+           ROUND(mean_len, 4)  AS mean_len,
+           ROUND(1.0 / (1.0 + exp(-({_QL_W0} + {_QL_W_DIV} * diversity
+                 + {_QL_W_LEN} * mean_len + {_QL_W_LOG} * log_len))), 4)
+             AS quality,
+           (1.0 / (1.0 + exp(-({_QL_W0} + {_QL_W_DIV} * diversity
+                 + {_QL_W_LEN} * mean_len + {_QL_W_LOG} * log_len))) >= 0.5)
+             AS keep
+    FROM feats
+    """,
+)
+def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (E-family: the logistic-classifier
+    filter every LLM curation stack runs, e.g. a fastText/CCNet-style
+    quality model): hand-computed features → fixed-weight logistic score →
+    keep decision at 0.5.
+
+    Features are exact ratios of integer aggregates (distinct/total
+    tokens, summed byte lengths), so the sigmoid's input is bit-identical
+    cross-engine.  100 TB: one token explode + one hash agg per doc, zero
+    Python — swapping in trained weights changes literals, not the plan;
+    a real embedding-based classifier would swap the sigmoid for a
+    Pandas-UDF batch inference with the same surrounding plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    feats = tok.groupBy("doc_id").agg(
+        (F.countDistinct("token").cast("double") / F.count(F.lit(1))).alias(
+            "diversity"
+        ),
+        (F.sum(F.length("token")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_len"
+        ),
+        F.log(F.count(F.lit(1))).alias("log_len"),
+    )
+    z = (
+        _QL_W0
+        + _QL_W_DIV * F.col("diversity")
+        + _QL_W_LEN * F.col("mean_len")
+        + _QL_W_LOG * F.col("log_len")
+    )
+    quality = 1.0 / (1.0 + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round("diversity", 4).alias("diversity"),
+        F.round("mean_len", 4).alias("mean_len"),
+        F.round(quality, 4).alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )

@@ -337,3 +337,117 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("query_id").applyInPandas(
         topk, "query_id bigint, vec_id bigint, cell bigint, score double"
     )
+
+
+# SemDeDup threshold: within-cell pairs with ROUND(cosine, 4) >= TAU mark
+# the larger vec_id a duplicate.  Fixture-tuned like x_dedup_embed's 0.4
+# (within-label cosines top out at ~0.47); production corpora with true
+# near-dups run this at ~0.95+.
+SEMDEDUP_TAU = 0.35
+
+# Shared k-means replay through the final cell assignment — the CTE chain
+# of _IVF_TRAINED_ORACLE up to `av`, reused by composition consumers.
+def _duck_km_av_chain() -> str:
+    from data_pipeline_cursor_spark.vectors.similarity import DUCK_QV_CTE
+
+    return f"""{DUCK_QV_CTE},
+    h AS (
+      SELECT vec_id, qv,
+             ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT AS hv
+      FROM q
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, qv AS cv
+      FROM h ORDER BY hv, vec_id LIMIT {K}
+    ),
+    a1 AS ({_duck_assign('h', 'seeds')}),
+    u1 AS ({_duck_update('a1')}),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    a2 AS ({_duck_assign('h', 'c1')}),
+    u2 AS ({_duck_update('a2')}),
+    c2 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u2 GROUP BY cid),
+    av AS (SELECT vec_id, cid AS cell FROM ({_duck_assign('h', 'c2')}))"""
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {{chain}},
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]), 4)
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT av.vec_id, av.cell, (d.vec_id IS NULL) AS keep
+    FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+"""
+
+
+@register("x_semdedup", oracle=_SEMDEDUP_ORACLE.format(chain=_duck_km_av_chain()))
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023's cluster-then-
+    dedupe, composed from this module's pieces): train the k-means
+    codebook, assign every vector to its cell, and within each cell drop
+    any vector that has a SMALLER-id neighbour with cosine ≥ SEMDEDUP_TAU.
+
+    The "exists a smaller similar peer" rule (the witness need not itself
+    survive) is a total, order-free criterion — unlike greedy first-seen
+    dedup it needs no sequential pass, so it distributes as: one
+    `_all_pairs_by_block` matmul per cell (banded above BLOCK_CHUNK_ROWS),
+    project the dropped ids, one left join back.
+
+    100 TB: pairwise work is confined to cells (corpus/K per cell in
+    expectation; raise K with corpus size exactly like a production
+    SemDeDup raises its cluster count).  The oracle replays training,
+    assignment, and the EXISTS rule as CTEs — a full hash check over a
+    clustered dedup pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        _all_pairs_by_block,
+        quantized_codes,
+    )
+
+    d = quantized_codes(spark, sf_dir, keep_embedding=True)
+    cb = _train_codebook(d.select("vec_id", "qv"), ITERS)
+    cids = np.array([r["cid"] for r in cb], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in cb])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, np.int64) for v in pdf["qv"]])
+            dist = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "u": list(U),
+                    # argmin takes the FIRST min; C ordered by cid →
+                    # smallest cid wins ties, as in training
+                    "cell": cids[dist.argmin(axis=1)],
+                }
+            )
+
+    assigned = d.mapInPandas(assign, "vec_id bigint, u array<double>, cell bigint")
+    pairs = _all_pairs_by_block(
+        assigned,
+        "cell",
+        SEMDEDUP_TAU,
+        "vec_a bigint, vec_b bigint, cell bigint, score double",
+    )
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "dropped", F.lit(True)
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id", "cell", F.col("dropped").isNull().alias("keep")
+    )

@@ -806,3 +806,41 @@ def test_phash_portable_over_adversarial_strings(spark):
     }
     con.close()
     assert got == want
+
+
+def test_embed_pca_invariants(spark):
+    """x_embed_pca (designed rows-only): the hard checks SQL cannot do.
+
+    1. components orthonormal; 2. eigenvalues positive + descending;
+    3. per-component projection variance ≈ its eigenvalue and projection
+    mean ≈ 0 (definition of PCA on centered data); 4. two invocations are
+    bit-identical (integer sufficient statistics → deterministic eigh
+    input, fixed sign convention)."""
+    import numpy as np
+
+    from data_pipeline_cursor_spark.vectors.decomposition import (
+        N_COMPONENTS,
+        embed_pca,
+        fit_pca,
+    )
+    from data_pipeline_cursor_spark.vectors.similarity import quantized_codes
+
+    codes = quantized_codes(spark, SF_ORACLE)
+    mu, comps, eigvals = fit_pca(codes)
+    assert np.allclose(comps @ comps.T, np.eye(N_COMPONENTS), atol=1e-9)
+    assert np.all(eigvals > 0)
+    assert np.all(np.diff(eigvals) <= 1e-9)
+
+    rows = embed_pca(spark, SF_ORACLE).collect()
+    P = np.array(
+        [[r[f"pc{i + 1}"] for i in range(N_COMPONENTS)] for r in rows]
+    )
+    # projections are rounded to 4 → compare moments at matching tolerance
+    assert np.allclose(P.mean(axis=0), 0, atol=1e-3)
+    assert np.allclose(P.var(axis=0, ddof=1), eigvals, rtol=1e-4)
+
+    again = {r["vec_id"]: r for r in embed_pca(spark, SF_ORACLE).collect()}
+    for r in rows:
+        other = again[r["vec_id"]]
+        for i in range(N_COMPONENTS):
+            assert r[f"pc{i + 1}"] == other[f"pc{i + 1}"]

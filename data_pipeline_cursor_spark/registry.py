@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
         udfs,
     )
     from data_pipeline_cursor_spark import catalog, multimodal, serving  # noqa: F401
+    from data_pipeline_cursor_spark.sources import formats  # noqa: F401
     from data_pipeline_cursor_spark.text import (  # noqa: F401
         analysis,
         contamination,

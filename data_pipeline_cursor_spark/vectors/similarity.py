@@ -698,3 +698,56 @@ def embed_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = codes.mapInPandas(partial_gram, "i bigint, j bigint, g bigint")
     return part.groupBy("i", "j").agg(F.sum("g").alias("gram"))
+
+
+# ANN recall evaluation: the oracle composes the registered brute-force and
+# IVF oracles verbatim as nested CTEs, so the ground truth and the index
+# under test are *exactly* the checked operators, not re-derivations.
+from data_pipeline_cursor_spark.registry import _ORACLES as _REGISTERED_ORACLES
+
+_ANN_RECALL_ORACLE = f"""
+    WITH bf AS ({_REGISTERED_ORACLES['x_sim_topk']}),
+         ann AS ({_REGISTERED_ORACLES['x_sim_ivf']})
+    SELECT bf.query_id,
+           CAST(COUNT(ann.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(ann.vec_id) / 5.0, 4) AS recall
+    FROM bf LEFT JOIN ann
+      ON bf.query_id = ann.query_id AND bf.vec_id = ann.vec_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
+"""
+
+
+@register("x_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against brute-force ground truth, per
+    query (E3's evaluation harness — the metric that decides whether an
+    ANN index's nprobe/cell count is production-ready before anyone swaps
+    it into a retrieval path).
+
+    Composes the two registered operators directly: x_sim_topk is the
+    exact answer set, x_sim_ivf the approximate one; recall is the
+    fraction of true top-5 ids the index returned.  Integer counts and an
+    exact /5.0 division — no float hazard.
+
+    100 TB: both sides are the already-scale-shaped operators; the join
+    is |queries|×5 rows on each side — negligible.  Run it on a sampled
+    query set (as here) and track the mean; a full-corpus recall sweep is
+    a deliberate offline job, not a serving-path query."""
+    bf = sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = sim_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("ann_query"), F.col("vec_id").alias("ann_vec")
+    )
+    joined = bf.join(
+        ann,
+        (bf.query_id == ann.ann_query) & (bf.vec_id == ann.ann_vec),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("ann_vec").alias("n_hits"),
+            F.round(F.count("ann_vec") / 5.0, 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -310,3 +310,57 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks."""
     ensure_bucketed_facts(spark, sf_dir)
     return bucketed_fact_join(spark)
+
+
+@register(
+    "q_analyze_stats",
+    oracle="""
+    SELECT col, nulls, ndv, min_val, max_val FROM (
+      SELECT 'l_quantity' AS col,
+             CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS nulls,
+             CAST(COUNT(DISTINCT l_quantity) AS BIGINT)   AS ndv,
+             ROUND(min(l_quantity), 4)                    AS min_val,
+             ROUND(max(l_quantity), 4)                    AS max_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+             CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+             ROUND(min(l_extendedprice), 4), ROUND(max(l_extendedprice), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+             ROUND(min(l_discount), 4), ROUND(max(l_discount), 4)
+      FROM lineitem
+    ) ORDER BY col
+    """,
+)
+def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (the catalog-maintenance twin
+    of Trino's SHOW STATS / Spark's ANALYZE TABLE … COMPUTE STATISTICS FOR
+    COLUMNS): null count, exact NDV, min, max per measured column,
+    unpivoted to one row per column.
+
+    All three columns fold in ONE scan (Catalyst plans the three aggregate
+    branches over a shared scan here; exact multi-column NDV at true 100 TB
+    is where approx_count_distinct (q_approx_distinct) substitutes — the
+    stats table feeds the optimizer, which tolerates ±2% NDV error by
+    design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(col: str):
+        c = F.col(col)
+        return li.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
+            F.countDistinct(c).alias("ndv"),
+            F.round(F.min(c), 4).alias("min_val"),
+            F.round(F.max(c), 4).alias("max_val"),
+        )
+
+    out = stats("l_quantity")
+    for c in ("l_extendedprice", "l_discount"):
+        out = out.unionAll(stats(c))
+    return out.orderBy("col")

@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     from data_pipeline_cursor_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        history,
         joins,
         relational,
         setops,

@@ -306,3 +306,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_event_id").alias("event_id"), "user_id", "last_click_ts"
         )
     )
+
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN region r ON (CAST(l.l_orderkey % 5 AS INTEGER)) = r.r_regionkey
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (PLANS.md's join-side skew recipe, runnable): the
+    fact side joins a 5-key dimension — the textbook skewed shuffle where
+    5 reducers own the whole fact table if the join hash-partitions.
+
+    Recipe: salt the fact key with pmod(hash(rowid), S); EXPLODE the dim
+    side S ways (dim × S rows — dims are small by definition); join on
+    (key, salt) → S×keys uniform cells.  Identical result to the plain
+    join (the oracle), which is the point: salting changes the schedule,
+    not the answer.  Here the dim side also broadcasts (plan-asserted —
+    broadcasting *already* kills this particular skew, making the salt a
+    no-op shuffle-wise at this SF; the recipe is for the fact⋈fact case
+    where neither side broadcasts and AQE's skew split cannot help a
+    single monster key).  The groupBy after the join pre-folds per
+    (flag, salt) cell before its exchange, so skew never reappears
+    downstream."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "jk", (F.col("l_orderkey") % 5).cast("int")
+    ).withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)))
+    r = load_table(spark, sf_dir, "region")
+    r_salted = r.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    joined = li.join(
+        F.broadcast(r_salted),
+        (li.jk == r_salted.r_regionkey) & (li.salt == r_salted.salt),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -245,3 +245,14 @@ def test_tpch_large_orders_aggregates_before_join(spark):
     # explain prints consumers above producers: the first Join line must
     # precede the aggregate that feeds it only if agg runs pre-join
     assert join < agg, plan
+
+
+def test_join_salted_broadcasts_exploded_dim(spark):
+    """q_join_salted: the S-way exploded dim must still broadcast (dim×S
+    stays tiny) — if it ever falls to a shuffle join the salt has made
+    the plan WORSE, not better."""
+    df = get_queries()["q_join_salted"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

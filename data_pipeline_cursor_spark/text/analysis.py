@@ -715,3 +715,68 @@ def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality, 4).alias("quality"),
         (quality >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "x_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ),
+    corp AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS total,
+             CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+      FROM tok
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(tf.tf * ln((cnt.c + 1.0) / (corp.total + corp.v)))
+                 / SUM(tf.tf), 4) AS nll,
+           (-SUM(tf.tf * ln((cnt.c + 1.0) / (corp.total + corp.v)))
+            / SUM(tf.tf) <= 7.5) AS keep
+    FROM tf JOIN cnt USING (token) CROSS JOIN corp
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/KenLM-style perplexity
+    quality signal, at unigram order): add-one-smoothed corpus unigram
+    model, per-document mean negative log-likelihood, keep decision at a
+    fixed nll threshold — rare-token-heavy (noisy) documents score high
+    and are dropped.
+
+    All model statistics are integer counts; the per-doc score folds
+    tf·ln(p) contributions (one per DISTINCT doc token) in one hash agg.
+    100 TB: the unigram table is vocabulary-sized → broadcast; corpus
+    totals are a one-row broadcast; a higher-order KenLM swaps the join
+    for a Pandas-UDF model lookup with the same surrounding plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    corp = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    contrib = F.col("tf") * F.log(
+        (F.col("c") + 1.0) / (F.col("total") + F.col("v"))
+    )
+    nll = -F.sum(contrib) / F.sum("tf")
+    return (
+        tf.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(nll, 4).alias("nll"),
+            (nll <= 7.5).alias("keep"),
+        )
+    )

@@ -271,3 +271,68 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "x_temperature_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS isq
+      FROM documents GROUP BY source
+    ),
+    s AS (SELECT SUM(cnt) AS total, SUM(isq) AS sum_isq FROM per),
+    plan AS (
+      SELECT source,
+             LEAST(10000, (10000 * isq * total) // (sum_isq * cnt)) AS keep_bp
+      FROM per CROSS JOIN s
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN plan USING (source)
+    WHERE ('0x' || substr(md5('tmix:' || d.doc_id), 1, 15))::BIGINT % 10000
+          < plan.keep_bp
+    GROUP BY d.source
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R multilingual recipe:
+    sample source s with probability ∝ n_s^α, α=0.5) — x_domain_mix's
+    sibling where the mix follows from corpus statistics instead of an
+    explicit target table, flattening the head without starving the tail.
+
+    Determinism: sqrt is IEEE exactly-rounded (bit-identical in both
+    engines), quantized to an integer ×10⁶ immediately; every downstream
+    step (shares, keep rate in basis points) is pure BIGINT arithmetic, so
+    the cutoff is identical by construction.  Keep decisions use the
+    portable md5-residue idiom.  At 10¹² docs the 10000·isq·total product
+    needs 128-bit math (DECIMAL(38,0)) — noted, not needed at fixture SFs.
+
+    Plan shape is x_domain_mix's: O(sources) aggregate → one-row totals
+    broadcast → broadcast-joined keep predicate that pushes down."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    per = per.withColumn(
+        "isq", F.floor(F.sqrt(F.col("cnt").cast("double")) * 1000000).cast("long")
+    )
+    s = per.agg(
+        F.sum("cnt").alias("total"), F.sum("isq").alias("sum_isq")
+    )
+    plan = per.crossJoin(F.broadcast(s)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("(10000 * isq * total) div (sum_isq * cnt)"),
+        ).alias("keep_bp"),
+    )
+    kept = docs.join(F.broadcast(plan), "source").filter(
+        phash(F.col("doc_id").cast("string"), "tmix") % 10000 < F.col("keep_bp")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

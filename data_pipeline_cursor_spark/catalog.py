@@ -343,24 +343,29 @@ def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     COLUMNS): null count, exact NDV, min, max per measured column,
     unpivoted to one row per column.
 
-    All three columns fold in ONE scan (Catalyst plans the three aggregate
-    branches over a shared scan here; exact multi-column NDV at true 100 TB
-    is where approx_count_distinct (q_approx_distinct) substitutes — the
-    stats table feeds the optimizer, which tolerates ±2% NDV error by
-    design)."""
+    All columns fold in ONE aggregate over ONE scan (a UNION-of-aggregates
+    formulation reads the table once per column — 3× the scan cost, which
+    is exactly what ANALYZE at 100 TB cannot afford); the single wide
+    aggregate row is then unpivoted to one row per column with stack().
+    Exact multi-column NDV at true 100 TB is where approx_count_distinct
+    (q_approx_distinct) substitutes — the stats table feeds the optimizer,
+    which tolerates ±2% NDV error by design."""
     li = load_table(spark, sf_dir, "lineitem")
-
-    def stats(col: str):
-        c = F.col(col)
-        return li.agg(
-            F.lit(col).alias("col"),
-            (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
-            F.countDistinct(c).alias("ndv"),
-            F.round(F.min(c), 4).alias("min_val"),
-            F.round(F.max(c), 4).alias("max_val"),
-        )
-
-    out = stats("l_quantity")
-    for c in ("l_extendedprice", "l_discount"):
-        out = out.unionAll(stats(c))
-    return out.orderBy("col")
+    cols = ("l_discount", "l_extendedprice", "l_quantity")
+    aggs = []
+    for col in cols:
+        c, p = F.col(col), col[2:4]
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{p}_nulls"),
+            F.countDistinct(c).alias(f"{p}_ndv"),
+            F.round(F.min(c), 4).alias(f"{p}_min"),
+            F.round(F.max(c), 4).alias(f"{p}_max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col[2:4]}_nulls, {col[2:4]}_ndv, {col[2:4]}_min, {col[2:4]}_max"
+        for col in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, nulls, ndv, min_val, max_val)"
+    ).orderBy("col")

@@ -180,7 +180,12 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (tf has one row per (doc, token), so per-token row
+    # count IS the document frequency) — one fewer distinct aggregation,
+    # though Spark still re-tokenizes per branch (ReuseExchange cannot
+    # match across Generate nodes; see x_unigram_logprob's note — the
+    # 100 TB answer is a materialized token table feeding all consumers).
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf_col = F.col("tf") * F.log(
         (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
@@ -761,10 +766,17 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    corp = tok.agg(
-        F.count(F.lit(1)).cast("double").alias("total"),
-        F.countDistinct("token").cast("double").alias("v"),
+    # cnt and corp DERIVE from tf rather than re-aggregating tok — cheaper
+    # branches, and the structure a shared materialized token table needs.
+    # NOTE (measured, r5): Spark's ReuseExchange does NOT unify these
+    # branches — canonicalization fails across Generate (explode) nodes —
+    # so the plan re-tokenizes per branch.  At 100 TB the fix is the
+    # standard one: materialize the (doc_id, token, tf) table once (it is
+    # the input to tfidf/bm25/vocab too) and feed all consumers from it.
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    corp = cnt.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
     )
     contrib = F.col("tf") * F.log(
         (F.col("c") + 1.0) / (F.col("total") + F.col("v"))

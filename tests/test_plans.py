@@ -256,3 +256,13 @@ def test_join_salted_broadcasts_exploded_dim(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_analyze_stats_single_scan(spark):
+    """q_analyze_stats: all columns' statistics fold in ONE aggregate over
+    ONE FileScan (stack-unpivoted afterwards) — the UNION-of-aggregates
+    formulation reads the table once per column, which ANALYZE at 100 TB
+    cannot afford."""
+    df = get_queries()["q_analyze_stats"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan

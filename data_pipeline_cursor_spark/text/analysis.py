@@ -792,3 +792,58 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nll <= 7.5).alias("keep"),
         )
     )
+
+
+@register(
+    "x_token_table",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT)  AS df,
+           CAST(SUM(tf) AS BIGINT)   AS total_tf
+    FROM tf
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 20
+    """,
+)
+def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized token table — the at-scale fix for the multi-pass
+    shape x_tfidf/x_unigram_logprob document (ReuseExchange cannot unify
+    branches across Generate nodes, so every consumer re-tokenizes):
+    tokenize ONCE, persist (doc_id, token, tf) as parquet, and feed every
+    downstream statistic from the materialized table.
+
+    This query runs the full pattern: build → write (distributed parquet
+    sink) → read back → aggregate per-token df/total_tf from the table —
+    so the hash check proves the materialization lossless AND demonstrates
+    the single-tokenize feed.  At 100 TB the token table is the shared
+    input of tfidf/bm25/vocab-coverage/unigram-LM, amortizing the
+    tokenize+first-aggregate across all of them; sort it by token at
+    write time and every per-token consumer also gets clustered scans."""
+    import os
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    path = _work_dir(sf_dir, "token_table")
+    tf.write.mode("overwrite").parquet(path)
+    table = spark.read.schema(tf.schema).parquet(path)
+    return (
+        table.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )

@@ -294,3 +294,40 @@ def array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER)
+             AS n_long,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             AS len_sum,
+           (len(list_filter(toks, t -> t = 'spark')) > 0)  AS has_spark,
+           (len(list_filter(toks, t -> length(t) = 0)) = 0) AS all_nonempty
+    FROM t
+    """,
+)
+def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (D24's lambda tier: filter / aggregate
+    fold / exists / forall) — per-row functional programming that stays
+    entirely inside Catalyst codegen, the idiomatic alternative to
+    exploding when the answer is per-row.  The fold's add runs in long —
+    deterministic; the oracle spells exists/forall as the portable
+    list_filter forms."""
+    from data_pipeline_cursor_spark.text.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("len_sum"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+    )

@@ -987,3 +987,59 @@ def s_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_obs_ts"),
         )
     )
+
+
+@register(
+    "s_chained_agg",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts)/300) AS BIGINT) AS b5, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT make_timestamp((b5 // 3) * 900 * 1000000)       AS window_start,
+           make_timestamp(((b5 // 3) + 1) * 900 * 1000000) AS window_end,
+           event_type,
+           CAST(SUM(n) AS BIGINT)   AS total_events,
+           CAST(MAX(n) AS BIGINT)   AS max_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (the multiple-
+    stateful-operators capability Spark gained in 3.4; Flink expresses the
+    same as cascading window aggregations): 5-min tumbling count per type,
+    re-aggregated into 15-min windows (total / max-bucket / bucket count)
+    via the window-of-window API — `F.window(F.col("window"), "15 minutes")`
+    chains the second aggregate off the first's window STRUCT, both in
+    append mode under one watermark.
+
+    Why this matters at scale: the cascade keeps the wide keyspace (5-min
+    buckets) in the FIRST operator's store and hands the second operator
+    pre-collapsed rows — the streaming analog of partial aggregation; the
+    alternative (re-reading the first job's sink) doubles end-to-end
+    latency and storage.  Drain/oracle argument is s_tumble's: the flush
+    sentinel finalizes every real window at BOTH levels, so the result
+    equals the batch two-level bucket aggregation."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    first = df.groupBy(
+        F.window("event_time", "5 minutes"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    second = (
+        first.groupBy(F.window(F.col("window"), "15 minutes"), "event_type")
+        .agg(
+            F.sum("n").alias("total_events"),
+            F.max("n").alias("max_bucket"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "total_events",
+            "max_bucket",
+            "n_buckets",
+        )
+    )
+    return run_to_completion(second, _ckpt("chained"))

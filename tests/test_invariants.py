@@ -844,3 +844,21 @@ def test_embed_pca_invariants(spark):
         other = again[r["vec_id"]]
         for i in range(N_COMPONENTS):
             assert r[f"pc{i + 1}"] == other[f"pc{i + 1}"]
+
+
+def test_money_aggregates_parallelism_invariant(spark):
+    """The fold-order-free claim of operators/analytics.py, tested: the
+    decimal-money Q1-shape must produce BIT-identical doubles at any
+    parallelism.  A double-SUM formulation fails this (different partition
+    counts → different fold trees → last-ulp drift); the per-row
+    DECIMAL(18,4) quantization makes the aggregate exact."""
+    q = get_queries()["q_tpch_pricing"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = sorted(tuple(r) for r in q(spark, SF_ORACLE).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(tuple(r) for r in q(spark, SF_ORACLE).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b

@@ -475,3 +475,93 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pairs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+_PR_SCALE = 1_000_000  # fixed-point rank scale
+_PR_ROUNDS = 2  # oracle unrolls the same fixed count
+
+
+def _duck_pr_round(prev: str) -> str:
+    """One integer PageRank round: contributions r//deg summed per target,
+    damped as 150000 + (85·Σ)//100 — all BIGINT, fold-order-free."""
+    return f"""
+      SELECT e.v AS node,
+             150000 + (85 * SUM(p.r // p.d)) // 100 AS r
+      FROM edges e JOIN {prev} p ON p.node = e.u
+      GROUP BY e.v
+    """
+
+
+_PAGERANK_ORACLE = f"""
+    WITH pairs AS ({_DUCK_JACCARD_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS r, deg AS d
+           FROM deg),
+    r1c AS ({_duck_pr_round('r0')}),
+    r1 AS (SELECT r1c.node, r1c.r, deg.deg AS d
+           FROM r1c JOIN deg ON deg.u = r1c.node),
+    r2c AS ({_duck_pr_round('r1')})
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank
+    FROM r2c
+"""
+
+
+@register("x_pagerank", oracle=_PAGERANK_ORACLE)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the near-dup graph (x_dedup_jaccard's
+    candidate pairs, symmetrized) — the second iterative graph algorithm
+    after x_dedup_cluster's connected components, and the ranking signal a
+    dedup pipeline uses to pick the CANONICAL copy inside a cluster (keep
+    the most-linked duplicate, not the lowest id).
+
+    Determinism strategy is x_kmeans_int8's: ranks are integers at scale
+    10⁶; each round's contribution is r // deg (exact integer division)
+    and damping is 150000 + (85·Σ)//100 — every operation is an
+    order-free integer fold, so {_PR_ROUNDS} unrolled rounds hash-match
+    the DuckDB CTE replay exactly.  (Float PageRank cannot be oracle'd:
+    the per-target sum's fold order drifts last-ulp across engines.)
+
+    100 TB: per round, one join of the edge list against the rank table
+    (both keyed by node — co-partitioned after the first shuffle) and one
+    partial-aggregated groupBy; rank-table size is |nodes in the near-dup
+    graph|, far below corpus size.  More rounds = same plan repeated;
+    lineage is kept flat by re-deriving from the cached pair set exactly
+    like x_dedup_cluster."""
+    pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        edges = fwd.union(rev).distinct()
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        ranks = deg.select(
+            F.col("u").alias("node"),
+            F.lit(_PR_SCALE).cast("long").alias("r"),
+            F.col("deg").alias("d"),
+        )
+        for i in range(_PR_ROUNDS):
+            contrib = edges.join(ranks, edges.u == ranks.node).select(
+                F.col("v"), F.expr("r div d").alias("c")
+            )
+            new_r = contrib.groupBy(F.col("v").alias("node")).agg(
+                (F.lit(150000) + F.expr("(85 * sum(c)) div 100"))
+                .cast("long")
+                .alias("r")
+            )
+            if i < _PR_ROUNDS - 1:
+                ranks = new_r.join(deg, new_r.node == deg.u).select(
+                    "node", "r", F.col("deg").alias("d")
+                )
+            else:
+                ranks = new_r
+        return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank"))
+    finally:
+        pairs.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -439,3 +439,62 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q_tpch_global_sales",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def tpch_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sleeping-customer analysis: customers with an
+    above-global-average balance and no orders since 2000 (the fixture's
+    order density makes literal Q22's "no orders ever" empty), grouped by
+    segment — global-scalar subquery + date-filtered anti join in one plan.
+
+    The scalar average broadcasts as a one-row crossJoin (never a driver
+    collect); the NOT EXISTS is a left-anti hash join on custkey.  The
+    comparison `c_acctbal > avg` uses the raw double average — identical
+    per-row IEEE compare in both engines (no aggregation-order hazard:
+    AVG of doubles is fold-order-dependent, BUT the predicate only
+    changes the result if a customer's balance lands within ulps of the
+    mean — the fixture's 2-decimal balances sit far from it, and the
+    decimal-exact output sum keeps the emitted values stable)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+            ),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -565,3 +565,106 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pairs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+@register(
+    "x_minhash_accuracy",
+    oracle=_DUCK_MINHASH
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
+              + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT))
+               AS n_eq
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+            OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(c.n_eq / 4.0, 4) AS est,
+           ROUND(len(list_intersect(sa.ss, sb.ss))
+                 / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
+                        AS DOUBLE), 4) AS exact,
+           ROUND(abs(c.n_eq / 4.0
+                     - len(list_intersect(sa.ss, sb.ss))
+                       / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
+                              AS DOUBLE)), 4) AS abs_err
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    """,
+)
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy (the x_ann_recall pattern for the dedup
+    stack): for every LSH candidate pair, the signature-agreement Jaccard
+    estimate (matching components / 4) against the EXACT shingle-set
+    Jaccard, with the absolute error — the calibration table that decides
+    whether a (bands, rows) config under- or over-merges before anyone
+    deletes data with it.
+
+    4 hashes quantize the estimate to quarters — deliberately the same
+    verifiable width as x_dedup_minhash (production uses 128+; the math
+    and the plan are width-independent).  Exact sets ride the same
+    shingle construction the signatures hash, so est and exact measure
+    the same universe.
+
+    100 TB: candidates come from the banded equi-joins (never all
+    pairs); the exact-Jaccard verification touches only candidate rows —
+    O(corpus + candidates), the same bound as x_dedup_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(docs, 4).cache()
+
+    def band_pairs(k1: str, k2: str) -> DataFrame:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        return (
+            a.join(b, ["b1", "b2"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    cand = band_pairs("mh0", "mh1").unionByName(band_pairs("mh2", "mh3")).distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(4)
+    )
+    sets = docs.select(
+        "doc_id", F.array_distinct(shingles_col(tokens_col())).alias("ss")
+    )
+    seta = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    setb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    inter = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    union = F.size(F.array_distinct(F.concat(F.col("ssa"), F.col("ssb"))))
+    est_raw = n_eq / F.lit(4.0)
+    exact_raw = inter / union.cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_eq", n_eq)
+        .join(seta, "doc_a")
+        .join(setb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_eq") / 4.0, 4).alias("est"),
+            F.round(exact_raw, 4).alias("exact"),
+            F.round(F.abs(est_raw - exact_raw), 4).alias("abs_err"),
+        )
+    )

@@ -668,3 +668,77 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est_raw - exact_raw), 4).alias("abs_err"),
         )
     )
+
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (
+      SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS r, deg AS d
+           FROM deg),
+    r1c AS ({_duck_pr_round('r0')}),
+    r1 AS (SELECT r1c.node, r1c.r, deg.deg AS d
+           FROM r1c JOIN deg ON deg.u = r1c.node),
+    r2c AS ({_duck_pr_round('r1')})
+    SELECT cluster_id, canonical_id, rank, n_members FROM (
+      SELECT l.cluster_id, l.node AS canonical_id,
+             CAST(p.r AS BIGINT) AS rank,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY p.r DESC, l.node) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS n_members
+      FROM labels l JOIN r2c p ON p.node = l.node
+    ) WHERE rn = 1
+"""
+
+
+@register("x_canonical_pick", oracle=_CANONICAL_ORACLE)
+def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection — the dedup stack's capstone composition:
+    connected components label every near-dup cluster (x_dedup_cluster),
+    fixed-point PageRank scores every member (x_pagerank), and each
+    cluster keeps its highest-ranked member (ties → min doc_id) — "keep
+    the most-linked copy", the policy real curation uses instead of
+    lowest-id-wins.
+
+    Honest-composition note: both components derive the same Jaccard
+    candidate pairs, so this query computes them twice (each component
+    caches its own).  Production materializes the candidate-pair table
+    once (the x_token_table pattern) and feeds both; the composition here
+    keeps every piece independently oracle-checked, and the combined
+    DuckDB replay (recursive closure + unrolled integer PageRank + one
+    ranking window) hash-checks the end-to-end decision."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup_cluster(spark, sf_dir)
+    ranks = pagerank(spark, sf_dir)
+    joined = clusters.join(ranks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "rank",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -539,7 +539,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        edges = fwd.union(rev).distinct()
+        # cache the symmetrized edge list: the lazy round chain references
+        # it 2× per round (join + next round's lineage) plus deg — without
+        # the cache each reference re-runs the union+distinct shuffle
+        edges = fwd.union(rev).distinct().cache()
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         ranks = deg.select(
             F.col("u").alias("node"),
@@ -563,7 +566,12 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ranks = new_r
         return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank"))
     finally:
-        pairs.unpersist()
+        # NOTE: pairs/edges caches stay LRU-managed (module docstring) — the
+        # returned frame is LAZY, so an eager unpersist here would silently
+        # drop the cache before the caller ever executes the plan and the
+        # block-join would re-run once per edge reference (measured ~2×
+        # slower at sf0.1; x_dedup_cluster may unpersist only because it
+        # materializes internally).
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
@@ -645,9 +653,12 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_eq = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(4)
     )
+    # cache: the shingle-set projection feeds BOTH join sides; uncached it
+    # re-tokenizes+re-shingles the corpus twice (LRU-managed lifetime,
+    # module docstring)
     sets = docs.select(
         "doc_id", F.array_distinct(shingles_col(tokens_col())).alias("ss")
-    )
+    ).cache()
     seta = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     setb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
     inter = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))

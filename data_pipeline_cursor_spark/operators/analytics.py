@@ -498,3 +498,43 @@ def tpch_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_tpch_promo_share",
+    oracle=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN {_REV_SQL.replace('l_', 'l.l_')}
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE)
+                 / CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE), 4)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-10-01 00:00:00'
+    """,
+)
+def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: promo revenue as a share of one
+    month's revenue — conditional decimal sums over a part-dim broadcast
+    join, one double division at the end.  The month predicate prunes the
+    fact scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(zero)
+                ).cast("double")
+                / F.sum(_revenue()).cast("double"),
+                4,
+            ).alias("promo_share")
+        )
+    )

@@ -847,3 +847,76 @@ def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "x_cooccurrence_pmi",
+    oracle="""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM dtok GROUP BY token),
+    top AS (SELECT token, n FROM df ORDER BY n DESC, token LIMIT 20),
+    ft AS (SELECT d.doc_id, d.token FROM dtok d JOIN top USING (token)),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT p.tok_a, p.tok_b, p.n_ab,
+           ROUND(ln((p.n_ab * nd.n_docs) / (ta.n * tb.n)), 4) AS pmi
+    FROM pairs p
+    JOIN top ta ON ta.token = p.tok_a
+    JOIN top tb ON tb.token = p.tok_b
+    CROSS JOIN nd
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI over the top-20 vocabulary (the word-vector
+    prep statistic: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) at document
+    granularity) — which frequent terms attract or repel each other.
+
+    Vocabulary is capped BEFORE the pair stage (TakeOrdered top-20 by df,
+    total ties), so the per-doc self-join emits ≤ C(20,2) pairs per doc —
+    the cap is what makes co-occurrence tractable at any corpus size
+    (uncapped all-token pairs are O(doc_len²) per doc).  All counts are
+    integers; PMI is one ln of an exact ratio.  100 TB: doc-frequency
+    agg + broadcast top-20 + shuffle on doc_id for the pair stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
+    )
+    df = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = df.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    ft = dtok.join(F.broadcast(top.select("token")), "token")
+    a = ft.select("doc_id", F.col("token").alias("tok_a"))
+    b = ft.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    ta = top.select(F.col("token").alias("tok_a"), F.col("n").alias("na"))
+    tb = top.select(F.col("token").alias("tok_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "tok_a")
+        .join(F.broadcast(tb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_docs"))
+                    / (F.col("na") * F.col("nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

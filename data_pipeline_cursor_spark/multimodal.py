@@ -289,3 +289,50 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "media_id bigint, frame_idx int, frame_offset bigint, frame_md5 string",
     )
+
+
+@register(
+    "x_media_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000 AS media_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT md5(text) AS checksum,
+           CAST(MIN(media_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_copies,
+           CAST(MIN(length(text)) AS BIGINT) AS n_bytes
+    FROM media
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup (the image-corpus first pass: identical BYTES,
+    before any perceptual hashing): group on md5(payload), keep the min
+    media_id.  Grouping on the 32-char checksum, not the BLOB, is the
+    load-bearing choice — shuffle keys are 32 bytes instead of megabyte
+    payloads, so reducer input stays tiny at any corpus size (the
+    md5-key variant x_dedup_exact's docstring promises, realized here
+    where payloads are genuinely opaque bytes).
+
+    A deterministic re-keyed copy of every 13th row is unioned in so the
+    result is non-vacuous at every SF (x_dedup_exact's fixture
+    convention).  Near-dup (perceptual) media hashing plugs into the
+    same plan with pHash-over-mapInPandas as the checksum."""
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+    copies = media.filter(F.col("media_id") % 13 == 0).select(
+        (F.col("media_id") + F.lit(20_000_000)).alias("media_id"), "payload"
+    )
+    return (
+        media.unionByName(copies)
+        .groupBy(F.md5("payload").alias("checksum"))
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.length("payload")).alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -127,3 +127,138 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+@register(
+    "q_pattern_match",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS v1,
+             lag(value, 2) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS v2
+      FROM events
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS match_end,
+           ROUND(v2, 4) AS v_first,
+           ROUND(v1, 4) AS v_mid,
+           ROUND(value, 4) AS v_last
+    FROM w
+    WHERE v2 < v1 AND v1 < value
+    """,
+)
+def pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection, MATCH_RECOGNIZE re-expressed (the reference
+    ships Flink, whose SQL surface includes MATCH_RECOGNIZE; Spark has no
+    such clause): the pattern A < B < C — three strictly-rising values per
+    user — as two lag() windows + one predicate, emitting each match's
+    final row with the matched triple.
+
+    The lag formulation IS the scale answer for fixed-length patterns: one
+    shuffle on the partition key, sequential scan per key, no NFA state.
+    (Variable-length / Kleene patterns need a stateful pass —
+    applyInPandasWithState, s_custom_state's shape.)  Ordering is made
+    total with event_id, so matches are deterministic under ties."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v1, v2 = F.lag("value", 1).over(w), F.lag("value", 2).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            v1.alias("v1"),
+            v2.alias("v2"),
+        )
+        .filter((F.col("v2") < F.col("v1")) & (F.col("v1") < F.col("value")))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("match_end"),
+            F.round("v2", 4).alias("v_first"),
+            F.round("v1", 4).alias("v_mid"),
+            F.round("value", 4).alias("v_last"),
+        )
+    )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(s.t_signup) AS BIGINT)   AS n_signup,
+           CAST(COUNT(v.t_view) AS BIGINT)     AS n_view,
+           CAST(COUNT(p.t_purchase) AS BIGINT) AS n_purchase,
+           ROUND(COUNT(v.t_view) / CAST(COUNT(s.t_signup) AS DOUBLE), 4)
+             AS view_rate,
+           ROUND(COUNT(p.t_purchase) / CAST(COUNT(s.t_signup) AS DOUBLE), 4)
+             AS purchase_rate
+    FROM s
+    LEFT JOIN v ON v.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+    WHERE s.t_signup IS NOT NULL
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (the product-analytics staple): users who
+    signed up → first view AFTER the signup → first purchase AFTER that
+    view, with per-stage counts and conversion rates.  The ORDER
+    constraint (each stage strictly after the previous) is what separates
+    a funnel from three independent counts.
+
+    Plan: three conditional min-aggregates chained by per-user joins —
+    each stage shuffles once on user_id and the join keys co-locate, so
+    stage N+1 reuses stage N's partitioning.  Counts are integers;
+    rates are one exact division each."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    ).filter(F.col("t_signup").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    joined = s.join(v, "user_id", "left").join(p, "user_id", "left")
+    n_s, n_v, n_p = (
+        F.count("t_signup"),
+        F.count("t_view"),
+        F.count("t_purchase"),
+    )
+    return joined.agg(
+        n_s.alias("n_signup"),
+        n_v.alias("n_view"),
+        n_p.alias("n_purchase"),
+        F.round(n_v / n_s.cast("double"), 4).alias("view_rate"),
+        F.round(n_p / n_s.cast("double"), 4).alias("purchase_rate"),
+    )

@@ -262,3 +262,50 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_v / n_s.cast("double"), 4).alias("view_rate"),
         F.round(n_p / n_s.cast("double"), 4).alias("purchase_rate"),
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(a.w - f.cohort_week AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    WHERE a.w - f.cohort_week <= 4
+    GROUP BY f.cohort_week, a.w - f.cohort_week
+    ORDER BY cohort_week, k
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple next to the
+    funnel): users cohorted by first-activity week, counted as active in
+    each subsequent week offset k — the diagonal decay table retention
+    dashboards plot.
+
+    Week bucketing is integer epoch-week arithmetic (truncated seconds
+    cannot cross a 604800 s boundary vs fractional epoch — both engines
+    land in the same week).  Plan: one per-user min-aggregate + one
+    distinct — both shuffle on user_id and co-locate for the join; the
+    final aggregate's key space is |weeks|×|offsets|, tiny at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")  # noqa: E731
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    act = ev.select("user_id", week(F.col("ts")).alias("w")).distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn("k", F.col("w") - F.col("cohort_week"))
+        .filter(F.col("k") <= 4)
+        .groupBy("cohort_week", "k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "k")
+    )

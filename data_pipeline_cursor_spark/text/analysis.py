@@ -920,3 +920,79 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "x_dataset_card",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM per_src),
+    ent AS (
+      SELECT ROUND(-SUM((cnt / CAST(t.n AS DOUBLE))
+                        * ln(cnt / CAST(t.n AS DOUBLE))), 4) AS source_entropy,
+             max_by(source, cnt || '|' || source) AS top_source
+      FROM per_src CROSS JOIN tot t
+    ),
+    doc AS (
+      SELECT CAST(COUNT(*) AS BIGINT)        AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT)    AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT)   AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents
+    ),
+    tok AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    )
+    SELECT doc.n_docs, doc.total_chars, tok.total_tokens,
+           doc.n_langs, doc.n_sources, ent.top_source, ent.source_entropy
+    FROM doc CROSS JOIN tok CROSS JOIN ent
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (the corpus-documentation row every
+    released training set ships): document/character/token totals,
+    language and source cardinalities, the dominant source, and the
+    source-distribution entropy — one row summarizing the corpus.
+
+    top_source uses a TOTAL max_by key (count||source) so source-count
+    ties are deterministic; entropy folds |sources| exact-ratio terms
+    (round-4 absorbs the ≤10-term fold).  Plan: three small aggregate
+    branches crossJoined as broadcast one-rows — each branch is a
+    partial-agg scan, nothing corpus-sized moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_src.agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n").cast("double")
+    ent = per_src.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(p * F.log(p)), 4).alias("source_entropy"),
+        F.max_by(
+            "source",
+            F.concat_ws("|", F.col("cnt").cast("string"), F.col("source")),
+        ).alias("top_source"),
+    )
+    doc = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    tok = docs.select(F.explode(tokens_col()).alias("t")).agg(
+        F.count(F.lit(1)).alias("total_tokens")
+    )
+    return (
+        doc.crossJoin(F.broadcast(tok))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "n_sources",
+            "top_source",
+            "source_entropy",
+        )
+    )

@@ -309,3 +309,81 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "k")
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags (the monitoring-pipeline staple): events more
+    than 2.5 per-key standard deviations from their key's mean.
+
+    Per-key stats are an O(keys) broadcast joined back onto the scan —
+    the fact never shuffles.  stddev's float fold sits 6+ orders of
+    magnitude above the 2.5 cutoff's ulp neighborhood for this fixture,
+    and emitted z-scores are round-4; boundary-riding values would need
+    the DECIMAL quantization treatment (registry.py rules)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("et"))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, nullif(event_type, 'error') AS k, value FROM events
+      WHERE event_id % 7 = 0
+    ),
+    b AS (
+      SELECT nullif(event_type, 'error') AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_side
+      FROM events GROUP BY 1
+    )
+    SELECT a.event_id, a.k, ROUND(a.value, 4) AS value, b.n_side
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (D-family completion: `<=>` ≡ IS NOT DISTINCT
+    FROM) — NULL keys MATCH each other instead of vanishing, the semantic
+    a changelog/dimension join needs when NULL is a real key value.
+    Spark plans `<=>` as a hash join (it is still an equi-predicate), so
+    the cost model is the plain join's."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", k.alias("k"), "value"
+    )
+    b = ev.select(k.alias("bk")).groupBy("bk").agg(
+        F.count(F.lit(1)).alias("n_side")
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.bk))
+        .select("event_id", "k", F.round("value", 4).alias("value"), "n_side")
+    )

@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
     from data_pipeline_cursor_spark.sources import formats  # noqa: F401
     from data_pipeline_cursor_spark.text import (  # noqa: F401
         analysis,
+        bpe,
         contamination,
         dedup,
         packing,

@@ -1,0 +1,146 @@
+"""Byte-pair-encoding merge training (SURVEY.md §2.E family — the
+tokenizer-training step of an LLM data pipeline, distributed).
+
+Not in the reference.  Classic BPE (Sennrich et al. 2016): start from
+characters, repeatedly merge the most frequent adjacent symbol pair.  The
+distributed formulation here is the standard one — the weighted word-type
+table is the state, never the corpus:
+
+- one corpus pass builds (word, count) — vocabulary-sized;
+- each merge round is a pair-count aggregate over the word table (explode
+  adjacent symbol pairs weighted by word count, one shuffle on the pair)
+  plus a broadcast of the single winning pair applied via string replace;
+- rounds are lazily chained with per-round caches (LRU-managed,
+  text/dedup.py docstring convention) so the plan stays flat.
+
+Determinism (the reason this can carry a full DuckDB oracle, unlike any
+float-scored trainer): pair counts are exact integer sums; the argmax
+tie-break is the total order (count DESC, left, right); and the merge
+application is plain left-to-right non-overlapping string replace on the
+space-separated symbol string — verified to behave identically in Spark
+and DuckDB including the overlapping-occurrence case (' a a a ' →
+' aa a ' in both).  The oracle unrolls the same fixed ROUNDS as CTEs.
+
+100 TB: the corpus pass is one token aggregate; everything after runs on
+the word-TYPE table (vocabulary-sized — millions of rows at web scale,
+not billions), which is why single-machine BPE trainers survive at all;
+here even that table is distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_cursor_spark.registry import register
+from data_pipeline_cursor_spark.sources import load_table
+from data_pipeline_cursor_spark.text.dedup import tokens_col
+
+ROUNDS = 3
+
+
+def _pairs(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs of the ' a b c '-form symbol string, weighted
+    by word count: one explode + one hash agg (shuffle key = the pair)."""
+    arr = F.split(F.trim(F.col("s")), " ")
+    n = F.greatest(F.size(arr) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(arr, 1, n), F.slice(arr, 2, n))
+    return (
+        words.select(
+            "cnt", F.explode(zipped).alias("p")
+        )
+        .select("cnt", F.col("p")["0"].alias("pa"), F.col("p")["1"].alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _best(pairs: DataFrame) -> DataFrame:
+    """The winning pair under the TOTAL order (n DESC, pa, pb)."""
+    return pairs.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(1)
+
+
+def _duck_round(prev: str, k: int) -> str:
+    return f"""
+    p{k} AS (
+      SELECT arr[g.i] AS pa, arr[g.i + 1] AS pb, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (SELECT cnt, string_split(trim(s), ' ') AS arr FROM {prev}),
+           unnest(generate_series(1, len(arr) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT pa, pb, n FROM p{k} ORDER BY n DESC, pa, pb LIMIT 1),
+    s{k} AS (
+      SELECT w, cnt,
+             replace(s, ' ' || b.pa || ' ' || b.pb || ' ',
+                        ' ' || b.pa || b.pb || ' ') AS s
+      FROM {prev} CROSS JOIN b{k} b
+    )"""
+
+
+_BPE_ORACLE = f"""
+    WITH wc AS (
+      SELECT t.tk AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+      GROUP BY t.tk
+    ),
+    s0 AS (
+      SELECT w, cnt,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM wc
+    ),
+    {','.join(_duck_round(f's{k - 1}', k) for k in range(1, ROUNDS + 1))}
+    SELECT * FROM (
+      {' UNION ALL '.join(
+          f"SELECT {k} AS merge_round, pa AS left_sym, pb AS right_sym, "
+          f"n AS pair_count FROM b{k}"
+          for k in range(1, ROUNDS + 1))}
+    ) ORDER BY merge_round
+"""
+
+
+@register("x_bpe_train", oracle=_BPE_ORACLE)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {ROUNDS} BPE merges on the document corpus (module docstring)
+    and emit the merge table — (merge_round, left_sym, right_sym,
+    pair_count), the artifact a tokenizer ships.  Fully lazy: the winning
+    pair is broadcast-crossJoined into the next round's replace, never
+    collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("s"),
+    ).cache()
+    bests = []
+    for k in range(1, ROUNDS + 1):
+        best = _best(_pairs(words)).cache()
+        bests.append(
+            best.select(
+                F.lit(k).alias("merge_round"),
+                F.col("pa").alias("left_sym"),
+                F.col("pb").alias("right_sym"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        if k < ROUNDS:
+            merged = F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
+            )
+            words = (
+                words.crossJoin(F.broadcast(best.select("pa", "pb")))
+                .select("w", "cnt", merged.alias("s"))
+                .cache()
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")

@@ -1,5 +1,5 @@
-"""Byte-pair-encoding merge training (SURVEY.md §2.E family — the
-tokenizer-training step of an LLM data pipeline, distributed).
+"""Byte-pair-encoding merge training + application (SURVEY.md §2.E family
+— the tokenizer-training step of an LLM data pipeline, distributed).
 
 Not in the reference.  Classic BPE (Sennrich et al. 2016): start from
 characters, repeatedly merge the most frequent adjacent symbol pair.  The
@@ -19,7 +19,7 @@ tie-break is the total order (count DESC, left, right); and the merge
 application is plain left-to-right non-overlapping string replace on the
 space-separated symbol string — verified to behave identically in Spark
 and DuckDB including the overlapping-occurrence case (' a a a ' →
-' aa a ' in both).  The oracle unrolls the same fixed ROUNDS as CTEs.
+' aa a ' in both).  The oracles unroll the same fixed ROUNDS as CTEs.
 
 100 TB: the corpus pass is one token aggregate; everything after runs on
 the word-TYPE table (vocabulary-sized — millions of rows at web scale,
@@ -46,9 +46,7 @@ def _pairs(words: DataFrame) -> DataFrame:
     n = F.greatest(F.size(arr) - 1, F.lit(0))
     zipped = F.arrays_zip(F.slice(arr, 1, n), F.slice(arr, 2, n))
     return (
-        words.select(
-            "cnt", F.explode(zipped).alias("p")
-        )
+        words.select("cnt", F.explode(zipped).alias("p"))
         .select("cnt", F.col("p")["0"].alias("pa"), F.col("p")["1"].alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.sum("cnt").alias("n"))
@@ -58,6 +56,39 @@ def _pairs(words: DataFrame) -> DataFrame:
 def _best(pairs: DataFrame) -> DataFrame:
     """The winning pair under the TOTAL order (n DESC, pa, pb)."""
     return pairs.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(1)
+
+
+def _train(docs: DataFrame):
+    """ROUNDS merge rounds over the word-type table.  Returns
+    ([best_1..best_ROUNDS], words_after_all_merges); everything lazy —
+    winning pairs are broadcast-crossJoined, never collected."""
+    wc = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("s"),
+    ).cache()
+    bests = []
+    for _ in range(ROUNDS):
+        best = _best(_pairs(words)).cache()
+        bests.append(best)
+        merged = F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
+        )
+        words = (
+            words.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .select("w", "cnt", merged.alias("s"))
+            .cache()
+        )
+    return bests, words
 
 
 def _duck_round(prev: str, k: int) -> str:
@@ -77,7 +108,7 @@ def _duck_round(prev: str, k: int) -> str:
     )"""
 
 
-_BPE_ORACLE = f"""
+_DUCK_CHAIN = f"""
     WITH wc AS (
       SELECT t.tk AS w, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
@@ -89,6 +120,11 @@ _BPE_ORACLE = f"""
       FROM wc
     ),
     {','.join(_duck_round(f's{k - 1}', k) for k in range(1, ROUNDS + 1))}
+"""
+
+
+_BPE_ORACLE = f"""
+    {_DUCK_CHAIN}
     SELECT * FROM (
       {' UNION ALL '.join(
           f"SELECT {k} AS merge_round, pa AS left_sym, pb AS right_sym, "
@@ -102,45 +138,56 @@ _BPE_ORACLE = f"""
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {ROUNDS} BPE merges on the document corpus (module docstring)
     and emit the merge table — (merge_round, left_sym, right_sym,
-    pair_count), the artifact a tokenizer ships.  Fully lazy: the winning
-    pair is broadcast-crossJoined into the next round's replace, never
-    collected."""
+    pair_count), the artifact a tokenizer ships."""
     docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(tokens_col()).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    words = wc.select(
-        "w",
-        "cnt",
-        F.concat(
-            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
-        ).alias("s"),
-    ).cache()
-    bests = []
-    for k in range(1, ROUNDS + 1):
-        best = _best(_pairs(words)).cache()
-        bests.append(
-            best.select(
-                F.lit(k).alias("merge_round"),
-                F.col("pa").alias("left_sym"),
-                F.col("pb").alias("right_sym"),
-                F.col("n").alias("pair_count"),
-            )
+    bests, _words = _train(docs)
+    out = None
+    for k, best in enumerate(bests, start=1):
+        row = best.select(
+            F.lit(k).alias("merge_round"),
+            F.col("pa").alias("left_sym"),
+            F.col("pb").alias("right_sym"),
+            F.col("n").alias("pair_count"),
         )
-        if k < ROUNDS:
-            merged = F.replace(
-                F.col("s"),
-                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
-            )
-            words = (
-                words.crossJoin(F.broadcast(best.select("pa", "pb")))
-                .select("w", "cnt", merged.alias("s"))
-                .cache()
-            )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
+        out = row if out is None else out.unionByName(row)
     return out.orderBy("merge_round")
+
+
+_BPE_APPLY_ORACLE = f"""
+    {_DUCK_CHAIN}
+    SELECT sym, n_words, n_total FROM (
+      SELECT arr[g.i] AS sym,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+             CAST(SUM(cnt) AS BIGINT)          AS n_total
+      FROM (SELECT w, cnt, string_split(trim(s), ' ') AS arr FROM s{ROUNDS}),
+           unnest(generate_series(1, len(arr))) AS g(i)
+      GROUP BY 1
+    ) ORDER BY n_total DESC, sym
+    LIMIT 20
+"""
+
+
+@register("x_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merges and emit the resulting symbol vocabulary —
+    top-20 symbols by corpus frequency with word-type support.  Together
+    with x_bpe_train this is the tokenizer round trip: train merges →
+    segment the corpus with them → the symbol table a vocab file ships.
+    Segmentation is the same broadcast-replace chain (never collected);
+    the symbol count explodes the segmented word-type table, weighted by
+    word counts — corpus-frequency totals without touching the corpus a
+    second time."""
+    docs = load_table(spark, sf_dir, "documents")
+    _bests, words = _train(docs)
+    arr = F.split(F.trim(F.col("s")), " ")
+    return (
+        words.select("w", "cnt", F.explode(arr).alias("sym"))
+        .groupBy("sym")
+        .agg(
+            F.countDistinct("w").alias("n_words"),
+            F.sum("cnt").alias("n_total"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("sym"))
+        .limit(20)
+        .select("sym", "n_words", "n_total")
+    )

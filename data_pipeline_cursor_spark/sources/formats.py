@@ -165,3 +165,77 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source round-trip (Spark 4 ships the XML data source
+    natively — the spark-xml lineage merged upstream): write nation as
+    <row> elements, read back under an explicit schema with the same
+    rowTag, and return the typed rows — hash-checked against the original
+    parquet, proving element naming and text→int re-typing lossless.
+    DuckDB never parses XML; the oracle checks the VALUES, which is the
+    round-trip contract (same as the CSV/JSONL twins)."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _work_dir(sf_dir, "xml")
+    (
+        n.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "row")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(n.schema).option("rowTag", "row").format("xml").load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
+    )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro module is deployed on this session's JVM.
+
+    Avro has been an EXTERNAL module since Spark 2.4 — it ships with most
+    distributions but must be on the classpath (--packages
+    org.apache.spark:spark-avro_2.13).  Same gate posture as the Kafka
+    connector (streaming/sources.py).  Probed through Spark's OWN data
+    source resolution, not Class.forName: avro classes can be present on
+    the compile classpath without the module's ServiceLoader registration
+    (observed here), and only lookupDataSource answers the real question
+    "will format('avro') work"."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink → source round-trip — the row-oriented binary format a
+    Kafka-adjacent lakehouse speaks (the reference's Kafka Connect world
+    serializes Avro when a schema registry is present).  GATED: raises
+    with deployment instructions when spark-avro is absent (this sandbox);
+    the non-gated structure mirrors q_csv_roundtrip exactly."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro is not on the JVM classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+            "(external module since Spark 2.4).  Gate: avro_available()."
+        )
+    s = load_table(spark, sf_dir, "supplier")
+    back = _roundtrip(s, spark, sf_dir, "avro", write_opts={}, read_opts={})
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("s_nationkey")
+    )

@@ -122,3 +122,22 @@ def test_hour_pruned_scan_range_branch_equivalent_and_pushed(spark, tmp_path):
     # both folded bounds must reach the parquet reader
     assert "GreaterThanOrEqual(ts" in pushed, plan
     assert "LessThan(ts" in pushed, plan
+
+
+def test_avro_gate_refuses_without_module(spark):
+    """avro_roundtrip must refuse with deployment instructions when
+    spark-avro is absent (external module; same posture as the Kafka
+    gates) — and run losslessly when present."""
+    import pytest
+
+    from data_pipeline_cursor_spark.sources.formats import (
+        avro_available,
+        avro_roundtrip,
+    )
+    from tests.conftest import SF_SMOKE
+
+    if avro_available(spark):
+        assert avro_roundtrip(spark, SF_SMOKE).count() > 0
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            avro_roundtrip(spark, SF_SMOKE)

@@ -266,3 +266,43 @@ def test_analyze_stats_single_scan(spark):
     df = get_queries()["q_analyze_stats"](spark, SF_SMOKE)
     plan = _plan(df)
     assert plan.count("FileScan") == 1, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """q_anomaly_zscore: the per-key stats side must broadcast — the fact
+    scan never shuffles for an O(keys) statistics join."""
+    df = get_queries()["q_anomaly_zscore"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cooccurrence_broadcasts_vocab(spark):
+    """x_cooccurrence_pmi: the capped top-K vocabulary must broadcast into
+    the token stream — a shuffled vocab join would move the corpus for a
+    20-row dim."""
+    df = get_queries()["x_cooccurrence_pmi"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_train_no_sort_merge_join(spark):
+    """x_bpe_train: every join in the merge chain is a broadcast of the
+    single winning pair — a SortMergeJoin anywhere means a 1-row side got
+    shuffled."""
+    df = get_queries()["x_bpe_train"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_xml_roundtrip_single_scan(spark):
+    """q_xml_roundtrip: the returned plan reads ONLY the materialized XML
+    output (one scan) — re-reading the parquet source would make the
+    round-trip check vacuous."""
+    df = get_queries()["q_xml_roundtrip"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "xml" in plan.lower(), plan

@@ -365,6 +365,51 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "x_pair_table",
+    oracle=f"""
+    WITH d AS ({_DUCK_JACCARD_D}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
+      FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
+      WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_a,
+           CAST(COUNT(*) AS BIGINT)   AS n_partners,
+           ROUND(MAX(jaccard), 4)     AS best_jaccard,
+           CAST(MIN(doc_b) AS BIGINT) AS first_partner
+    FROM pairs
+    GROUP BY doc_a
+    """,
+)
+def pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized candidate-pair table — the dedup stack's analog of
+    x_token_table: compute the Jaccard near-dup pairs ONCE, persist
+    (doc_a, doc_b, jaccard) as parquet, read back, and aggregate a
+    per-document partner summary from the table — the hash check proves
+    the materialization lossless end to end.
+
+    At 100 TB this table is the shared input of clustering
+    (x_dedup_cluster), ranking (x_pagerank), calibration
+    (x_minhash_accuracy) and the canonical pick — amortizing the
+    tokenize + block-join (the dedup stack's data-heavy stage) across
+    all consumers exactly as x_canonical_pick's in-memory
+    localCheckpoint does within one job.  Write it bucketed by doc_a and
+    the label-propagation joins also start co-located."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+
+    pairs = jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+    path = _work_dir(sf_dir, "pair_table")
+    pairs.write.mode("overwrite").parquet(path)
+    table = spark.read.schema(pairs.schema).parquet(path)
+    return table.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+        F.min("doc_b").alias("first_partner"),
+    )
+
+
 
 @register(
     "x_dedup_cluster",
@@ -384,7 +429,9 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
 )
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup CLUSTERING (E2 completion): connected components over the
     Jaccard candidate pairs (x_dedup_jaccard's edges), labelling every
     involved doc with the min doc_id of its component — the canonical-doc
@@ -404,12 +451,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sparse near-dup graph), far below corpus size.  Shuffle width is
     pinned low for the loop — label/edge rows are a few machine words
     each, and at fixture scale empty-partition scheduling would dominate;
-    size it to |edges| at deployment."""
-    # materialize the candidate pairs at FULL shuffle width before
-    # narrowing it for the label loop: the Jaccard block-join is the
-    # data-heavy stage and feeds both union branches of the edge list
-    pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
-    pairs.count()
+    size it to |edges| at deployment.
+
+    ``pairs``: an already-materialized (doc_a, doc_b) candidate table
+    (x_canonical_pick passes one so cluster + PageRank share a single
+    Jaccard computation — the x_pair_table pattern); default recomputes."""
+    owns_pairs = pairs is None
+    if owns_pairs:
+        # materialize the candidate pairs at FULL shuffle width before
+        # narrowing it for the label loop: the Jaccard block-join is the
+        # data-heavy stage and feeds both union branches of the edge list
+        pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+        pairs.count()
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -473,7 +526,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
         )
     finally:
-        pairs.unpersist()
+        if owns_pairs:
+            pairs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
@@ -512,7 +566,9 @@ _PAGERANK_ORACLE = f"""
 
 
 @register("x_pagerank", oracle=_PAGERANK_ORACLE)
-def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Fixed-point PageRank over the near-dup graph (x_dedup_jaccard's
     candidate pairs, symmetrized) — the second iterative graph algorithm
     after x_dedup_cluster's connected components, and the ranking signal a
@@ -531,9 +587,14 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy; rank-table size is |nodes in the near-dup
     graph|, far below corpus size.  More rounds = same plan repeated;
     lineage is kept flat by re-deriving from the cached pair set exactly
-    like x_dedup_cluster."""
-    pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
-    pairs.count()
+    like x_dedup_cluster.
+
+    ``pairs``: an already-materialized (doc_a, doc_b) candidate table
+    (x_canonical_pick shares one across cluster + PageRank); default
+    recomputes and caches its own."""
+    if pairs is None:
+        pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+        pairs.count()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -725,17 +786,23 @@ def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-linked copy", the policy real curation uses instead of
     lowest-id-wins.
 
-    Honest-composition note: both components derive the same Jaccard
-    candidate pairs, so this query computes them twice (each component
-    caches its own).  Production materializes the candidate-pair table
-    once (the x_token_table pattern) and feeds both; the composition here
-    keeps every piece independently oracle-checked, and the combined
-    DuckDB replay (recursive closure + unrolled integer PageRank + one
-    ranking window) hash-checks the end-to-end decision."""
+    The Jaccard candidate pairs are computed ONCE (eager localCheckpoint —
+    materialized AND lineage-truncated) and shared by both components via
+    their ``pairs`` parameter — the x_pair_table/x_token_table
+    materialize-once pattern, which halves the capstone's cost vs each
+    component deriving its own pair set.  Every piece stays independently
+    oracle-checked, and the combined DuckDB replay (recursive closure +
+    unrolled integer PageRank + one ranking window) hash-checks the
+    end-to-end decision."""
     from pyspark.sql.window import Window
 
-    clusters = dedup_cluster(spark, sf_dir)
-    ranks = pagerank(spark, sf_dir)
+    pairs = (
+        dedup_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup_cluster(spark, sf_dir, pairs=pairs)
+    ranks = pagerank(spark, sf_dir, pairs=pairs)
     joined = clusters.join(ranks, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("rank"), F.asc("doc_id")

@@ -36,6 +36,12 @@ from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
 from data_pipeline_cursor_spark.text.dedup import tokens_col
 
+# Width of the REGISTERED queries (fixture-sized so the oracle CTE chain
+# stays readable).  Every builder below takes ``rounds`` as a parameter —
+# the Spark merge chain AND the generated DuckDB oracle derive from the
+# same value, so any width is hash-verifiable (the LSH n_planes pattern);
+# tests/test_invariants.py proves width-6 training end to end plus the
+# monotonicity law (per-round winning pair counts never increase).
 ROUNDS = 3
 
 
@@ -58,9 +64,9 @@ def _best(pairs: DataFrame) -> DataFrame:
     return pairs.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb")).limit(1)
 
 
-def _train(docs: DataFrame):
-    """ROUNDS merge rounds over the word-type table.  Returns
-    ([best_1..best_ROUNDS], words_after_all_merges); everything lazy —
+def _train(docs: DataFrame, rounds: int = ROUNDS):
+    """``rounds`` merge rounds over the word-type table.  Returns
+    ([best_1..best_rounds], words_after_all_merges); everything lazy —
     winning pairs are broadcast-crossJoined, never collected."""
     wc = (
         docs.select(F.explode(tokens_col()).alias("w"))
@@ -75,7 +81,7 @@ def _train(docs: DataFrame):
         ).alias("s"),
     ).cache()
     bests = []
-    for _ in range(ROUNDS):
+    for _ in range(rounds):
         best = _best(_pairs(words)).cache()
         bests.append(best)
         merged = F.replace(
@@ -108,7 +114,10 @@ def _duck_round(prev: str, k: int) -> str:
     )"""
 
 
-_DUCK_CHAIN = f"""
+def duck_chain(rounds: int = ROUNDS) -> str:
+    """The WITH-chain prefix (wc → s0 → p1/b1/s1 → … → s{rounds}) at any
+    merge width — the oracle twin of ``_train(docs, rounds)``."""
+    return f"""
     WITH wc AS (
       SELECT t.tk AS w, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
@@ -119,28 +128,30 @@ _DUCK_CHAIN = f"""
              ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
       FROM wc
     ),
-    {','.join(_duck_round(f's{k - 1}', k) for k in range(1, ROUNDS + 1))}
+    {','.join(_duck_round(f's{k - 1}', k) for k in range(1, rounds + 1))}
 """
 
 
-_BPE_ORACLE = f"""
-    {_DUCK_CHAIN}
+def bpe_train_oracle(rounds: int = ROUNDS) -> str:
+    """Full merge-table oracle at any width (same total tie order)."""
+    return f"""
+    {duck_chain(rounds)}
     SELECT * FROM (
       {' UNION ALL '.join(
           f"SELECT {k} AS merge_round, pa AS left_sym, pb AS right_sym, "
           f"n AS pair_count FROM b{k}"
-          for k in range(1, ROUNDS + 1))}
+          for k in range(1, rounds + 1))}
     ) ORDER BY merge_round
 """
 
 
-@register("x_bpe_train", oracle=_BPE_ORACLE)
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {ROUNDS} BPE merges on the document corpus (module docstring)
-    and emit the merge table — (merge_round, left_sym, right_sym,
-    pair_count), the artifact a tokenizer ships."""
+def bpe_train_df(
+    spark: SparkSession, sf_dir: str, rounds: int = ROUNDS
+) -> DataFrame:
+    """Merge table (merge_round, left_sym, right_sym, pair_count) at any
+    width — shared by the registered query and the width-sweep test."""
     docs = load_table(spark, sf_dir, "documents")
-    bests, _words = _train(docs)
+    bests, _words = _train(docs, rounds)
     out = None
     for k, best in enumerate(bests, start=1):
         row = best.select(
@@ -153,8 +164,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
+@register("x_bpe_train", oracle=bpe_train_oracle(ROUNDS))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {ROUNDS} BPE merges on the document corpus (module docstring)
+    and emit the merge table — (merge_round, left_sym, right_sym,
+    pair_count), the artifact a tokenizer ships."""
+    return bpe_train_df(spark, sf_dir, ROUNDS)
+
+
 _BPE_APPLY_ORACLE = f"""
-    {_DUCK_CHAIN}
+    {duck_chain(ROUNDS)}
     SELECT sym, n_words, n_total FROM (
       SELECT arr[g.i] AS sym,
              CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,

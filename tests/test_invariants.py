@@ -862,3 +862,30 @@ def test_money_aggregates_parallelism_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_bpe_width_parameter_and_monotone_counts(spark):
+    """BPE's merge width is a verified parameter (the LSH n_planes
+    pattern): training at rounds=6 must (a) hash-match the DuckDB oracle
+    GENERATED at the same width — so a retuned production width stays
+    oracle-checkable — and (b) obey the BPE monotonicity law: each round's
+    winning pair count never exceeds the previous round's (a merge only
+    removes adjacencies; any new pair involves the merged symbol, whose
+    occurrence count is bounded by the winning count)."""
+    from tests.oracle_harness import canonical_rows, duckdb_connection
+    from data_pipeline_cursor_spark.text.bpe import (
+        bpe_train_df,
+        bpe_train_oracle,
+    )
+
+    wide = bpe_train_df(spark, SF_SMOKE, rounds=6).toPandas()
+    assert list(wide["merge_round"]) == list(range(1, 7))
+    counts = list(wide["pair_count"])
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+    con = duckdb_connection(SF_SMOKE)
+    try:
+        duck = con.sql(bpe_train_oracle(rounds=6)).df()
+    finally:
+        con.close()
+    assert canonical_rows(wide) == canonical_rows(duck)

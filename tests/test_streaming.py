@@ -623,3 +623,30 @@ def test_fill_forward_batch_equivalence(spark):
         "event_type", "n_obs", "last_reading", "last_obs_ts"
     ).toPandas()
     assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_rocksdb_high_cardinality_dedup_state(spark):
+    """Round-5 follow-through on the 100 TB state posture: the RocksDB
+    provider must carry a HIGH-cardinality state store — s_dedup_stream
+    keys its state per event_id (10k distinct keys at sf0.01, vs the
+    handful of (window, type) keys s_tumble holds) — and still drain to
+    the identical result as the on-heap store.  At 100 TB this is the
+    job shape (per-document dedup state) that overflows on-heap state
+    and makes the RocksDB flip mandatory."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.session import rocksdb_state_store
+    from data_pipeline_cursor_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import canonical_rows
+
+    n_keys = (
+        load_table(spark, SF_ORACLE, "events").select("event_id").distinct().count()
+    )
+    assert n_keys >= 10_000, n_keys  # genuinely high-cardinality state
+
+    job = get_queries()["s_dedup_stream"]
+    on_heap = job(spark, SF_ORACLE).toPandas()
+    with rocksdb_state_store(spark):
+        rocks = job(spark, SF_ORACLE).toPandas()
+    assert canonical_rows(rocks) == canonical_rows(on_heap)
+    assert int(rocks["n_unique"].sum()) == n_keys

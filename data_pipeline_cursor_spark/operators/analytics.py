@@ -538,3 +538,166 @@ def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share")
         )
     )
+
+
+@register(
+    "q_tpch_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting query: the revenue increase if one
+    year's small-quantity mid-discount discounts were dropped — the purest
+    pushdown benchmark: every predicate is a plain column comparison that
+    reaches the parquet reader (PushedFilters), and the plan is scan →
+    partial agg → one-row exchange.  At 100 TB with l_shipdate partition
+    or zone-map layout this reads one year, not the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_money(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue_increase")
+    )
+
+
+@register(
+    "q_tpch_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    never-ordered customers land in the c_count=0 bucket (COUNT of a
+    nullable key, not COUNT(*)), then a distribution over the per-customer
+    counts — the two-level agg-of-agg shape.
+
+    100 TB: first agg shuffles on c_custkey (orders' natural key
+    distribution — no skew), second agg input is |customers| rows and the
+    distribution itself is ≤|distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_small_qty",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l.l_partkey,
+             0.2 * (SUM(l.l_quantity) / COUNT(*)) AS qty_threshold
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+      GROUP BY l.l_partkey
+    )
+    SELECT ROUND(CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pq.qty_threshold
+    """,
+)
+def tpch_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: for one brand's parts,
+    revenue from orders below 20% of that part's average quantity — the
+    decorrelated form of Q17's correlated AVG subquery: one per-part
+    aggregate joined back onto the fact scan (Catalyst's own rewrite; the
+    dim filter prunes both sides first).
+
+    Determinism: fixture quantities are small integers in double, so the
+    per-part SUM is exact (no fold-order drift) and the threshold
+    0.2·(sum/count) is bit-identical across engines; revenue is the
+    decimal-quantized money sum.
+
+    100 TB: the per-part aggregate is O(|brand's parts|) rows — broadcast
+    back onto the fact; the fact scan itself never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pq = brand_li.groupBy("l_partkey").agg(
+        (0.2 * (F.sum("l_quantity") / F.count(F.lit(1)))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(F.broadcast(pq), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(_revenue()).cast("double") / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_disjunctive",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    brand/size/quantity clauses spanning BOTH join sides.  The shape
+    matters: the join key (p_partkey = l_partkey) is still a clean
+    equi-predicate, so Catalyst plans a hash join and evaluates the OR as
+    a post-join filter — while the single-side prunable parts of the
+    disjunction (brand ∈ {{...}}, size ≤ 50, quantity ≤ 40 envelopes) are
+    pushed below the join by constraint propagation.  The classic
+    pitfall — writing the disjunction INTO the join condition and getting
+    a nested-loop join — is what this operator is verified not to do
+    (tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & s.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & s.between(20, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

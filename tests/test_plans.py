@@ -306,3 +306,26 @@ def test_xml_roundtrip_single_scan(spark):
     plan = _plan(df)
     assert plan.count("FileScan") == 1, plan
     assert "xml" in plan.lower(), plan
+
+
+def test_tpch_disjunctive_stays_hash_join(spark):
+    """q_tpch_disjunctive: the OR-of-ANDs predicate spans both join sides
+    but the join key itself is a clean equi-predicate — the plan must be a
+    (broadcast) hash join with the disjunction as a filter, never the
+    BroadcastNestedLoopJoin that results from folding the disjunction
+    into the join condition."""
+    df = get_queries()["q_tpch_disjunctive"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_tpch_forecast_revenue_pushes_all_predicates(spark):
+    """q_tpch_forecast_revenue: all four predicates are plain column
+    comparisons and must reach the parquet scan as PushedFilters."""
+    df = get_queries()["q_tpch_forecast_revenue"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan

@@ -621,3 +621,48 @@ def bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_mode_agg",
+    oracle="""
+    SELECT event_type, modal_hour, n_at_mode FROM (
+      SELECT event_type, h AS modal_hour, n AS n_at_mode,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, h ASC) AS rn
+      FROM (
+        SELECT event_type, EXTRACT(hour FROM ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group — here each event type's
+    busiest hour of day.  Engines' built-in mode() leaves ties
+    implementation-defined, so this computes it as count + ranking window
+    under the TOTAL order (n DESC, hour ASC) — deterministic and
+    hash-checkable, the same argmax-totalization rule as q_arg_minmax.
+
+    Plan: one partial-agg shuffle on (type, hour) — ≤ |types|·24 rows —
+    then a window over those few rows.  100 TB: identical; the candidate
+    table after the first aggregate is tiny regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("h"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("modal_hour"),
+            F.col("n").alias("n_at_mode"),
+        )
+        .orderBy("event_type")
+    )

@@ -108,3 +108,71 @@ def sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ew AS (
+      SELECT user_id, rn, v AS e FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, (b.v + ew.e) // 2
+      FROM ew JOIN base b ON b.user_id = ew.user_id AND b.rn = ew.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_obs FROM base GROUP BY user_id)
+    SELECT l.user_id,
+           CAST(l.n_obs AS BIGINT)  AS n_obs,
+           CAST(e.e AS BIGINT)      AS ewma_cents,
+           ROUND(e.e / 100.0, 2)    AS ewma_value
+    FROM last l JOIN ew e ON e.user_id = l.user_id AND e.rn = l.n_obs
+"""
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE)
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the time-series
+    smoothing recurrence e_t = (v_t + e_{t-1}) / 2 (α = ½), which no
+    window frame can express (each output depends on ALL priors through
+    the fold, not a fixed frame).
+
+    Determinism strategy is x_kmeans_int8's integer fixed-point: values
+    become exact cents (BIGINT) and each step is (v + e) // 2 — an exact
+    integer fold with NO float drift, so the sequential recurrence
+    hash-matches a DuckDB recursive-CTE replay bit-for-bit.  (Values are
+    nonnegative, so Python floor-// and DuckDB trunc-// agree.)
+
+    Plan: ONE shuffle on user_id into applyInPandas; per-group state is
+    a single integer carried through a sorted numpy loop.  100 TB: state
+    per key is O(1) and rows stream per group — the same shape Pandas
+    UDF resampling/backtesting pipelines use; keys are independent so
+    parallelism is |keys|."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = (pdf["value"] * 100).round(0).astype("int64").to_numpy()
+        e = int(v[0])
+        for x in v[1:]:
+            e = (int(x) + e) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [len(v)],
+                "ewma_cents": [e],
+                "ewma_value": [round(e / 100.0, 2)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma_group,
+        "user_id bigint, n_obs bigint, ewma_cents bigint, ewma_value double",
+    )

@@ -996,3 +996,98 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_entropy",
         )
     )
+
+
+@register(
+    "x_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c.ch AS ch
+      FROM documents, unnest(string_split(text, '')) AS c(ch)
+    ),
+    per_char AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT)          AS n_chars,
+             CAST(COUNT(*) AS BIGINT)        AS n_distinct_chars,
+             ln(CAST(SUM(c) AS DOUBLE))
+               - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+                                             AS ent
+      FROM per_char GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           CAST(ROUND(CAST(ent AS DECIMAL(28,10)), 4) AS DOUBLE) AS entropy,
+           ent >= 2.0 AS keep
+    FROM per_doc
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    classic cheap gibberish/boilerplate detector: natural prose sits
+    around 2.5-3.2 nats of character entropy, while repeated-character
+    spam and base64 blobs fall outside the band.  keep = entropy ≥ 2.0,
+    the quality gate a curation pipeline composes with x_repetition_filter.
+
+    Entropy via the count identity H = ln(n) − (Σ c·ln c)/n so only
+    integer counts aggregate; the ≤|alphabet|-term float fold is snapped
+    by stable_round4 (10-decimal quantize before the visible round, the
+    same cross-engine rule as the streaming averages).
+
+    Plan: explode to (doc, char) → two partial-agg shuffles keyed by
+    doc_id.  100 TB: alphabet size bounds per-doc state (≤ a few hundred
+    rows/doc even for CJK); a mega-document explodes to rows, never into
+    one task's memory — the x_doc_chunk property."""
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_char = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    ent = F.log(n.cast("double")) - F.sum(
+        F.col("c") * F.log(F.col("c").cast("double"))
+    ) / n.cast("double")
+    return per_char.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        stable_round4(ent).alias("entropy"),
+        (ent >= 2.0).alias("keep"),
+    )
+
+
+@register(
+    "x_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {_DUCK_LANG_HITS}
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang AS labeled_lang, {_DUCK_PRED} AS predicted_lang
+      FROM scored
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the evaluation table for x_lang_id
+    (the x_ann_recall pattern applied to the text stack): labeled ×
+    predicted language with document counts, the artifact that decides
+    whether a language classifier is good enough to route documents with
+    before anyone drops a language bucket.
+
+    Plan: reuses x_lang_id's zero-shuffle scoring projection, then one
+    partial-agg shuffle on the ≤|langs|² matrix keys."""
+    per_doc = lang_id(spark, sf_dir)
+    return per_doc.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

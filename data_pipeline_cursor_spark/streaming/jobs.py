@@ -1043,3 +1043,83 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(second, _ckpt("chained"))
+
+
+_TOPK_K = 3
+
+_TOPK_STATE_ORACLE = f"""
+    SELECT event_type, rnk, value, event_id FROM (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    ) WHERE rnk <= {_TOPK_K}
+"""
+
+
+@register("s_topk_state", oracle=_TOPK_STATE_ORACLE)
+def s_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BOUNDED-STATE top-k per key via `applyInPandasWithState`
+    — the leaderboard operator: per event type, the k highest values
+    (k = _TOPK_K) ever seen with their event ids, maintained incrementally.
+
+    Contrast with s_custom_state (a running scalar fold): here the state
+    is a fixed-size ORDER STATISTIC.  The merge (state ∪ batch → dedupe by
+    id → top-k under the TOTAL order value DESC, event_id ASC) is
+    commutative and idempotent, so the drained result is deterministic
+    under ANY micro-batch arrival order AND under replayed batches —
+    which is what lets a streaming operator carry a plain batch window
+    oracle with no ordering caveats.
+
+    100 TB: state is k tuples per key regardless of stream length (the
+    property that makes leaderboards streamable at all); one shuffle on
+    the key; Arrow-batched Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            vals, ids, seq = state.get
+            top = list(zip(vals, ids))
+        else:
+            top, seq = [], 0
+        seen = {i for _, i in top}
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value", "event_id"])
+            for v, i in zip(pdf["value"], pdf["event_id"]):
+                i = int(i)
+                if i not in seen:
+                    top.append((float(v), i))
+                    seen.add(i)
+        top.sort(key=lambda t: (-t[0], t[1]))
+        top = top[:_TOPK_K]
+        seq += 1
+        state.update(([v for v, _ in top], [i for _, i in top], seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "rnk": list(range(1, len(top) + 1)),
+                "value": [v for v, _ in top],
+                "event_id": [i for _, i in top],
+                "batch_seq": [seq] * len(top),
+            }
+        )
+
+    emitted = df.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, rnk int, value double, event_id long, "
+        "batch_seq long",
+        "vals array<double>, ids array<long>, seq long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_completion(emitted, _ckpt("topk-state"), out_mode="update")
+    w = Window.partitionBy("event_type", "rnk").orderBy(F.desc("batch_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "rnk", "value", "event_id")
+    )

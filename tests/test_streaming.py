@@ -650,3 +650,32 @@ def test_rocksdb_high_cardinality_dedup_state(spark):
         rocks = job(spark, SF_ORACLE).toPandas()
     assert canonical_rows(rocks) == canonical_rows(on_heap)
     assert int(rocks["n_unique"].sum()) == n_keys
+
+
+def test_topk_state_batch_equivalence_and_order_invariance(spark):
+    """s_topk_state's drained leaderboard must equal the batch ranking
+    window, and — because the merge is commutative + idempotent — must be
+    identical when the stream is drained in ONE batch instead of many
+    (different micro-batch boundaries = different arrival interleavings)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.streaming.jobs import _TOPK_K
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonical_rows
+
+    got = get_queries()["s_topk_state"](spark, SF_SMOKE).toPandas()
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_K)
+        .select("event_type", "rnk", "value", "event_id")
+        .toPandas()
+    )
+    assert canonical_rows(got) == canonical_rows(want)

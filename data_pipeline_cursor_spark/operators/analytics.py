@@ -701,3 +701,76 @@ def tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "x_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts where no other part is
+    both cheaper-or-equal AND bigger-or-equal with at least one strict —
+    the "best value" query of recommendation/procurement analytics.
+
+    The textbook formulation is the NOT-EXISTS dominance anti-join the
+    oracle uses — a theta join Catalyst can only run as an O(n²)
+    BroadcastNestedLoopJoin.  The Spark plan instead exploits the 2-D
+    structure: sorted by (price ASC, size DESC), a row is dominated iff
+    a PRECEDING row has strictly larger size (running MAX — one window
+    pass) or an equal size at strictly lower price (per-size MIN).  Two
+    windows, one sort each, zero joins: O(n log n) against the oracle's
+    O(n²), and the rewrite is hash-verified row-for-row.
+
+    The global-order window moves the frontier CANDIDATES to one task, so
+    the plan pre-filters with per-partition LOCAL skylines (mapInPandas,
+    numpy running-max over a partition sort): dominance within a subset
+    implies dominance in the full set, so frontier(full) ⊆
+    union(local frontiers) and the exact window pass runs over the few
+    survivors — the standard distributed-skyline two-phase shape.  At
+    100 TB the single-task stage sees |union of local frontiers| rows
+    (sub-linear in practice: one frontier point per partition kills that
+    partition's dominated bulk), never the corpus."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+
+    def local_skyline(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                ["p_retailprice", "p_size"], ascending=[True, False]
+            )
+            size = pdf["p_size"].to_numpy()
+            run_max = pd.Series(size).cummax().shift(1).to_numpy()
+            keep = ~(run_max > size)  # NaN first row compares False → kept
+            yield pdf[keep]
+
+    p = p.mapInPandas(local_skyline, p.schema)
+    w_prec = (
+        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_size = Window.partitionBy("p_size")
+    return (
+        p.withColumn("max_prev_size", F.max("p_size").over(w_prec))
+        .withColumn("min_price_same_size", F.min("p_retailprice").over(w_size))
+        .filter(
+            (
+                F.col("max_prev_size").isNull()
+                | (F.col("max_prev_size") <= F.col("p_size"))
+            )
+            & (F.col("min_price_same_size") >= F.col("p_retailprice"))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

@@ -176,3 +176,60 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_group,
         "user_id bigint, n_obs bigint, ewma_cents bigint, ewma_value double",
     )
+
+
+_TWAP_ORACLE = """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(CAST(SUM(CAST(v_cents AS HUGEINT) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE) / 100.0, 4) AS twap
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@register("q_twap", oracle=_TWAP_ORACLE)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key TIME-weighted average — each observation holds until the
+    next one, so its weight is the gap it was live for (the TWAP/
+    time-weighted-sensor-mean every metrics store computes; a plain AVG
+    over-weights bursts).
+
+    Determinism: weights are exact integer MICROSECONDS (unix_micros /
+    epoch_us — the fixture carries sub-second timestamps) and values are
+    exact cents; the weighted sum folds in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — a cents×micros product summed over a large key
+    in BIGINT could overflow, decimal cannot — so both engines divide
+    the SAME two integers and the quotient is bit-identical.
+
+    Plan: one shuffle on user_id for the lead() window; the aggregate
+    reuses that partitioning (no second exchange).  100 TB: identical —
+    window + agg on the same key is the canonical single-shuffle pair."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    num = F.sum(F.col("v_cents").cast("decimal(38,0)") * F.col("dt_us"))
+    den = F.sum("dt_us")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            num.cast("double") / den.cast("double") / 100.0, 4
+        ).alias("twap"),
+    )

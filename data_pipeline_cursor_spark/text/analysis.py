@@ -998,10 +998,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_char_entropy",
-    oracle="""
-    WITH chars AS (
+# Per-doc character-entropy CTE chain (doc_id, n_chars, n_distinct_chars,
+# ent) — single source of truth for x_char_entropy and the quality funnel.
+_DUCK_CHAR_ENT = """
+    chars AS (
       SELECT doc_id, c.ch AS ch
       FROM documents, unnest(string_split(text, '')) AS c(ch)
     ),
@@ -1018,6 +1018,13 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              AS ent
       FROM per_char GROUP BY doc_id
     )
+"""
+
+
+@register(
+    "x_char_entropy",
+    oracle=f"""
+    WITH {_DUCK_CHAR_ENT}
     SELECT doc_id, n_chars, n_distinct_chars,
            CAST(ROUND(CAST(ent AS DECIMAL(28,10)), 4) AS DOUBLE) AS entropy,
            ent >= 2.0 AS keep
@@ -1042,7 +1049,19 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task's memory — the x_doc_chunk property."""
     from data_pipeline_cursor_spark.functions.math_ops import stable_round4
 
-    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _char_entropy_df(load_table(spark, sf_dir, "documents"))
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        stable_round4(F.col("ent")).alias("entropy"),
+        (F.col("ent") >= 2.0).alias("keep"),
+    )
+
+
+def _char_entropy_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, ent) — the Spark twin of the
+    _DUCK_CHAR_ENT chain, shared by x_char_entropy and x_quality_funnel."""
     per_char = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch")
@@ -1055,8 +1074,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_char.groupBy("doc_id").agg(
         n.cast("long").alias("n_chars"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
-        stable_round4(ent).alias("entropy"),
-        (ent >= 2.0).alias("keep"),
+        ent.alias("ent"),
     )
 
 
@@ -1091,3 +1109,103 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_FUNNEL_REP_SQL = (
+    "1.0 - len(list_distinct(string_split(lower(text),' '))) * 1.0"
+    " / len(string_split(lower(text),' ')) <= 0.55"
+)
+
+
+@register(
+    "x_quality_funnel",
+    oracle=f"""
+    WITH {_DUCK_CHAR_ENT},
+    flags AS (
+      SELECT d.doc_id,
+             (d.n_chars BETWEEN 50 AND 10000
+              AND len(string_split(lower(d.text),' ')) >= 10) AS p1,
+             ({_FUNNEL_REP_SQL.replace("text", "d.text")}) AS p2,
+             (CAST(ROUND(CAST(p.ent AS DECIMAL(28,10)), 4) AS DOUBLE)
+                >= 2.0) AS p3
+      FROM documents d JOIN per_doc p USING (doc_id)
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s12,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s123
+      FROM flags
+    )
+    SELECT 1 AS stage, 'length' AS gate, total AS n_in,
+           total - s1 AS n_dropped, s1 AS n_out FROM tot
+    UNION ALL
+    SELECT 2, 'repetition', s1, s1 - s12, s12 FROM tot
+    UNION ALL
+    SELECT 3, 'entropy', s12, s12 - s123, s123 FROM tot
+    """,
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ATTRITION FUNNEL — the report a curation run ships
+    alongside its output: documents enter a sequence of gates (length
+    bounds → repetition ≤ 0.55 → char entropy ≥ 2.0, each proven as a
+    standalone operator) and each row records how many survived to that
+    gate and how many it dropped.  The funnel is what decides which gate
+    to retune when yield collapses — per-gate attrition, not just the
+    final keep count.
+
+    Plan: gates 1-2 are zero-shuffle projections; the entropy gate joins
+    the per-doc entropy aggregate back on doc_id; then ONE wide aggregate
+    computes every cumulative survivor count (total, s1, s12, s123) in a
+    single pass and a 3-row explode renders the funnel — no per-gate
+    re-scan of the corpus, which is the 100 TB point: k gates cost one
+    corpus read, not k."""
+    from data_pipeline_cursor_spark.text.pipeline import (
+        MAX_CHARS,
+        MIN_CHARS,
+        MIN_TOKENS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+
+    tok = tokens_col()
+    n_tok = F.size(tok)
+    p1 = (
+        F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+        & (n_tok >= MIN_TOKENS)
+    )
+    p2 = (1.0 - F.size(F.array_distinct(tok)) / n_tok) <= 0.55
+    flags = docs.select("doc_id", p1.alias("p1"), p2.alias("p2"))
+    ent = _char_entropy_df(docs).select(
+        "doc_id", (stable_round4(F.col("ent")) >= 2.0).alias("p3")
+    )
+    j = flags.join(ent, "doc_id")
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tot = j.agg(
+        F.count(F.lit(1)).alias("total"),
+        b(F.col("p1")).alias("s1"),
+        b(F.col("p1") & F.col("p2")).alias("s12"),
+        b(F.col("p1") & F.col("p2") & F.col("p3")).alias("s123"),
+    )
+
+    def row(stage, gate, n_in, n_out):
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            F.lit(gate).alias("gate"),
+            n_in.alias("n_in"),
+            (n_in - n_out).alias("n_dropped"),
+            n_out.alias("n_out"),
+        )
+
+    return tot.select(
+        F.explode(
+            F.array(
+                row(1, "length", F.col("total"), F.col("s1")),
+                row(2, "repetition", F.col("s1"), F.col("s12")),
+                row(3, "entropy", F.col("s12"), F.col("s123")),
+            )
+        ).alias("r")
+    ).select("r.*")

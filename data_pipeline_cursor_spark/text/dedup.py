@@ -820,3 +820,60 @@ def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "x_triangles",
+    oracle=f"""
+    WITH pairs AS ({_DUCK_JACCARD_PAIRS}),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nodes AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY doc_id
+    """,
+)
+def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE COUNT over the near-dup graph — the graph
+    statistic after components (x_dedup_cluster) and centrality
+    (x_pagerank): triangle density separates tight clique-like duplicate
+    clusters (templated boilerplate families) from chain-shaped false
+    merges, which is what you check before trusting a cluster enough to
+    keep only one member.
+
+    The compact-forward algorithm: edges are already oriented low→high
+    (doc_a < doc_b), so each triangle a<b<c is found EXACTLY once by
+    joining e1=(a,b) with e2=(b,c) and closing with e3=(a,c) — two hash
+    equi-joins, no candidate triple enumerated twice, no orientation
+    dedup pass.  Per-node counts explode each triangle's 3 corners.
+
+    100 TB: this is the standard distributed triangle shape — cost is
+    O(Σ deg(v)²) pair candidates, bounded here because near-dup graphs
+    are sparse; for skewed hubs the production refinement (degree-ordered
+    orientation) keeps every node's out-degree ≤ √|E| with the same
+    join plan."""
+    pairs = (
+        dedup_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -877,3 +877,127 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+@register(
+    "x_split_leakage",
+    oracle=f"""
+    WITH d AS ({_DUCK_JACCARD_D}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
+      FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
+      WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v, jaccard FROM pairs
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN r < 98 THEN 'train'
+                  WHEN r = 98 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('spl:' || doc_id), 1, 15))::BIGINT % 100
+                 AS r
+        FROM documents
+      )
+    )
+    SELECT su.split, e.u AS doc_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_train_partners,
+           ROUND(MAX(e.jaccard), 4)  AS worst_jaccard
+    FROM edges e
+    JOIN splits su ON su.doc_id = e.u
+    JOIN splits sv ON sv.doc_id = e.v
+    WHERE su.split <> 'train' AND sv.split = 'train'
+    GROUP BY su.split, e.u
+    """,
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→holdout LEAKAGE check — the eval-hygiene composition of
+    x_split_assign and the near-dup pair table: every val/test document
+    that has a near-duplicate in the train split, with its partner count
+    and worst (highest) Jaccard.  These are the docs whose eval loss is
+    memorization, not generalization; curation drops them from the
+    holdout before any benchmark number ships.
+
+    Plan: candidate pairs from the blocked Jaccard join (never doc×doc),
+    symmetrized, then two broadcast-sized joins against the zero-shuffle
+    split projection.  100 TB: cost is the pair table (already needed by
+    the dedup stack — share it via x_pair_table) plus an O(pairs) join."""
+    from data_pipeline_cursor_spark.text.packing import split_assign
+
+    pairs = jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "jaccard"
+        )
+    )
+    splits = split_assign(spark, sf_dir)
+    su = splits.select(F.col("doc_id").alias("u"), F.col("split"))
+    sv = splits.select(
+        F.col("doc_id").alias("v"), F.col("split").alias("split_v")
+    )
+    return (
+        edges.join(su, "u")
+        .join(sv, "v")
+        .filter((F.col("split") != "train") & (F.col("split_v") == "train"))
+        .groupBy("split", F.col("u").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_partners"),
+            F.round(F.max("jaccard"), 4).alias("worst_jaccard"),
+        )
+    )
+
+
+@register(
+    "x_dedup_incremental",
+    oracle=_DUCK_MINHASH
+    + """
+    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM sig n JOIN sig c
+      ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1)
+          OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup check — the daily-ingest production shape:
+    a small new batch (here the deterministic slice doc_id % 10 = 7)
+    is deduped AGAINST the existing corpus, not against itself.  The
+    asymmetry is the point: signatures are computed once for the delta
+    (small) and read for the corpus (at scale: from the persisted
+    signature table the first full dedup already built — the
+    x_pair_table materialization), and the band join is delta×band-mates
+    instead of corpus×corpus.
+
+    100 TB: per-band equi-joins with the DELTA side broadcast — cost is
+    O(delta + collisions), independent of corpus size, which is what
+    makes daily dedup of a PB-scale corpus feasible at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(docs, 4).cache()
+    is_new = F.col("doc_id") % 10 == 7
+    new_sig = sig.filter(is_new)
+    corpus_sig = sig.filter(~is_new)
+
+    def band(k1: str, k2: str) -> DataFrame:
+        n = new_sig.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        c = corpus_sig.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col(k1).alias("b1"),
+            F.col(k2).alias("b2"),
+        )
+        return F.broadcast(n).join(c, ["b1", "b2"]).select(
+            "new_doc", "corpus_doc"
+        )
+
+    return band("mh0", "mh1").unionByName(band("mh2", "mh3")).distinct()

@@ -128,3 +128,51 @@ def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.mapInPandas(transform, schema="event_id long, boosted double")
+
+
+@register(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, s.i AS sent_idx,
+           trim(s.sent) AS sentence,
+           CAST(len(string_split(trim(s.sent), ' ')) AS INT) AS n_words
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '.'), 1) AS i,
+             unnest(string_split(text, '.')) AS sent
+      FROM documents
+    ) s
+    WHERE trim(s.sent) <> ''
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (Spark 3.5+ `@udtf`) — the
+    one-row-in/many-rows-out UDF shape that completes the D36 surface
+    (scalar, pandas, grouped, mapInPandas, and now table-valued):
+    sentence segmentation with positions, the canonical UDTF example and
+    the text-pipeline primitive behind chunkers.
+
+    The built-in twin is posexplode(split(...)) — a UDTF earns its place
+    when the per-row expansion needs imperative logic (real sentence
+    breakers, parsers); the interface cost is what this query pins.
+    Plan: a Generate-style expansion inside the scan projection, no
+    shuffle; at 100 TB rows fan out per-task exactly like explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split("."), start=1):
+                sent = raw.strip()
+                if sent:
+                    yield i, sent, len(sent.split(" "))
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
+        "FROM udtf_docs d, LATERAL sentence_split(d.text) s"
+    )

@@ -184,3 +184,47 @@ def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c.c_name, c.c_acctbal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c.c_acctbal DESC, c.c_custkey
+           LIMIT 2
+         ) t
+    """,
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL:1999 / Postgres LATERAL, Spark
+    3.2+): per nation, the top-2 customers by balance — the
+    for-each-row-run-a-subquery surface, complementing D31/D32's scalar
+    and EXISTS correlations.  Tie order totalized by c_custkey.
+
+    Catalyst decorrelates the lateral top-n into a ranking window over
+    the join — the same plan q_topk_per_group declares directly; the
+    operator pins that the declarative LATERAL form is available and
+    yields the identical result, so Postgres-dialect queries port
+    unchanged."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    nation.createOrReplaceTempView("lat_nation")
+    customer.createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM lat_nation n,
+             LATERAL (
+               SELECT c.c_name, c.c_acctbal
+               FROM lat_customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+               LIMIT 2
+             ) t
+        """
+    )

@@ -451,3 +451,216 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(drops, "vec_id", "left").select(
         "vec_id", "cell", F.col("dropped").isNull().alias("keep")
     )
+
+
+# ---- Product quantization (x_ann_pq) ---------------------------------------
+
+M_SUB = 4               # subspaces
+SUB = DIM // M_SUB      # dims per subspace (64 / 4 = 16)
+K_PQ = 4                # codewords per subspace → code = M_SUB small ints
+PQ_TOPK = 5
+
+
+def _duck_sub(m: int) -> str:
+    """Per-subspace CTE chain: slice → md5 seeds → one Lloyd round →
+    codebook c{m} → encoding e{m}(vec_id, cid)."""
+    lo, hi = m * SUB + 1, (m + 1) * SUB
+    dist = (
+        f"list_sum(list_transform(range(1, {SUB + 1}), "
+        f"i -> CAST((h{m}.sv[i] - s.cv[i]) * (h{m}.sv[i] - s.cv[i]) "
+        f"AS BIGINT)))"
+    )
+
+    def assign(cents: str) -> str:
+        return f"""
+      SELECT vec_id, sv, cid FROM (
+        SELECT h{m}.vec_id, h{m}.sv, s.cid,
+               row_number() OVER (PARTITION BY h{m}.vec_id
+                                  ORDER BY {dist}, s.cid) AS rn
+        FROM h{m} CROSS JOIN {cents} s
+      ) WHERE rn = 1"""
+
+    return f"""
+    h{m} AS (
+      SELECT vec_id, qv[{lo}:{hi}] AS sv,
+             ('0x' || substr(md5('pq{m}:' || vec_id), 1, 15))::BIGINT AS hv
+      FROM q
+    ),
+    seeds{m} AS (
+      SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, sv AS cv
+      FROM h{m} ORDER BY hv, vec_id LIMIT {K_PQ}
+    ),
+    a{m} AS ({assign(f'seeds{m}')}),
+    u{m} AS (
+      SELECT cid, d.i AS dim,
+             CAST(floor(CAST(SUM(sv[d.i]) AS DOUBLE) / COUNT(*)) AS INT) AS c
+      FROM a{m}, range(1, {SUB + 1}) AS d(i)
+      GROUP BY 1, 2
+    ),
+    c{m} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u{m} GROUP BY cid),
+    e{m} AS ({assign(f'c{m}')})"""
+
+
+def _duck_lut(m: int) -> str:
+    lo = m * SUB
+    return f"""
+    lut{m} AS (
+      SELECT qs.query_id, c.cid,
+             list_sum(list_transform(range(1, {SUB + 1}),
+               i -> CAST((qs.qv[{lo} + i] - c.cv[i])
+                         * (qs.qv[{lo} + i] - c.cv[i]) AS BIGINT))) AS d
+      FROM qs CROSS JOIN c{m} c
+    )"""
+
+
+_PQ_ORACLE = (
+    f"WITH {DUCK_QV_CTE},\n"
+    + ",".join(_duck_sub(m) for m in range(M_SUB))
+    + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
+    " WHERE vec_id % 199 = 0),"
+    + ",".join(_duck_lut(m) for m in range(M_SUB))
+    + f"""
+    SELECT query_id, rnk, vec_id, adist FROM (
+      SELECT qs.query_id, e0.vec_id,
+             CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY qs.query_id
+                                ORDER BY (l0.d + l1.d + l2.d + l3.d),
+                                         e0.vec_id) AS rnk
+      FROM qs
+      CROSS JOIN e0
+      JOIN e1 ON e1.vec_id = e0.vec_id
+      JOIN e2 ON e2.vec_id = e0.vec_id
+      JOIN e3 ON e3.vec_id = e0.vec_id
+      JOIN lut0 l0 ON l0.query_id = qs.query_id AND l0.cid = e0.cid
+      JOIN lut1 l1 ON l1.query_id = qs.query_id AND l1.cid = e1.cid
+      JOIN lut2 l2 ON l2.query_id = qs.query_id AND l2.cid = e2.cid
+      JOIN lut3 l3 ON l3.query_id = qs.query_id AND l3.cid = e3.cid
+      WHERE e0.vec_id <> qs.query_id
+    ) WHERE rnk <= {PQ_TOPK}
+"""
+)
+
+
+@register("x_ann_pq", oracle=_PQ_ORACLE)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (the FAISS-style memory-bound scale path,
+    completing the ANN ladder after brute force / LSH / IVF): the vector
+    splits into M_SUB subspaces, each trained to its own K_PQ-codeword
+    integer codebook (one md5-seeded exact-integer Lloyd round — the
+    x_kmeans_int8 machinery per slice), so every corpus vector compresses
+    to M_SUB small codes.  A query never touches the vectors again:
+    per-subspace lookup tables LUT[m][k] = ‖q_m − c_{m,k}‖² are built
+    once per query and the asymmetric distance of ANY corpus vector is
+    M_SUB integer table lookups summed — the ADC scan.
+
+    All-integer determinism end to end (sub-distances, floor-mean
+    centroids, LUTs, total tie order (adist, vec_id)) makes even this
+    three-stage index hash-match the DuckDB unrolled replay.
+
+    100 TB: the corpus lives as M_SUB·log2(K_PQ) bits/vector (here 8 —
+    a 64× compression of the int8 codes); training collects only
+    M_SUB × K_PQ × SUB ints (bounded codebooks, the x_sim_ivf contract);
+    encoding + the ADC scan are one mapInPandas pass each with NO
+    shuffle of the corpus; per-partition top-k candidates (Q×k rows per
+    task) merge in one tiny window.  Production composes this with the
+    IVF cells (scan only probed cells) — the plans are orthogonal."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    codes = quantized_codes(spark, sf_dir).cache()
+
+    # -- train one integer codebook per subspace (1 Lloyd round) --
+    books = []  # [(K_PQ, SUB) int64 arrays], index = subspace
+    for m in range(M_SUB):
+        sub = codes.select(
+            "vec_id", F.slice("qv", m * SUB + 1, SUB).alias("qv")
+        )
+        h = sub.withColumn(
+            "hv", phash(F.col("vec_id").cast("string"), f"pq{m}")
+        )
+        w = Window.orderBy("hv", "vec_id")
+        seeds = (
+            h.orderBy("hv", "vec_id")
+            .limit(K_PQ)
+            .select(
+                F.row_number().over(w).cast("int").alias("cid"),
+                F.col("qv").alias("cv"),
+            )
+        )
+        cent_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+        upd = _update(_assign(sub, cent_rows))
+        cent_rows = sorted(
+            upd.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .collect(),
+            key=lambda r: r["cid"],
+        )
+        books.append(
+            (
+                np.array([r["cid"] for r in cent_rows], dtype=np.int64),
+                np.stack(
+                    [np.asarray(r["cv"], dtype=np.int64) for r in cent_rows]
+                ),
+            )
+        )
+
+    # -- query LUTs (query batch bounded by the x_sim_topk contract) --
+    q_rows = sorted(
+        codes.filter(F.col("vec_id") % 199 == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
+    luts = []  # per m: (n_queries, K_PQ) exact int distances, cid-ordered
+    for m in range(M_SUB):
+        _cids, C = books[m]
+        qsub = Qm[:, m * SUB : (m + 1) * SUB]
+        luts.append(((qsub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+
+    # -- encode + ADC scan + per-partition top-k in ONE pass --
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            vids = pdf["vec_id"].to_numpy()
+            adist = np.zeros((len(q_ids), len(vids)), dtype=np.int64)
+            for m in range(M_SUB):
+                _cids, C = books[m]
+                sub = V[:, m * SUB : (m + 1) * SUB]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2 * (sub @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                code = d.argmin(axis=1)  # first-min = smallest cid
+                adist += luts[m][:, code]
+            out_q, out_v, out_d = [], [], []
+            k = min(PQ_TOPK, len(vids))
+            order = np.argsort(adist, axis=1, kind="stable")[:, : k + 1]
+            for qi in range(len(q_ids)):
+                for vi in order[qi]:
+                    if vids[vi] != q_ids[qi]:
+                        out_q.append(q_ids[qi])
+                        out_v.append(vids[vi])
+                        out_d.append(adist[qi, vi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "adist": out_d}
+            )
+
+    cand = codes.mapInPandas(
+        scan, "query_id bigint, vec_id bigint, adist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "vec_id", "adist")
+    )

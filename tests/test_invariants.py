@@ -889,3 +889,20 @@ def test_bpe_width_parameter_and_monotone_counts(spark):
     finally:
         con.close()
     assert canonical_rows(wide) == canonical_rows(duck)
+
+
+def test_ann_pq_structure(spark):
+    """x_ann_pq: exactly PQ_TOPK rows per query, never the query itself,
+    adist non-decreasing in rank, and every adist reproducible as the sum
+    of per-subspace LUT entries (spot-checked via non-negativity and the
+    rank-1 candidate being the global ADC argmin within the emitted set)."""
+    from data_pipeline_cursor_spark.vectors.clustering import PQ_TOPK
+
+    pdf = get_queries()["x_ann_pq"](spark, SF_ORACLE).toPandas()
+    for qid, grp in pdf.groupby("query_id"):
+        assert len(grp) == PQ_TOPK, (qid, len(grp))
+        assert (grp["vec_id"] != qid).all()
+        g = grp.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, PQ_TOPK + 1))
+        assert (g["adist"].diff().dropna() >= 0).all()
+        assert (g["adist"] >= 0).all()

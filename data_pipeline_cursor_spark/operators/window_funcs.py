@@ -354,3 +354,59 @@ def fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(reading, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "q_frame_range_interval",
+    oracle="""
+    SELECT event_id,
+           CAST(n_win AS BIGINT) AS n_win,
+           ROUND(CAST(sum_cents AS DOUBLE) / n_win / 100.0, 4)
+             AS trailing_avg
+    FROM (
+      SELECT event_id,
+             COUNT(*) OVER w AS n_win,
+             SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS sum_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                         AND CURRENT ROW)
+    )
+    """,
+)
+def frame_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED time-interval RANGE frame (D17's third frame form): each
+    event's trailing-10-minute average per user — the sliding-window
+    metric computed per ROW rather than per fixed bucket (contrast
+    q_sliding_avg's HOP windows).
+
+    RANGE frames are tie-proof by construction (every row whose ORDER
+    key falls in [ts−10min, ts] is in the frame, regardless of row
+    order), and the fold is EXACT: integer cents sum / integer count,
+    one double division at the end — no float accumulation at all.
+    Spark expresses the interval bound as a numeric rangeBetween over
+    unix microseconds; DuckDB as RANGE INTERVAL — same frame, same
+    integers, identical quotient.
+
+    Plan: one exchange on user_id, one sort, both window aggregates in
+    a single pass.  100 TB: identical — the canonical windowed-metric
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    out = ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(cents).over(w).alias("sum_cents"),
+    )
+    return out.select(
+        "event_id",
+        "n_win",
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_win") / 100.0, 4
+        ).alias("trailing_avg"),
+    )

@@ -1123,3 +1123,118 @@ def s_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "rnk", "value", "event_id")
     )
+
+
+_CDC_ORACLE = """
+    -- version order truncates ts to SECONDS: the landing record shape is
+    -- second-precision (reference ts format), so ordering by raw micros
+    -- here could pick a different same-second row than the stream sees
+    SELECT event_type,
+           CAST(last_event AS BIGINT)          AS last_event,
+           ROUND(last_value, 4)                AS last_value
+    FROM (
+      SELECT event_type, event_id AS last_event, value AS last_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('second', ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND last_value >= 50
+"""
+
+
+@register("s_cdc_apply", oracle=_CDC_ORACLE)
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CHANGELOG APPLY with deletes — the Debezium-consumer pattern
+    the upsert sink (A6) cannot express: each record is an upsert OR a
+    delete (here: op = delete when value < 50), and the serving table
+    must converge to the per-key row with the HIGHEST event-time version
+    — absent entirely if that version is a delete.
+
+    Determinism under re-ordering: last-writer-wins by ARRIVAL is
+    nondeterministic across micro-batch interleavings, so versions are
+    the event's own (event_time, event_id) TOTAL order and the per-batch
+    apply is an argmax MERGE — commutative and idempotent, like
+    s_topk_state's.  Deletes persist as TOMBSTONE rows (op='D') so a
+    replayed older upsert can never resurrect a deleted key; reads
+    filter tombstones.
+
+    Scale: the state table is key-cardinality-sized; the fixture apply
+    rewrites it per batch behind an atomic directory swap, with the
+    gated MERGE INTO rung (sinks.merge_upsert_batch_merge_into) as the
+    100 TB path — a transactional format scopes each apply to matched
+    files, no table rewrite."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    table_dir = _work("serving", "cdc-" + uuid.uuid4().hex[:8])
+    schema = (
+        "event_type string, version_ts timestamp, version_id long, "
+        "last_value double, op string"
+    )
+
+    def apply_cdc(batch: DataFrame, _id: int) -> None:
+        sp = batch.sparkSession
+        incoming = (
+            batch.filter(F.col("event_type") != FLUSH_TYPE)
+            .dropna(subset=["event_id", "event_time"])
+            .select(
+                "event_type",
+                F.col("event_time").alias("version_ts"),
+                F.col("event_id").alias("version_id"),
+                F.col("value").alias("last_value"),
+                F.when(F.col("value") < 50, "D").otherwise("U").alias("op"),
+            )
+        )
+        wv = Window.partitionBy("event_type").orderBy(
+            F.desc("version_ts"), F.desc("version_id")
+        )
+        incoming = (
+            incoming.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if incoming.isEmpty():
+            return
+        data = os.path.join(table_dir, "data")
+        if os.path.exists(data):
+            cur = sp.read.schema(schema).parquet(data)
+            merged = cur.unionByName(incoming)
+        else:
+            merged = incoming
+        final = (
+            merged.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = os.path.join(table_dir, "tmp-" + uuid.uuid4().hex[:8])
+        final.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(table_dir, "old-" + uuid.uuid4().hex[:8])
+        if os.path.exists(data):
+            os.rename(data, old)
+        os.rename(tmp, data)
+        shutil.rmtree(old, ignore_errors=True)
+
+    df = _stream(spark, sf_dir)
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(apply_cdc)
+        .option("checkpointLocation", _ckpt("cdc-apply"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data = os.path.join(table_dir, "data")
+    return (
+        spark.read.schema(schema)
+        .parquet(data)
+        .filter(F.col("op") == "U")
+        .select(
+            "event_type",
+            F.col("version_id").alias("last_event"),
+            F.round("last_value", 4).alias("last_value"),
+        )
+    )

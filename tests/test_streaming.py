@@ -679,3 +679,40 @@ def test_topk_state_batch_equivalence_and_order_invariance(spark):
         .toPandas()
     )
     assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_cdc_apply_batch_equivalence(spark):
+    """s_cdc_apply's drained serving table must equal the batch argmax:
+    per event_type, the row with the highest (second-truncated ts,
+    event_id) version — ABSENT when that version is a delete (value<50).
+    Tombstone persistence: the table parquet keeps op='D' rows so replays
+    cannot resurrect deleted keys; the read filters them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonical_rows
+
+    got = get_queries()["s_cdc_apply"](spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.date_trunc("second", "ts")), F.desc("event_id")
+    )
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("value") >= 50))
+        .select(
+            "event_type",
+            F.col("event_id").alias("last_event"),
+            F.round("value", 4).alias("last_value"),
+        )
+        .toPandas()
+    )
+    assert canonical_rows(got) == canonical_rows(want)
+    # at least one type must have been tombstoned OR upserted — non-vacuity
+    n_types = ev.filter(~F.col("event_type").isNull()).select(
+        "event_type"
+    ).distinct().count()
+    assert len(want) <= n_types

@@ -847,3 +847,143 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "n_close", "match_name", "lev")
     )
+
+
+@register(
+    "q_drift_kl",
+    oracle="""
+    WITH bucketed AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) % 2 AS half
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM bucketed GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a, CAST(SUM(n_b) AS DOUBLE) AS t_b
+      FROM counts
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(n_a / t_a, 4) AS share_a,
+           ROUND(n_b / t_b, 4) AS share_b,
+           CAST(ROUND(CAST((n_a / t_a) * ln((n_a / t_a) / (n_b / t_b))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS kl_term
+    FROM counts CROSS JOIN tot
+    WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT monitor: the event-type mix of even epoch-weeks
+    vs odd epoch-weeks, with each type's Kullback-Leibler contribution
+    p·ln(p/q) — the statistic a pipeline alerts on when its input mix
+    shifts (new source, broken producer, seasonality).  Σ kl_term is the
+    KL divergence; per-type terms localize WHICH type drifted.
+
+    Exact integer counts, one double division per share, stable_round4
+    on the log term.  Plan: one partial-agg shuffle on (type) with the
+    half split as conditional sums — one corpus pass for both
+    distributions — plus a broadcast one-row totals crossJoin.
+
+    100 TB: identical; the comparison table is |types| rows.  Real
+    deployments slide the window (this week vs trailing four) — same
+    plan with different bucket predicates."""
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+
+    ev = load_table(spark, sf_dir, "events")
+    half = (F.floor(F.unix_timestamp("ts") / 604800).cast("bigint") % 2)
+    counts = ev.select("event_type", half.alias("half")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("t_a"),
+        F.sum("n_b").cast("double").alias("t_b"),
+    )
+    p = F.col("n_a") / F.col("t_a")
+    q = F.col("n_b") / F.col("t_b")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(p, 4).alias("share_a"),
+            F.round(q, 4).alias("share_b"),
+            stable_round4(p * F.log(p / q)).alias("kl_term"),
+        )
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
+             CAST(MAX(n) AS BIGINT)    AS max_rows,
+             CAST(SUM(n) AS BIGINT)    AS total_rows
+      FROM per_key
+    ),
+    heavy AS (
+      SELECT l_orderkey, n,
+             row_number() OVER (ORDER BY n DESC, l_orderkey) AS rnk
+      FROM per_key
+    )
+    SELECT h.rnk, h.l_orderkey AS hot_key, h.n AS n_rows,
+           s.n_keys, s.max_rows,
+           ROUND(s.max_rows * s.n_keys / CAST(s.total_rows AS DOUBLE), 4)
+             AS skew_factor
+    FROM heavy h CROSS JOIN stats s
+    WHERE h.rnk <= 5
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostics — the report run before sizing a shuffle:
+    the 5 heaviest l_orderkey values with their row counts, the key
+    cardinality, and the skew factor max/avg (1.0 = uniform; ≫1 = a
+    reducer will run hot).  This is the evidence that decides between
+    plain hash join, AQE skew split, and the salted join (q_join_salted)
+    — measured, not guessed, per this repo's working rule.
+
+    Plan: one partial-agg shuffle on the key; the heavy-hitter ranking
+    runs on the |keys| aggregate via TakeOrdered-style top-n; stats are
+    a broadcast one-row crossJoin.  100 TB: identical — the per-key
+    count table is the shuffle's own histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").alias("total_rows"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("l_orderkey"))
+    heavy = (
+        per_key.orderBy(F.desc("n"), F.asc("l_orderkey"))
+        .limit(5)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return heavy.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        F.col("l_orderkey").alias("hot_key"),
+        F.col("n").alias("n_rows"),
+        "n_keys",
+        "max_rows",
+        F.round(
+            F.col("max_rows") * F.col("n_keys")
+            / F.col("total_rows").cast("double"),
+            4,
+        ).alias("skew_factor"),
+    )

@@ -286,3 +286,73 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "x_curriculum_order",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c.ch AS ch
+      FROM documents, unnest(string_split(text, '')) AS c(ch)
+    ),
+    per_char AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(ln(CAST(SUM(c) AS DOUBLE))
+                             - SUM(c * ln(CAST(c AS DOUBLE)))
+                               / CAST(SUM(c) AS DOUBLE)
+                             AS DECIMAL(28,10)), 4) AS DOUBLE) AS score
+      FROM per_char GROUP BY doc_id
+    ),
+    phased AS (
+      SELECT d.doc_id, d.n_chars, s.score,
+             ntile(4) OVER (ORDER BY s.score, d.doc_id) AS phase
+      FROM documents d JOIN scored s USING (doc_id)
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           ROUND(MIN(score), 4)          AS min_score,
+           ROUND(MAX(score), 4)          AS max_score
+    FROM phased
+    GROUP BY phase
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM phase assignment — training-order prep: documents rank
+    by a difficulty proxy (character entropy, reusing x_char_entropy's
+    helper: low-entropy repetitive text first, information-dense text
+    last) and split into 4 equal phases by ntile over the TOTAL order
+    (rounded score, doc_id).  The emitted manifest (per-phase doc/char
+    totals and score range) is what a staged training run consumes;
+    compose with x_shard_shuffle to shard WITHIN each phase.
+
+    Plan: the entropy aggregate (two doc_id-keyed shuffles) joined back
+    to the corpus row, one global ntile sort, one phase aggregate.
+    100 TB: the global sort is the honest cost of a total curriculum
+    order — production ranks within-partition + stratifies by score
+    range instead (same manifest, no global sort); the phase aggregate
+    is 4 rows."""
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+    from data_pipeline_cursor_spark.text.analysis import _char_entropy_df
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _char_entropy_df(docs).select(
+        "doc_id", stable_round4(F.col("ent")).alias("score")
+    )
+    w = Window.orderBy("score", "doc_id")
+    phased = (
+        docs.select("doc_id", "n_chars")
+        .join(scored, "doc_id")
+        .withColumn("phase", F.ntile(4).over(w))
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )

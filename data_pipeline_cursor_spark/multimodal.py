@@ -336,3 +336,99 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+_PHASH_BITS = 16
+
+
+def _duck_phash_bytes() -> str:
+    """Byte k of the payload via its hex rendering (portable across
+    engines; DuckDB blob → hex(encode(text))), at 16 evenly-spaced
+    sample positions."""
+    byte = (
+        "('0x' || substr(h, 2 * CAST(floor({k} * n / 16.0) AS BIGINT) + 1,"
+        " 2))::BIGINT"
+    )
+    cols = ",\n             ".join(
+        byte.format(k=k) + f" AS b{k}" for k in range(_PHASH_BITS)
+    )
+    return f"""
+      SELECT media_id, n,
+             {cols}
+      FROM (
+        SELECT doc_id AS media_id,
+               hex(encode(text))   AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+      )
+    """
+
+
+@register(
+    "x_media_phash",
+    oracle=f"""
+    WITH sampled AS ({_duck_phash_bytes()}),
+    sig AS (
+      SELECT media_id, n,
+             {" + ".join(f"b{k}" for k in range(_PHASH_BITS))} AS total,
+             {" + ".join(
+                 f"(CASE WHEN b{k} * {_PHASH_BITS} > "
+                 f"({' + '.join(f'b{j}' for j in range(_PHASH_BITS))}) "
+                 f"THEN {1 << k} ELSE 0 END)"
+                 for k in range(_PHASH_BITS))} AS signature
+      FROM sampled
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT)         AS n_bytes,
+           CAST(signature AS BIGINT) AS signature,
+           CAST(bit_count(CAST(signature AS BIGINT)) AS INT) AS popcount
+    FROM sig
+    """,
+)
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-style media SIGNATURE — the near-dup front end for
+    opaque payloads (x_media_dedup handles identical bytes; this handles
+    near-identical): sample 16 evenly-spaced payload bytes, set bit k
+    when sampled byte k exceeds the sample mean (compared as exact
+    integers b·16 > Σb — no float), and emit the 16-bit signature.
+    Real image pHash replaces byte sampling with DCT-of-decoded-pixels
+    in the mapInPandas decode stage (multimodal._decode_media's slot);
+    the signature/bucketing plumbing downstream is IDENTICAL.
+
+    Byte access is engine-portable via the payload's hex rendering —
+    both engines index the same hex string, so the signature is
+    hash-checkable.  Candidate pairs then come from signature-bucket
+    equi-joins (the minhash band pattern) + bit_count(a XOR b) Hamming
+    verification, never payload×payload.
+
+    Plan: pure projection, zero shuffle; payload bytes never leave the
+    scan."""
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+    d = media.select(
+        "media_id",
+        F.hex("payload").alias("h"),
+        F.length("payload").alias("n"),
+    )
+    bytes_ = [
+        F.conv(
+            F.col("h").substr(
+                (2 * F.floor(F.lit(k) * F.col("n") / 16.0).cast("bigint") + 1)
+                .cast("int"),
+                F.lit(2),
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        for k in range(_PHASH_BITS)
+    ]
+    total = sum(bytes_[1:], bytes_[0])
+    sig = None
+    for k in range(_PHASH_BITS):
+        bit = F.when(bytes_[k] * _PHASH_BITS > total, 1 << k).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return d.select(
+        "media_id",
+        F.col("n").cast("bigint").alias("n_bytes"),
+        sig.cast("bigint").alias("signature"),
+        F.bit_count(sig.cast("bigint")).alias("popcount"),
+    )

@@ -666,3 +666,48 @@ def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(
+             'ck:' || l_orderkey || '|' || l_linenumber || '|' || l_partkey
+                   || '|' || l_suppkey || '|' || CAST(round(l_quantity * 100, 0)
+                                                      AS BIGINT)
+                   || '|' || l_returnflag || '|' || l_linestatus
+           ), 1, 15))::BIGINT) AS checksum
+    FROM lineitem
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE TABLE CHECKSUM — the replica-comparison /
+    migration-validation primitive: render each row canonically (integer
+    and categorical columns; floats as exact cents), hash with the
+    portable 60-bit md5, and fold with bit_xor — commutative,
+    associative, and partial-aggregating, so two engines (or two
+    replicas, or pre/post-migration copies) agree iff the row SETS agree,
+    at any parallelism, without sorting anything.
+
+    This is how you check a 100 TB copy without a 100 TB sort-merge:
+    one scan, map-side partial XOR, a single 8-byte result.  (XOR's
+    blind spot — duplicate rows cancelling in pairs — is closed by the
+    row count beside it; a seeded second fold closes it entirely.)"""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rendered = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(rendered, "ck")).alias("checksum"),
+    )

@@ -1209,3 +1209,88 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+@register(
+    "x_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(l) - 1)) AS g(i)
+    ),
+    dbi AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM bi GROUP BY doc_id, w1, w2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2
+    ),
+    uc AS (
+      SELECT t.tk AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+      GROUP BY t.tk
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT t.tk) AS DOUBLE) AS v
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    )
+    SELECT dbi.doc_id,
+           CAST(SUM(dbi.tf) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(dbi.tf * ln((bc.c2 + 1.0) / (uc.c1 + vocab.v)))
+                 / SUM(dbi.tf), 4) AS nll,
+           (-SUM(dbi.tf * ln((bc.c2 + 1.0) / (uc.c1 + vocab.v)))
+            / SUM(dbi.tf) <= 9.5) AS keep
+    FROM dbi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+    GROUP BY dbi.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM language-model scoring — one model order above
+    x_unigram_logprob, the step that makes the perplexity signal
+    context-sensitive: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) (add-one
+    smoothing), per-document mean NLL over bigram occurrences.  Word
+    salad that passes the unigram filter (common words, wrong order)
+    scores high here.
+
+    Statistics are exact integer counts; the per-doc fold is one hash
+    agg of tf·ln(ratio) terms (the x_unigram determinism precedent).
+
+    100 TB: the bigram table is the big new object (quadratic vocab in
+    theory, corpus-bounded in practice) — it stays DISTRIBUTED: two
+    hash joins on (w1,w2)/(w1), nothing vocabulary-sized collected or
+    broadcast except the 1-row vocab total.  A production KenLM swaps
+    the joins for a Pandas-UDF model lookup with the same shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_col()
+    n_bi = F.greatest(F.size(tok) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(tok, 1, n_bi), F.slice(tok, 2, n_bi))
+    bi = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2")
+    )
+    dbi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    toks = docs.select(F.explode(tok).alias("w1"))
+    uc = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w1").cast("double").alias("v"))
+    contrib = F.col("tf") * F.log(
+        (F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))
+    )
+    nll = -F.sum(contrib) / F.sum("tf")
+    return (
+        dbi.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(nll, 4).alias("nll"),
+            (nll <= 9.5).alias("keep"),
+        )
+    )

@@ -864,7 +864,9 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bucketed GROUP BY event_type
     ),
     tot AS (
-      SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a, CAST(SUM(n_b) AS DOUBLE) AS t_b
+      SELECT event_type, n_a, n_b,
+             CAST(SUM(n_a) OVER () AS DOUBLE) AS t_a,
+             CAST(SUM(n_b) OVER () AS DOUBLE) AS t_b
       FROM counts
     )
     SELECT event_type, n_a, n_b,
@@ -873,7 +875,7 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST((n_a / t_a) * ln((n_a / t_a) / (n_b / t_b))
                            AS DECIMAL(28,10)), 4) AS DOUBLE)
              AS kl_term
-    FROM counts CROSS JOIN tot
+    FROM tot
     WHERE n_a > 0 AND n_b > 0
     """,
 )
@@ -886,8 +888,10 @@ def drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integer counts, one double division per share, stable_round4
     on the log term.  Plan: one partial-agg shuffle on (type) with the
-    half split as conditional sums — one corpus pass for both
-    distributions — plus a broadcast one-row totals crossJoin.
+    half split as conditional sums — ONE corpus pass for both
+    distributions (plan-asserted single FileScan); totals come from an
+    unpartitioned window over the |types|-row aggregate, which costs one
+    single-partition pass of a handful of rows, never a second scan.
 
     100 TB: identical; the comparison table is |types| rows.  Real
     deployments slide the window (this week vs trailing four) — same
@@ -902,15 +906,20 @@ def drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    tot = counts.agg(
-        F.sum("n_a").cast("double").alias("t_a"),
-        F.sum("n_b").cast("double").alias("t_b"),
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    tot = counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wall).cast("double").alias("t_a"),
+        F.sum("n_b").over(wall).cast("double").alias("t_b"),
     )
     p = F.col("n_a") / F.col("t_a")
     q = F.col("n_b") / F.col("t_b")
     return (
-        counts.crossJoin(F.broadcast(tot))
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        tot.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
             "event_type",
             "n_a",

@@ -329,3 +329,38 @@ def test_tpch_forecast_revenue_pushes_all_predicates(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, plan
+
+
+def test_dedup_incremental_broadcasts_delta(spark):
+    """x_dedup_incremental: the NEW-batch side must broadcast into the
+    band joins — cost independent of corpus size is the whole point."""
+    df = get_queries()["x_dedup_incremental"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_small_qty_broadcasts_threshold(spark):
+    """q_tpch_small_qty: the per-part threshold aggregate (O(|brand's
+    parts|) rows) broadcasts back onto the fact scan; the fact side must
+    not shuffle for that join."""
+    df = get_queries()["q_tpch_small_qty"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_media_phash_has_no_shuffle(spark):
+    """x_media_phash: pure projection — payload bytes never leave the
+    scan, no Exchange anywhere."""
+    df = get_queries()["x_media_phash"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_drift_kl_single_corpus_pass(spark):
+    """q_drift_kl: both week-half distributions come from ONE scan of
+    events (conditional sums), not a scan per half."""
+    df = get_queries()["q_drift_kl"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan

@@ -664,3 +664,135 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_TOPK)
         .select("query_id", "rnk", "vec_id", "adist")
     )
+
+
+_PQ_BODY = f"""
+      SELECT qs.query_id, e0.vec_id,
+             CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY qs.query_id
+                                ORDER BY (l0.d + l1.d + l2.d + l3.d),
+                                         e0.vec_id) AS rnk
+      FROM qs
+      CROSS JOIN e0
+      JOIN e1 ON e1.vec_id = e0.vec_id
+      JOIN e2 ON e2.vec_id = e0.vec_id
+      JOIN e3 ON e3.vec_id = e0.vec_id
+      JOIN lut0 l0 ON l0.query_id = qs.query_id AND l0.cid = e0.cid
+      JOIN lut1 l1 ON l1.query_id = qs.query_id AND l1.cid = e1.cid
+      JOIN lut2 l2 ON l2.query_id = qs.query_id AND l2.cid = e2.cid
+      JOIN lut3 l3 ON l3.query_id = qs.query_id AND l3.cid = e3.cid
+      WHERE e0.vec_id <> qs.query_id
+"""
+
+_PQ_RECALL_ORACLE = (
+    f"WITH {DUCK_QV_CTE},\n"
+    + ",".join(_duck_sub(m) for m in range(M_SUB))
+    + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
+    " WHERE vec_id % 199 = 0),"
+    + ",".join(_duck_lut(m) for m in range(M_SUB))
+    + f""",
+    pq AS (
+      SELECT query_id, vec_id FROM ({_PQ_BODY}) WHERE rnk <= {PQ_TOPK}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> CAST((qs.qv[i] - c.qv[i]) * (qs.qv[i] - c.qv[i])
+                             AS BIGINT))),
+                 c.vec_id) AS rn
+        FROM qs CROSS JOIN q c
+        WHERE c.vec_id <> qs.query_id
+      ) WHERE rn <= {PQ_TOPK}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(p.vec_id) / {PQ_TOPK}.0, 4) AS recall
+    FROM truth t
+    LEFT JOIN pq p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+    GROUP BY t.query_id
+"""
+)
+
+
+@register("x_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ index against EXACT L2 ground truth in the same
+    code space (x_ann_recall's harness applied to x_ann_pq) — the
+    calibration table that sizes M_SUB/K_PQ before the compressed index
+    replaces exact search: PQ's approximation error comes from
+    quantizing WITHIN subspaces, and recall against the exact scan is
+    the direct measurement of that loss.
+
+    Ground truth is the full-dimension integer L2 top-k over the same
+    quantized codes (one mapInPandas scan-once pass, per-partition
+    candidates, tiny window merge — x_sim_topk's shape in int space);
+    the index side is the registered x_ann_pq.  Integer hit counts.
+
+    Expected READING on this fixture: recall ≈ 0.  The synthetic
+    embeddings are isotropic random vectors — incompressible by
+    construction — and PQ's whole premise is exploiting the low
+    intrinsic dimensionality real embedding corpora have (a sweep on
+    this fixture tops out near 0.47 even at M=16, K=32, 2 rounds).
+    That is precisely what this table is FOR: it reports, with an
+    oracle-verified number, that the compressed index must not replace
+    exact search on this corpus at this config."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    codes = quantized_codes(spark, sf_dir).cache()
+    q_rows = sorted(
+        codes.filter(F.col("vec_id") % 199 == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
+
+    def exact_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            vids = pdf["vec_id"].to_numpy()
+            d = (
+                (Qm * Qm).sum(axis=1)[:, None]
+                - 2 * (Qm @ V.T)
+                + (V * V).sum(axis=1)[None, :]
+            )
+            out_q, out_v, out_d = [], [], []
+            k = min(PQ_TOPK + 1, d.shape[1])
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            for qi in range(len(q_ids)):
+                for vi in order[qi]:
+                    if vids[vi] != q_ids[qi]:
+                        out_q.append(q_ids[qi])
+                        out_v.append(vids[vi])
+                        out_d.append(d[qi, vi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "dist": out_d}
+            )
+
+    cand = codes.mapInPandas(
+        exact_scan, "query_id bigint, vec_id bigint, dist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    truth = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    index = ann_pq(spark, sf_dir).select(
+        F.col("query_id").alias("pq_query"), F.col("vec_id").alias("pq_vec")
+    )
+    joined = truth.join(
+        index,
+        (truth.query_id == index.pq_query) & (truth.vec_id == index.pq_vec),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("pq_vec").alias("n_hits"),
+        F.round(F.count("pq_vec") / float(PQ_TOPK), 4).alias("recall"),
+    )

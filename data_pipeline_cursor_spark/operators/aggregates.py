@@ -711,3 +711,134 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(rendered, "ck")).alias("checksum"),
     )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, h, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(SUM(o) OVER (PARTITION BY h) AS BIGINT)          AS ct,
+             CAST(SUM(o) OVER () AS BIGINT)                        AS n
+      FROM cells
+    )
+    SELECT CAST(ROUND(CAST(SUM(
+             (o - rt * ct / CAST(n AS DOUBLE))
+             * (o - rt * ct / CAST(n AS DOUBLE))
+             / (rt * ct / CAST(n AS DOUBLE))
+           ) AS DECIMAL(28,10)), 4) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT h) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM margins
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE test of independence (event_type × hour-of-day) — the
+    statistical sibling of q_drift_kl: is the hourly profile the same
+    for every event type, or does some type cluster in specific hours?
+    Emits the χ² statistic with its degrees of freedom — the pipeline
+    health check behind "did our traffic mix change shape".
+
+    Observed counts are exact integers; expected counts rt·ct/n are one
+    double expression per cell (identical in both engines); the
+    ≤|types|·24-cell fold is snapped by stable_round4.  Plan: one
+    partial-agg shuffle to the cell table, then three window margins
+    over ≤120 rows — never a second corpus scan."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = cells.select(
+        "event_type",
+        "h",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("h")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    return margins.agg(
+        stable_round4(F.sum((F.col("o") - e) * (F.col("o") - e) / e)).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("h") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").alias("n"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT m.event_type,
+           ROUND(m.med, 4) AS med,
+           ROUND(m.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY m.event_type, m.med, m.mad
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier counts via Median Absolute Deviation — the
+    heavy-tail-safe sibling of q_anomaly_zscore (whose mean/σ a single
+    spike can drag): per event type, the median, the MAD, and how many
+    observations sit beyond 3·MAD.
+
+    Exact medians are deterministic in both engines (q_median's
+    even-count midpoint rule); |x−med| and the 3·MAD comparison are
+    single double expressions per row.  Plan: three passes over the
+    typed fact (median → MAD → count), each one partial-agg shuffle on
+    event_type with the tiny per-type stats broadcast back — the
+    irreducible cost of exact nested medians.  100 TB: swap exact
+    medians for approx_percentile and the three passes collapse to one
+    (q_approx_percentile's sketch path)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n_total",
+        )
+    )

@@ -364,3 +364,95 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), bounds AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.ts) FROM clicks c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS back_ts,
+             (SELECT min(c.ts) FROM clicks c
+              WHERE c.user_id = p.user_id AND c.ts > p.ts)  AS fwd_ts
+      FROM purchases p
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts,
+           CASE WHEN back_ts IS NULL THEN 'fwd'
+                WHEN fwd_ts IS NULL THEN 'back'
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'back'
+                ELSE 'fwd' END AS direction
+    FROM bounds
+    WHERE back_ts IS NOT NULL OR fwd_ts IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-asof join (D8's bidirectional completion): each purchase
+    pairs with the click closest in time — before OR after — ties to the
+    earlier (backward) side.  The sensor-alignment semantic (pandas
+    merge_asof direction='nearest') that backward-only asof can't give.
+
+    Same scalable shape as q_join_asof: ONE union + ONE window pass per
+    direction over the same (user_id, ts) sort — last non-null click at
+    or before, first non-null click strictly after — then a pure
+    projection picks the smaller exact-microsecond gap.  One shuffle
+    total, O(1) window state; the oracle's correlated min/max subqueries
+    are the O(n·m) formulation this plan replaces at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(0).alias("is_click"),
+    )
+    merged = clicks.unionByName(purchases)
+    # clicks sort before purchases at identical ts → equal-ts clicks land
+    # in the BACKWARD window (Δ = 0, which nearest prefers anyway)
+    order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("is_click").desc()
+    )
+    wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = (
+        merged.withColumn(
+            "back_ts", F.last("click_ts", ignorenulls=True).over(wb)
+        )
+        .withColumn(
+            "fwd_ts", F.first("click_ts", ignorenulls=True).over(wf)
+        )
+        .filter(F.col("p_event_id").isNotNull())
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("back_ts")
+    d_fwd = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    pick_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (d_back <= d_fwd)
+    )
+    return (
+        out.filter(F.col("back_ts").isNotNull() | F.col("fwd_ts").isNotNull())
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.when(pick_back, F.col("back_ts"))
+            .otherwise(F.col("fwd_ts"))
+            .alias("nearest_click_ts"),
+            F.when(pick_back, "back").otherwise("fwd").alias("direction"),
+        )
+    )

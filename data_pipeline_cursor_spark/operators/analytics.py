@@ -808,45 +808,70 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     best match (total tie order lev, name, key).  The dedup-by-typo
     primitive behind catalog/vendor-master matching.
 
-    Same scale discipline as the Jaccard stack: the equi-join on the
-    blocking key bounds candidates at O(block²) — never name×name — and
-    Levenshtein (an exact integer DP, identical in both engines) runs
-    only on block-mates.  At 100 TB the blocking key is the lever:
-    phonetic codes or q-gram LSH when last-word blocks skew; the plan
-    shape is unchanged."""
+    The load-bearing rewrite is the word-TYPE move (BPE's trick): names
+    repeat heavily (64 distinct among 20k parts at sf0.1), so the
+    instance-level block join the ORACLE writes — O(block²) over part
+    ROWS, 20M Levenshtein pairs and 48 s at sf0.1 — collapses to a
+    |types|² comparison (64² = 4k pairs) whose per-type verdict
+    (partner-instance count, best (lev, name)) maps back onto part rows
+    with one broadcast join.  Result sets are identical: the emitted
+    columns are a pure function of the name type (plus whether the type
+    has ≥2 instances, which legitimizes the lev-0 self-type partner).
+
+    100 TB: type-table size is the vocabulary of names, orders below
+    corpus size; when even THAT squares too big, q-gram/PassJoin
+    blocking replaces the noun block — the instance→type collapse is
+    orthogonal and stays."""
     from pyspark.sql.window import Window
 
     p = load_table(spark, sf_dir, "part")
-    d = p.select(
-        "p_partkey",
-        "p_name",
-        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    types = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    types = types.withColumn(
+        "noun", F.element_at(F.split("p_name", " "), -1)
     )
-    a, b = d.alias("a"), d.alias("b")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    cand = (
-        a.join(
-            b,
-            (F.col("a.noun") == F.col("b.noun"))
-            & (F.col("a.p_partkey") != F.col("b.p_partkey")),
-        )
+    a = types.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        "noun",
+    )
+    b = types.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        "noun",
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # type-pair relation: same noun, lev ≤ 2; the self pair (a = b) is a
+    # valid partner source only when the type has ≥ 2 part instances —
+    # its contribution to the partner count is cnt−1 (excluding the part
+    # itself), exactly the instance-level p_partkey <> p_partkey rule
+    tp = (
+        a.join(b, "noun")
         .filter(lev <= 2)
         .select(
-            F.col("a.p_partkey").alias("p_partkey"),
-            F.col("a.p_name").alias("p_name"),
-            F.col("b.p_name").alias("match_name"),
-            F.col("b.p_partkey").alias("match_key"),
+            "name_a",
+            "name_b",
             lev.alias("lev"),
+            F.when(F.col("name_a") == F.col("name_b"), F.col("cnt_b") - 1)
+            .otherwise(F.col("cnt_b"))
+            .alias("partners"),
         )
     )
-    w = Window.partitionBy("p_partkey")
-    wr = w.orderBy("lev", "match_name", "match_key")
-    return (
-        cand.withColumn("n_close", F.count(F.lit(1)).over(w))
+    wr = Window.partitionBy("name_a").orderBy("lev", "name_b")
+    verdict = (
+        tp.filter(F.col("partners") > 0)
+        .withColumn("n_close", F.sum("partners").over(Window.partitionBy("name_a")))
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
-        .select("p_partkey", "p_name", "n_close", "match_name", "lev")
+        .select(
+            F.col("name_a").alias("p_name"),
+            "n_close",
+            F.col("name_b").alias("match_name"),
+            "lev",
+        )
     )
+    return p.select("p_partkey", "p_name").join(
+        F.broadcast(verdict), "p_name"
+    ).select("p_partkey", "p_name", "n_close", "match_name", "lev")
 
 
 @register(

@@ -461,6 +461,23 @@ K_PQ = 4                # codewords per subspace → code = M_SUB small ints
 PQ_TOPK = 5
 
 
+def _bounded_query_batch(codes: DataFrame):
+    """The %199 query subset, collected under x_sim_topk's bounded-batch
+    contract: refuse past MAX_QUERY_BATCH instead of silently OOMing the
+    driver — larger query sets belong on the distributed paths."""
+    from data_pipeline_cursor_spark.vectors.similarity import MAX_QUERY_BATCH
+
+    q = codes.filter(F.col("vec_id") % 199 == 0)
+    rows = q.limit(MAX_QUERY_BATCH + 1).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"PQ query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "keep the probe set distributed (x_sim_ivf_trained) or raise "
+            "the cap deliberately"
+        )
+    return sorted(rows, key=lambda r: r["vec_id"])
+
+
 def _duck_sub(m: int) -> str:
     """Per-subspace CTE chain: slice → md5 seeds → one Lloyd round →
     codebook c{m} → encoding e{m}(vec_id, cid)."""
@@ -612,10 +629,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # -- query LUTs (query batch bounded by the x_sim_topk contract) --
-    q_rows = sorted(
-        codes.filter(F.col("vec_id") % 199 == 0).collect(),
-        key=lambda r: r["vec_id"],
-    )
+    q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
     luts = []  # per m: (n_queries, K_PQ) exact int distances, cid-ordered
@@ -744,10 +758,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     codes = quantized_codes(spark, sf_dir).cache()
-    q_rows = sorted(
-        codes.filter(F.col("vec_id") % 199 == 0).collect(),
-        key=lambda r: r["vec_id"],
-    )
+    q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
 

@@ -1238,3 +1238,86 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last_value", 4).alias("last_value"),
         )
     )
+
+
+@register(
+    "s_query_metrics",
+    oracle="""
+    -- the one observability counter that is a pure function of the
+    -- fixture: every landing row (events + 1 flush sentinel) is ingested
+    -- exactly once by the availableNow drain
+    SELECT 'total_input_rows' AS metric,
+           CAST(COUNT(*) + 1 AS BIGINT) AS value
+    FROM events
+    """,
+)
+def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY via `StreamingQueryListener` (the
+    Structured Streaming metrics surface — Flink's metric reporters /
+    the reference dashboard's poll loop, §3.4, as first-class data): a
+    listener accumulates every micro-batch's progress while the flagship
+    tumble job drains, and the harvested counters come back AS A TABLE.
+
+    Exactly-once makes observability oracle-able: total numInputRows
+    over the drain is a pure function of the fixture (events + the flush
+    sentinel), so the emitted counter carries a real DuckDB oracle —
+    batch COUNTS and durations are run-shaped, so only the deterministic
+    counter is emitted.  At 100 TB this listener is what feeds lag/
+    throughput dashboards and autoscaling; the plan cost is the job it
+    observes."""
+    import threading
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Harvest(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.lock = threading.Lock()
+            self.query_id = None
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if self.query_id and str(p.id) != self.query_id:
+                return
+            with self.lock:
+                self.rows += int(p.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Harvest()
+    spark.streams.addListener(listener)
+    try:
+        df = _stream(spark, sf_dir)
+        agg = tumble_agg(df)
+        name = "metrics_" + uuid.uuid4().hex[:8]
+        from data_pipeline_cursor_spark.streaming.sources import (
+            stream_state_partitions,
+        )
+
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", _ckpt("metrics"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            listener.query_id = str(q.id)
+            q.awaitTermination()
+        # listener callbacks are delivered asynchronously on the listener
+        # bus — drain it before reading the counters
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    finally:
+        spark.streams.removeListener(listener)
+    return spark.createDataFrame(
+        [("total_input_rows", listener.rows)], "metric string, value long"
+    )

@@ -369,3 +369,58 @@ def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col, nulls, ndv, min_val, max_val)"
     ).orderBy("col")
+
+
+@register(
+    "q_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('cp:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    """,
+)
+def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION (Delta OPTIMIZE / Iceberg rewrite_data_files
+    as a plain-parquet job) — the lakehouse maintenance op streaming
+    sinks make necessary: frequent commits write many small files, and
+    scan cost at 100 TB is dominated by file-open overhead until someone
+    rewrites them at the target size.
+
+    The job: materialize a deliberately fragmented copy of the fact
+    table (64 shards), rewrite it with byte-targeted coalescing
+    (table bytes / 32 MB target → file count), and emit the row count +
+    order-insensitive checksum of the COMPACTED table — the oracle
+    proves compaction lossless (same rows, nothing duplicated or
+    dropped), which is the property that matters; the file-count
+    reduction itself is asserted by tests/test_invariants.py.
+
+    100 TB: the rewrite is one shuffle-free coalesce per partition
+    directory; production drives it per-partition with a file-size
+    threshold so only fragmented partitions rewrite — same plan,
+    gated by listing metadata."""
+    import glob
+    import os
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    frag_dir = _work_dir(sf_dir, "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.schema(ev.schema).parquet(frag_dir)
+    n_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(frag_dir, "*.parquet"))
+    )
+    target = max(1, -(-n_bytes // (32 * 1024 * 1024)))  # ceil to 32 MB files
+    compact_dir = _work_dir(sf_dir, "compact")
+    frag.coalesce(target).write.mode("overwrite").parquet(compact_dir)
+
+    out = spark.read.schema(ev.schema).parquet(compact_dir)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "cp")).alias(
+            "checksum"
+        ),
+    )

@@ -906,3 +906,20 @@ def test_ann_pq_structure(spark):
         assert list(g["rnk"]) == list(range(1, PQ_TOPK + 1))
         assert (g["adist"].diff().dropna() >= 0).all()
         assert (g["adist"] >= 0).all()
+
+
+def test_compaction_reduces_file_count(spark):
+    """q_compaction must actually shrink the file count (the lossless-data
+    half is oracle-checked; this pins the maintenance half)."""
+    import glob
+    import os
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+
+    get_queries()["q_compaction"](spark, SF_ORACLE).collect()
+    frag = glob.glob(os.path.join(_work_dir(SF_ORACLE, "frag"), "*.parquet"))
+    compact = glob.glob(
+        os.path.join(_work_dir(SF_ORACLE, "compact"), "*.parquet")
+    )
+    assert len(frag) == 64
+    assert 1 <= len(compact) < len(frag) / 4, (len(frag), len(compact))

@@ -1321,3 +1321,105 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("total_input_rows", listener.rows)], "metric string, value long"
     )
+
+
+_EWMA_STATE_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('second', ts),
+                                         event_id) AS rn
+      FROM events
+    ),
+    ew AS (
+      SELECT event_type, rn, v AS e FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_type, b.rn, (b.v + ew.e) // 2
+      FROM ew JOIN base b
+        ON b.event_type = ew.event_type AND b.rn = ew.rn + 1
+    ),
+    last AS (
+      SELECT event_type, MAX(rn) AS n_obs FROM base GROUP BY event_type
+    )
+    SELECT l.event_type,
+           CAST(l.n_obs AS BIGINT) AS n_obs,
+           CAST(e.e AS BIGINT)     AS ewma_cents
+    FROM last l JOIN ew e
+      ON e.event_type = l.event_type AND e.rn = l.n_obs
+"""
+
+
+@register("s_ewma_state", oracle=_EWMA_STATE_ORACLE)
+def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-DEPENDENT stateful streaming via EVENT-TIME RESEQUENCING —
+    the capability s_topk_state and s_cdc_apply deliberately sidestep
+    (their merges are commutative): the integer EWMA recurrence
+    e_t = (v_t + e_{t-1}) // 2 depends on processing rows in event-time
+    order, but micro-batches deliver them in ARRIVAL order.  The
+    operator buffers each key's observations in keyed state and, every
+    batch, re-folds the recurrence over the buffer sorted by the TOTAL
+    event-time order (second-truncated ts, event_id) — so the drained
+    result equals q_ewma's batch semantics exactly, under any
+    interleaving, and carries the same recursive-CTE oracle.
+
+    State per key is the buffered (ts, id, cents) history — the honest
+    cost of exact resequencing.  At 100 TB the buffer is bounded by the
+    WATERMARK horizon (emit-and-evict rows older than the watermark,
+    folding them permanently into the carried e); the fixture drain
+    keeps the whole horizon because the flush sentinel arrives last."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ts_b, id_b, v_b, seq = state.get
+            ts_b, id_b, v_b = list(ts_b), list(id_b), list(v_b)
+        else:
+            ts_b, id_b, v_b, seq = [], [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["event_id", "event_time", "value"])
+            ts_b.extend(
+                int(t.value // 1_000_000) for t in pdf["event_time"]
+            )  # epoch ms; landing ts are second-precision, so this is a
+            #    monotone rendering of the oracle's second-truncated order
+            id_b.extend(int(i) for i in pdf["event_id"])
+            v_b.extend(
+                int(v) for v in (pdf["value"] * 100).round(0).astype("int64")
+            )
+        seq += 1
+        state.update((ts_b, id_b, v_b, seq))
+        if not v_b:
+            return
+        order = np.lexsort((np.array(id_b), np.array(ts_b)))
+        v = np.array(v_b, dtype=np.int64)[order]
+        e = int(v[0])
+        for x in v[1:]:
+            e = (int(x) + e) // 2
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [len(v)],
+                "ewma_cents": [e],
+                "batch_seq": [seq],
+            }
+        )
+
+    emitted = df.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, n_obs long, ewma_cents long, batch_seq long",
+        "ts_b array<long>, id_b array<long>, v_b array<long>, seq long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_completion(emitted, _ckpt("ewma-state"), out_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_obs", "ewma_cents")
+    )

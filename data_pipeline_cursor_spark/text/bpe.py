@@ -210,3 +210,91 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("sym", "n_words", "n_total")
     )
+
+
+_BPE_ENCODE_ORACLE = f"""
+    {duck_chain(ROUNDS)},
+    vocab AS (
+      SELECT sym, row_number() OVER (ORDER BY n_total DESC, sym) AS id
+      FROM (
+        SELECT arr[g.i] AS sym, CAST(SUM(cnt) AS BIGINT) AS n_total
+        FROM (SELECT w, cnt, string_split(trim(s), ' ') AS arr FROM s{ROUNDS}),
+             unnest(generate_series(1, len(arr))) AS g(i)
+        GROUP BY 1
+      )
+    ),
+    dt AS (
+      SELECT doc_id, t.i AS pos, l[t.i] AS w
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents),
+           unnest(generate_series(1, len(l))) AS t(i)
+    ),
+    seg AS (
+      SELECT dt.doc_id, dt.pos, string_split(trim(sw.s), ' ') AS syms
+      FROM dt JOIN s{ROUNDS} sw ON sw.w = dt.w
+    ),
+    ids AS (
+      SELECT seg.doc_id, seg.pos, g.j AS sidx, v.id
+      FROM seg, unnest(generate_series(1, len(syms))) AS g(j)
+      JOIN vocab v ON v.sym = syms[g.j]
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, sidx))
+             AS ids_md5
+    FROM ids
+    GROUP BY doc_id
+"""
+
+
+@register("x_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained tokenizer — the round trip's
+    last leg (train merges → segment word types → map every document to
+    its TOKEN-ID SEQUENCE): vocabulary ids are the symbol table ranked
+    by (corpus frequency DESC, symbol), each document's tokens look up
+    their word type's segmentation, and the per-doc id sequence renders
+    md5-canonically (the q_collect_struct convention) so the exact
+    ordered ids hash-check without shipping giant arrays.
+
+    Plan shape is the production one: the corpus joins the WORD-TYPE
+    segmentation table (vocabulary-sized — broadcast in practice) and
+    the symbol→id vocab; positions ride (token pos, symbol idx) so the
+    order is total.  Nothing corpus-sized is collected; the id render is
+    one hash agg per doc."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    _bests, words = _train(docs)
+    arr = F.split(F.trim(F.col("s")), " ")
+    vocab = (
+        words.select("cnt", F.explode(arr).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n_total"))
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_total"), F.asc("sym"))
+            ),
+        )
+        .select("sym", "id")
+    )
+    dt = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    seg = dt.join(
+        words.select("w", arr.alias("syms")), "w"
+    ).select(
+        "doc_id", "pos", F.posexplode("syms").alias("sidx0", "sym")
+    ).select("doc_id", "pos", (F.col("sidx0") + 1).alias("sidx"), "sym")
+    ids = seg.join(vocab, "sym")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "sidx", "id"))
+        ),
+        lambda r: r["id"].cast("string"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.md5(F.array_join(ordered, ",")).alias("ids_md5"),
+    )

@@ -923,3 +923,57 @@ def test_compaction_reduces_file_count(spark):
     )
     assert len(frag) == 64
     assert 1 <= len(compact) < len(frag) / 4, (len(frag), len(compact))
+
+
+def test_passjoin_candidates_prune_the_cross_product(spark):
+    """x_fuzzy_passjoin's chunk-blocking must generate FAR fewer verify
+    candidates than the |types|² cross product it replaces (the whole
+    point), while the hash oracle separately proves it misses nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.sources import load_table
+
+    p = load_table(spark, SF_ORACLE, "part")
+    t = p.select("p_name").distinct().withColumn("L", F.length("p_name"))
+    n_types = t.count()
+    total_pairs = n_types * (n_types - 1) // 2
+
+    # replicate the candidate stage (pre-Levenshtein) by counting the
+    # registered query's verified SUPERSET cheaply: candidates are the
+    # distinct (a<b) pairs sharing a (sub, slot, L) key
+    TAU, K = 2, 3
+    slot = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("i")
+    chunks = t.select("p_name", "L", slot)
+    start = (F.floor(F.col("i") * F.col("L") / K) + 1).cast("int")
+    clen = (
+        F.floor((F.col("i") + 1) * F.col("L") / K)
+        - F.floor(F.col("i") * F.col("L") / K)
+    ).cast("int")
+    indexed = chunks.select(
+        F.col("p_name").alias("name_a"), "L", "i",
+        F.col("p_name").substr(start, clen).alias("sub"),
+    ).filter(F.length("sub") > 0)
+    probe = (
+        t.select(F.col("p_name").alias("name_b"), F.col("L").alias("Lb"))
+        .withColumn("L", F.explode(F.sequence(F.col("Lb") - TAU, F.col("Lb") + TAU)))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+        .withColumn("d", F.explode(F.sequence(F.lit(-TAU), F.lit(TAU))))
+    )
+    pstart = (F.floor(F.col("i") * F.col("L") / K) + 1 + F.col("d")).cast("int")
+    plen = (
+        F.floor((F.col("i") + 1) * F.col("L") / K)
+        - F.floor(F.col("i") * F.col("L") / K)
+    ).cast("int")
+    probe = probe.filter(
+        (pstart >= 1) & (plen > 0) & (pstart + plen - 1 <= F.col("Lb"))
+    ).select(
+        "name_b", "L", "i", F.col("name_b").substr(pstart, plen).alias("sub")
+    ).distinct()
+    n_cand = (
+        indexed.join(probe, ["sub", "i", "L"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand < total_pairs / 2, (n_cand, total_pairs)

@@ -716,3 +716,39 @@ def test_cdc_apply_batch_equivalence(spark):
         "event_type"
     ).distinct().count()
     assert len(want) <= n_types
+
+
+def test_ewma_state_matches_batch_recurrence(spark):
+    """s_ewma_state's drained result must equal the batch integer EWMA
+    folded in the total event-time order (second-truncated ts, event_id)
+    per event_type — the resequencing claim, checked against a local
+    recomputation rather than the streaming machinery itself."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonical_rows
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    got = get_queries()["s_ewma_state"](spark, SF_SMOKE).toPandas()
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.date_trunc("second", "ts").alias("ts"),
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        )
+        .toPandas()
+    )
+    rows = []
+    for etype, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"])
+        e = int(g["v"].iloc[0])
+        for x in g["v"].iloc[1:]:
+            e = (int(x) + e) // 2
+        rows.append({"event_type": etype, "n_obs": len(g), "ewma_cents": e})
+    want = pd.DataFrame(rows)
+    assert canonical_rows(got) == canonical_rows(want)

@@ -410,3 +410,53 @@ def frame_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_cents").cast("double") / F.col("n_win") / 100.0, 4
         ).alias("trailing_avg"),
     )
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id,
+           CAST(n_win AS BIGINT) AS n_win,
+           ROUND(med, 4) AS rolling_median
+    FROM (
+      SELECT event_id,
+             COUNT(*) OVER w AS n_win,
+             median(value) OVER w AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN (the robust moving statistic — q_frame_rows' moving
+    average is spike-dragged; the 5-point median is not): per user, the
+    median of the trailing 5 observations.
+
+    Spark has no median over a window FRAME, so the frame's values
+    collect into a bounded array (≤5 elements — collect_list over a ROWS
+    frame) and the median is computed as an array expression with the
+    exact even/odd midpoint rule both engines share.  Deterministic: the
+    frame is defined by the total order (ts, event_id) and the in-frame
+    fold is a sort of ≤5 doubles.
+
+    100 TB: per-row state is the frame width (a constant), one exchange
+    on user_id — same envelope as every window query; wide frames swap
+    the array for the two-heap streaming-median pattern inside
+    applyInPandas."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    mid_hi = F.try_element_at(vals, (n / 2 + 1).cast("int"))
+    mid_lo = F.try_element_at(vals, ((n + 1) / 2).cast("int"))
+    med = (mid_lo + mid_hi) / 2.0
+    return ev.select(
+        "event_id",
+        n.cast("long").alias("n_win"),
+        F.round(med, 4).alias("rolling_median"),
+    )

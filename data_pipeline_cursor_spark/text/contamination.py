@@ -336,3 +336,67 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "x_benchmark_coverage",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, concat_ws(' ', l[i], l[i+1], l[i+2]) AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents) x,
+           unnest(generate_series(1, len(l) - 2)) AS t(i)
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 50 = 0
+    ),
+    cg AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 != 0)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(cg.g) AS BIGINT) AS n_covered,
+           CAST(ROUND(CAST(COUNT(cg.g) * 1.0 / COUNT(*) AS DECIMAL(28,10)),
+                      4) AS DOUBLE) AS coverage
+    FROM bg LEFT JOIN cg USING (g)
+    GROUP BY bg.doc_id
+    """,
+)
+def benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark SATURATION — x_contamination's mirror image: for each
+    BENCHMARK document, the fraction of its distinct trigrams that occur
+    anywhere in the training corpus.  Contamination asks "which training
+    docs should be dropped"; coverage asks "how compromised is each eval
+    item" — the number an eval-integrity report carries per benchmark
+    task, because a 0.9-covered item measures memorization even after
+    the offending training docs are gone.
+
+    Plan: corpus trigrams deduplicate once (one hash agg — the only
+    corpus-sized shuffle); the benchmark gram table (eval-suite-sized)
+    broadcasts into the join from the SMALL side, and the per-item
+    aggregate runs over |benchmark grams| rows.  Cost O(corpus grams +
+    benchmark grams) — never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tri = docs.select(
+        "doc_id", F.explode(_shingles(tokens_col(), NGRAM)).alias("g")
+    )
+    bg = tri.filter(F.col("doc_id") % BENCH_MOD == 0).distinct()
+    cg = (
+        tri.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    covered = cg.join(F.broadcast(bg.select("g").distinct()), "g").select(
+        "g", "hit"
+    )
+    return (
+        bg.join(F.broadcast(covered), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_covered"),
+            stable_round4(
+                F.count("hit") / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+    )

@@ -387,3 +387,52 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.k.eqNullSafe(b.bk))
         .select("event_id", "k", F.round("value", 4).alias("value"), "n_side")
     )
+
+
+@register(
+    "q_gap_detect",
+    oracle="""
+    -- fixture ids are contiguous, so a deterministic slice (id % 97 = 13)
+    -- is dropped first and the detector must recover EXACTLY those holes
+    -- (the x_dedup_exact synthetic-fixture convention)
+    WITH kept AS (
+      SELECT event_id FROM events WHERE event_id % 97 != 13
+    ),
+    runs AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM kept
+    )
+    SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS n_missing
+    FROM runs
+    WHERE event_id - prev_id > 1
+    """,
+)
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP detection — the completeness check run on ingested
+    logs with monotonically-assigned ids (Kafka offsets, DB sequences):
+    every missing id range as (gap_start, gap_end, n_missing), found by
+    one lag() pass over the sorted ids — never by joining against a
+    generated full-range spine, which materializes max(id) rows to find
+    a handful of holes.
+
+    The fixture's ids are contiguous, so the query first drops a
+    deterministic slice and must recover exactly those holes — keeping
+    the oracle non-vacuous at every SF.
+
+    100 TB: ids partition by their natural ranges (offset per Kafka
+    partition, sequence per shard) — lag() runs per partition key with
+    no global sort; here the single global window is fixture-shaped."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(F.col("event_id") % 97 != 13).select("event_id")
+    w = Window.orderBy("event_id")
+    runs = kept.withColumn("prev_id", F.lag("event_id").over(w))
+    return runs.filter(F.col("event_id") - F.col("prev_id") > 1).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )

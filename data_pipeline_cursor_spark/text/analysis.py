@@ -1294,3 +1294,103 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nll <= 9.5).alias("keep"),
         )
     )
+
+
+_PROFILE_K = 20  # trigrams per language profile
+
+
+@register(
+    "x_lang_ngram_profile",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, lang, substr(text, g.i, 3) AS tri
+      FROM documents, unnest(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    prof AS (
+      SELECT lang, tri FROM (
+        SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, tri) AS rn
+        FROM chars GROUP BY lang, tri
+      ) WHERE rn <= {_PROFILE_K}
+    ),
+    doc_tris AS (SELECT DISTINCT doc_id, lang, tri FROM chars),
+    scores AS (
+      SELECT d.doc_id, d.lang AS labeled_lang, p.lang AS cand_lang,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM doc_tris d JOIN prof p USING (tri)
+      GROUP BY d.doc_id, d.lang, p.lang
+    )
+    SELECT doc_id, labeled_lang, predicted_lang,
+           CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END
+             AS correct
+    FROM (
+      SELECT doc_id, labeled_lang, cand_lang AS predicted_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, cand_lang) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-TRIGRAM language identification — the production upgrade
+    x_lang_id's docstring promises (Cavnar-Trenkle n-gram profiles,
+    public literature): each language's profile is its top-{_PROFILE_K}
+    character trigrams BY TRAINING FREQUENCY (total tie order count
+    DESC, trigram), and each document classifies to the profile it
+    overlaps most (distinct-trigram overlap count; alphabetical
+    tie-break).  Works where stopword lists can't — no tokenization
+    assumption, robust to unseen vocabulary.
+
+    All-integer scoring end to end (profile ranks, overlap counts), so
+    even the trained classifier carries a full hash oracle — the same
+    strategy that made k-means/BPE verifiable.
+
+    Plan: one (lang, trigram) count shuffle for profiles (the "training"
+    — |langs|·{_PROFILE_K} rows out), one distinct per-doc trigram
+    explode, an equi-join against the broadcast profile table, one
+    per-doc argmax window.  100 TB: profiles are constant-sized; the
+    per-doc work is explode + broadcast join at scan parallelism."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))
+            ),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    ).alias("tri")
+    chars = docs.select("doc_id", "lang", tri)
+    wprof = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    prof = (
+        chars.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wprof))
+        .filter(F.col("rn") <= _PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    doc_tris = chars.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "tri"
+    ).distinct()
+    scores = (
+        doc_tris.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "labeled_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.desc("overlap"), F.asc("cand_lang")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.col("cand_lang").alias("predicted_lang"),
+            F.when(F.col("cand_lang") == F.col("labeled_lang"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )

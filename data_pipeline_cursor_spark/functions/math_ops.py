@@ -62,6 +62,26 @@ def stable_round4(c):
     return F.round(c.cast("decimal(28,10)"), 4).cast("double")
 
 
+def cents_half_away(values):
+    """Render nonnegative float dollars as exact integer cents with
+    HALF-AWAY-FROM-ZERO rounding — ``floor(v*100 + 0.5)`` — matching both
+    DuckDB's ``round(v*100, 0)`` and Spark's ``F.round`` (HALF_UP).
+
+    Exists because pandas ``Series.round(0)`` is banker's half-to-even: a
+    value landing exactly on a half cent (0.125 → 12.5) renders 12 there
+    but 13 everywhere else, silently desyncing any pandas-side integer
+    fold from its SQL oracle (round-5 ADVICE item).  Used by the q_ewma /
+    s_ewma_state exact-cents recurrences.
+
+    Accepts any array-like of nonnegative floats; returns int64 ndarray.
+    """
+    import numpy as np
+
+    return np.floor(np.asarray(values, dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+
+
 @register(
     "q_try_arith",
     oracle="""

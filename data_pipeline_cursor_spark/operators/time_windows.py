@@ -159,7 +159,13 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        v = (pdf["value"] * 100).round(0).astype("int64").to_numpy()
+        # half-away cents, NOT pandas Series.round (banker's) — see
+        # cents_half_away's docstring for the desync this prevents.
+        from data_pipeline_cursor_spark.functions.math_ops import (
+            cents_half_away,
+        )
+
+        v = cents_half_away(pdf["value"].to_numpy())
         e = int(v[0])
         for x in v[1:]:
             e = (int(x) + e) // 2

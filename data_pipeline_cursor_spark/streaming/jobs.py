@@ -1266,31 +1266,38 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughput dashboards and autoscaling; the plan cost is the job it
     observes."""
     import threading
+    import time
     import uuid
 
     from pyspark.sql.streaming import StreamingQueryListener
 
     class _Harvest(StreamingQueryListener):
+        """Buffers (query_id, numInputRows) pairs for EVERY query — the
+        caller sums only its own query's entries after the drain.  No
+        query-id guard in the callback: a guard set after start() would
+        race (events from a concurrent query could slip in while the id
+        is still unset); attributing in the callback's data and filtering
+        at read time is order-safe by construction."""
+
         def __init__(self):
-            self.rows = 0
+            self.progress = []  # (query_id_str, rows) pairs
+            self.terminated = set()
             self.lock = threading.Lock()
-            self.query_id = None
 
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
             p = event.progress
-            if self.query_id and str(p.id) != self.query_id:
-                return
             with self.lock:
-                self.rows += int(p.numInputRows)
+                self.progress.append((str(p.id), int(p.numInputRows)))
 
         def onQueryIdle(self, event):
             pass
 
         def onQueryTerminated(self, event):
-            pass
+            with self.lock:
+                self.terminated.add(str(event.id))
 
     listener = _Harvest()
     spark.streams.addListener(listener)
@@ -1311,15 +1318,24 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            listener.query_id = str(q.id)
+            qid = str(q.id)
             q.awaitTermination()
-        # listener callbacks are delivered asynchronously on the listener
-        # bus — drain it before reading the counters
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        # Listener callbacks arrive asynchronously; the bus is ordered per
+        # query, so once OUR terminated event lands every progress event
+        # for qid has too.  Bounded public-API wait — no private
+        # listenerBus drain.
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            with listener.lock:
+                if qid in listener.terminated:
+                    break
+            time.sleep(0.05)
     finally:
         spark.streams.removeListener(listener)
+    with listener.lock:
+        rows = sum(n for i, n in listener.progress if i == qid)
     return spark.createDataFrame(
-        [("total_input_rows", listener.rows)], "metric string, value long"
+        [("total_input_rows", rows)], "metric string, value long"
     )
 
 
@@ -1373,6 +1389,8 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.window import Window
 
+    from data_pipeline_cursor_spark.functions.math_ops import cents_half_away
+
     df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
 
     def update(key, pdfs, state):
@@ -1388,8 +1406,10 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )  # epoch ms; landing ts are second-precision, so this is a
             #    monotone rendering of the oracle's second-truncated order
             id_b.extend(int(i) for i in pdf["event_id"])
+            # half-away cents, NOT pandas Series.round (banker's) — see
+            # cents_half_away's docstring for the desync this prevents.
             v_b.extend(
-                int(v) for v in (pdf["value"] * 100).round(0).astype("int64")
+                int(v) for v in cents_half_away(pdf["value"].to_numpy())
             )
         seq += 1
         state.update((ts_b, id_b, v_b, seq))

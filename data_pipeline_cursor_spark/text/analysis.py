@@ -45,6 +45,27 @@ def _duck_list(words: list[str]) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
 
 
+def char_trigrams(col) -> Column:
+    """All overlapping character trigrams of a string column, as an array.
+
+    Guarded for short strings: ``sequence(start, stop)`` counts DOWN when
+    stop < start, so an unguarded ``sequence(1, length-2)`` on a string
+    shorter than 3 chars yields ``[1, 0]`` and emits two bogus "trigrams"
+    (substrings at positions 0/1), where DuckDB's ``generate_series(1,
+    length-2)`` emits none.  The guard returns the empty array for
+    length < 3, matching generate_series semantics (round-5 ADVICE item;
+    forced by tests/test_invariants.py::test_char_trigrams_short_strings).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 2),
+            lambda i: c.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _hits(tok: Column, lang: str) -> Column:
     """# of distinct stopwords of `lang` present in the token array."""
     return F.size(
@@ -1354,14 +1375,7 @@ def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tri = F.explode(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))
-            ),
-            lambda i: F.col("text").substr(i, F.lit(3)),
-        )
-    ).alias("tri")
+    tri = F.explode(char_trigrams("text")).alias("tri")
     chars = docs.select("doc_id", "lang", tri)
     wprof = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
     prof = (

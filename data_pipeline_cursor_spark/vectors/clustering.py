@@ -658,9 +658,14 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 adist += luts[m][:, code]
             out_q, out_v, out_d = [], [], []
             k = min(PQ_TOPK, len(vids))
-            order = np.argsort(adist, axis=1, kind="stable")[:, : k + 1]
             for qi in range(len(q_ids)):
-                for vi in order[qi]:
+                # lexsort on (adist, vec_id) so the per-partition cut
+                # respects the same TOTAL order as the global window and
+                # the oracle — argsort alone breaks adist ties by the
+                # arbitrary partition row order and can drop the vector
+                # the total order would rank inside the top-k.
+                order = np.lexsort((vids, adist[qi]))[: k + 1]
+                for vi in order:
                     if vids[vi] != q_ids[qi]:
                         out_q.append(q_ids[qi])
                         out_v.append(vids[vi])
@@ -775,9 +780,11 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out_q, out_v, out_d = [], [], []
             k = min(PQ_TOPK + 1, d.shape[1])
-            order = np.argsort(d, axis=1, kind="stable")[:, :k]
             for qi in range(len(q_ids)):
-                for vi in order[qi]:
+                # (dist, vec_id) total order — same boundary-tie fix as
+                # the ADC scan above, keeping the cut oracle-consistent.
+                order = np.lexsort((vids, d[qi]))[:k]
+                for vi in order:
                     if vids[vi] != q_ids[qi]:
                         out_q.append(q_ids[qi])
                         out_v.append(vids[vi])

@@ -977,3 +977,42 @@ def test_passjoin_candidates_prune_the_cross_product(spark):
         .count()
     )
     assert n_cand < total_pairs / 2, (n_cand, total_pairs)
+
+
+def test_char_trigrams_short_strings(spark):
+    """Round-5 ADVICE forcing test: strings shorter than 3 chars must
+    produce ZERO trigrams (sequence(1, len-2) would count DOWN and emit
+    two bogus entries for them), and length-n strings produce n-2."""
+    from data_pipeline_cursor_spark.text.analysis import char_trigrams
+
+    df = spark.createDataFrame(
+        [("", ), ("a",), ("ab",), ("abc",), ("abcd",), ("hello",)],
+        "text string",
+    ).select("text", char_trigrams("text").alias("tris"))
+    got = {r["text"]: r["tris"] for r in df.collect()}
+    assert got[""] == []
+    assert got["a"] == []
+    assert got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert got["abcd"] == ["abc", "bcd"]
+    assert got["hello"] == ["hel", "ell", "llo"]
+
+
+def test_cents_half_away_midpoints():
+    """Round-5 ADVICE forcing test: values landing exactly on a half cent
+    must round AWAY from zero (12.5 -> 13), matching DuckDB round() and
+    Spark F.round — pandas Series.round would give banker's 12."""
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.functions.math_ops import cents_half_away
+
+    vals = [0.125, 0.135, 0.115, 1.005, 0.0, 2.675, 30.72]
+    got = list(cents_half_away(vals))
+    # 1.005*100 is 100.4999... in IEEE (-> 100) while 2.675*100 rounds to
+    # the representable 267.5 (-> 268): both engines see the same floats,
+    # so these ARE the oracle-consistent renderings.
+    assert got == [13, 14, 12, 100, 0, 268, 3072], got
+    # and confirm this differs from the banker's rendering pandas gives,
+    # i.e. the test actually forces the bug class
+    bankers = list((pd.Series(vals) * 100).round(0).astype("int64"))
+    assert bankers[0] == 12  # 12.5 -> even -> 12 under banker's

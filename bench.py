@@ -66,6 +66,25 @@ def main() -> None:
 
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Per-query regression check against the last committed full record,
+    # so the verdict line itself carries the 2x clause.  Queries under a
+    # 0.1 s floor are excluded from the ratio (pure scheduling noise).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    base_path = os.environ.get(
+        "BENCH_BASE", os.path.join(repo_dir, "BENCH_FULL.json")
+    )
+    worst_q, worst_ratio = None, 0.0
+    try:
+        with open(base_path) as f:
+            base = json.load(f).get("queries", {})
+        for q, t in timings.items():
+            b = base.get(q, -1.0)
+            if t >= 0 and b >= 0.1 and t / b > worst_ratio:
+                worst_q, worst_ratio = q, round(t / b, 2)
+    except (OSError, ValueError):
+        base = {}
+
     payload = {
         "metric": (
             "total wall-clock, all declared queries (noop sink)"
@@ -78,17 +97,35 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "n_queries": len(timings),
+        "worst_vs_prev": worst_ratio,
+        "worst_query": worst_q,
     }
-    print(json.dumps(payload))
-    # The driver keeps only a 2 kB stdout tail in BENCH_r{N}.json, which
-    # truncates the per-query dict past ~80 queries (round-4 VERDICT item
-    # 7) — persist the complete payload next to it so the artifact alone
-    # proves the per-query 2× clause for the whole registry.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    # Persist the COMPLETE payload to a file (BENCH_OUT, default
+    # BENCH_FULL.json) — the committed artifact that proves the per-query
+    # 2x clause for the whole registry.
+    full_path = os.environ.get(
+        "BENCH_OUT", os.path.join(repo_dir, "BENCH_FULL.json")
     )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+
+    # stdout gets ONE SHORT JSON line (<2 kB): the driver records only a
+    # 2 kB stdout tail, so a 231-query dict inline would truncate mid-JSON
+    # and parse as null (round-5 VERDICT item 3).  The verdict line keeps
+    # the contract fields and trims "queries" to the top-20 slowest; the
+    # full dict lives in the artifact named by "full".
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    line = dict(payload)
+    line["queries"] = slowest
+    line["queries_note"] = "top-20 slowest; full per-query dict in 'full'"
+    line["full"] = os.path.basename(full_path)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -9,12 +9,9 @@ the only cheap guard for that class of bug.
 
 from __future__ import annotations
 
+from data_pipeline_cursor_spark.plans import executed_plan as _plan
 from data_pipeline_cursor_spark.registry import get_queries
 from tests.conftest import SF_SMOKE
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_broadcast_join_is_broadcast(spark):

@@ -1023,6 +1023,60 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def passjoin_probe_keys(
+    t: DataFrame, tau: int, k: int, multi_match: bool = True
+) -> DataFrame:
+    """PassJoin probe-side key generation (`name_b, L, i, sub`): for every
+    plausible partner length L ∈ [len±τ] and chunk slot i, the probe's
+    substrings at the slot's position shifted by d.
+
+    multi_match=True applies the paper's MULTI-MATCH-AWARE shift window
+    instead of a flat d ∈ [−τ, τ]: for slot i (0-based) and length gap
+    Δ = Lb − L, a matching alignment's shift must satisfy |d| ≤ i (only
+    the i earlier slots can displace slot i — if they were all edit-free
+    an earlier slot would be the exact match instead) AND |Δ − d| ≤ τ − i
+    (the τ−i edits after the slot must absorb the remaining length gap):
+    d ∈ [max(−i, Δ−(τ−i)), min(i, Δ+(τ−i))] — always non-empty for
+    |Δ| ≤ τ, and ~2× fewer probe keys than the flat window (asserted by
+    test_passjoin_candidates_prune_the_cross_product; the 24-pair oracle
+    hash proves the tighter window loses no pair).  multi_match=False
+    keeps the flat window — retained only so the test can measure the
+    reduction."""
+    gap = F.col("Lb") - F.col("L")
+    if multi_match:
+        d_lo = F.greatest(-F.col("i"), gap - (tau - F.col("i")))
+        d_hi = F.least(F.col("i"), gap + (tau - F.col("i")))
+    else:
+        d_lo, d_hi = F.lit(-tau), F.lit(tau)
+    probe = (
+        t.select(F.col("p_name").alias("name_b"), F.col("L").alias("Lb"))
+        .withColumn(
+            "L", F.explode(F.sequence(F.col("Lb") - tau, F.col("Lb") + tau))
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("d", F.explode(F.sequence(d_lo, d_hi)))
+    )
+    pstart = (F.floor(F.col("i") * F.col("L") / k) + 1 + F.col("d")).cast(
+        "int"
+    )
+    plen = (
+        F.floor((F.col("i") + 1) * F.col("L") / k)
+        - F.floor(F.col("i") * F.col("L") / k)
+    ).cast("int")
+    return (
+        probe.filter(
+            (pstart >= 1) & (plen > 0) & (pstart + plen - 1 <= F.col("Lb"))
+        )
+        .select(
+            "name_b",
+            "L",
+            "i",
+            F.col("name_b").substr(pstart, plen).alias("sub"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "x_fuzzy_passjoin",
     oracle="""
@@ -1075,35 +1129,7 @@ def fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").substr(start, clen).alias("sub"),
     ).filter(F.length("sub") > 0)
 
-    # probe side: substrings at each slot's position ±τ for every partner
-    # length within ±τ of the probe's own length
-    probe = (
-        t.select(F.col("p_name").alias("name_b"), F.col("L").alias("Lb"))
-        .withColumn(
-            "L", F.explode(F.sequence(F.col("Lb") - TAU, F.col("Lb") + TAU))
-        )
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
-        .withColumn("d", F.explode(F.sequence(F.lit(-TAU), F.lit(TAU))))
-    )
-    pstart = (F.floor(F.col("i") * F.col("L") / K) + 1 + F.col("d")).cast(
-        "int"
-    )
-    plen = (
-        F.floor((F.col("i") + 1) * F.col("L") / K)
-        - F.floor(F.col("i") * F.col("L") / K)
-    ).cast("int")
-    probe = (
-        probe.filter(
-            (pstart >= 1) & (plen > 0) & (pstart + plen - 1 <= F.col("Lb"))
-        )
-        .select(
-            "name_b",
-            "L",
-            "i",
-            F.col("name_b").substr(pstart, plen).alias("sub"),
-        )
-        .distinct()
-    )
+    probe = passjoin_probe_keys(t, TAU, K)
 
     lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (

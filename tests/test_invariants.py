@@ -941,6 +941,10 @@ def test_passjoin_candidates_prune_the_cross_product(spark):
     # replicate the candidate stage (pre-Levenshtein) by counting the
     # registered query's verified SUPERSET cheaply: candidates are the
     # distinct (a<b) pairs sharing a (sub, slot, L) key
+    from data_pipeline_cursor_spark.operators.analytics import (
+        passjoin_probe_keys,
+    )
+
     TAU, K = 2, 3
     slot = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("i")
     chunks = t.select("p_name", "L", slot)
@@ -953,22 +957,7 @@ def test_passjoin_candidates_prune_the_cross_product(spark):
         F.col("p_name").alias("name_a"), "L", "i",
         F.col("p_name").substr(start, clen).alias("sub"),
     ).filter(F.length("sub") > 0)
-    probe = (
-        t.select(F.col("p_name").alias("name_b"), F.col("L").alias("Lb"))
-        .withColumn("L", F.explode(F.sequence(F.col("Lb") - TAU, F.col("Lb") + TAU)))
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
-        .withColumn("d", F.explode(F.sequence(F.lit(-TAU), F.lit(TAU))))
-    )
-    pstart = (F.floor(F.col("i") * F.col("L") / K) + 1 + F.col("d")).cast("int")
-    plen = (
-        F.floor((F.col("i") + 1) * F.col("L") / K)
-        - F.floor(F.col("i") * F.col("L") / K)
-    ).cast("int")
-    probe = probe.filter(
-        (pstart >= 1) & (plen > 0) & (pstart + plen - 1 <= F.col("Lb"))
-    ).select(
-        "name_b", "L", "i", F.col("name_b").substr(pstart, plen).alias("sub")
-    ).distinct()
+    probe = passjoin_probe_keys(t, TAU, K)
     n_cand = (
         indexed.join(probe, ["sub", "i", "L"])
         .filter(F.col("name_a") < F.col("name_b"))
@@ -977,6 +966,13 @@ def test_passjoin_candidates_prune_the_cross_product(spark):
         .count()
     )
     assert n_cand < total_pairs / 2, (n_cand, total_pairs)
+
+    # the multi-match-aware shift window (round-5 item 6) must generate
+    # measurably fewer probe keys than the flat ±τ window it replaced —
+    # the oracle hash separately proves it still finds every pair
+    n_tight = probe.count()
+    n_flat = passjoin_probe_keys(t, TAU, K, multi_match=False).count()
+    assert n_tight < 0.7 * n_flat, (n_tight, n_flat)
 
 
 def test_char_trigrams_short_strings(spark):

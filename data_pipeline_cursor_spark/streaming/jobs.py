@@ -1443,3 +1443,146 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n_obs", "ewma_cents")
     )
+
+
+_FUNNEL_STREAM_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, date_trunc('second', ts) AS ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      FROM e GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(s.t_signup) AS BIGINT)   AS n_signup,
+           CAST(COUNT(v.t_view) AS BIGINT)     AS n_view,
+           CAST(COUNT(p.t_purchase) AS BIGINT) AS n_purchase,
+           ROUND(COUNT(v.t_view) / CAST(COUNT(s.t_signup) AS DOUBLE), 4)
+             AS view_rate,
+           ROUND(COUNT(p.t_purchase) / CAST(COUNT(s.t_signup) AS DOUBLE), 4)
+             AS purchase_rate
+    FROM s
+    LEFT JOIN v ON v.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+    WHERE s.t_signup IS NOT NULL
+"""
+
+
+@register("s_funnel", oracle=_FUNNEL_STREAM_ORACLE)
+def s_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-EXACT STREAMING FUNNEL — the composition of the event-time
+    buffering that powers s_ewma_state with q_funnel_stages' ordered
+    stage predicates (history.py): signup → first view strictly AFTER
+    the signup → first purchase strictly AFTER that view, over a live
+    stream, with results equal to the batch funnel under ANY micro-batch
+    interleaving.
+
+    Why buffering is required for exactness: t_signup = min(signup ts)
+    can DECREASE when an earlier signup arrives late, which can newly
+    qualify a view that was previously before the funnel start — so a
+    scalar "first view so far" is wrong under reordering.  Keyed state
+    buffers each user's stage-event times and re-folds the chain per
+    batch; the fold is a pure set function (mins over ts-predicates), so
+    the drained result is exactly the batch funnel.  The landing payload
+    carries no user_id, so a stream-static join against the events table
+    recovers it first — the C13 enrichment pattern (in production the
+    payload carries its key; here the join stands in for that).
+
+    Timestamps are second-truncated (the landing render), so the oracle
+    funnel runs on date_trunc('second', ts) — same stage predicates,
+    same strictness.
+
+    100 TB: state per user is the stage-event history within the
+    WATERMARK horizon (older rows fold permanently into scalar stage
+    times on eviction — monotone-safe once no earlier event can arrive);
+    the enrichment side should be a pre-bucketed or broadcastable key
+    map, and the per-user fold parallelizes across the key space."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    STAGES = ("signup", "view", "purchase")
+    users = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    enriched = (
+        _stream(spark, sf_dir)
+        .filter(F.col("event_type").isin(*STAGES))
+        .join(users, "event_id")  # flush sentinel has no user row → dropped
+        .select("user_id", "event_type", "event_time")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            s_ts, v_ts, p_ts, seq = state.get
+            s_ts, v_ts, p_ts = list(s_ts), list(v_ts), list(p_ts)
+        else:
+            s_ts, v_ts, p_ts, seq = [], [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["event_type", "event_time"])
+            for etype, t in zip(pdf["event_type"], pdf["event_time"]):
+                sec = int(t.value // 1_000_000_000)
+                if etype == "signup":
+                    s_ts.append(sec)
+                elif etype == "view":
+                    v_ts.append(sec)
+                else:
+                    p_ts.append(sec)
+        seq += 1
+        state.update((s_ts, v_ts, p_ts, seq))
+        t_signup = min(s_ts) if s_ts else None
+        t_view = (
+            min((v for v in v_ts if v > t_signup), default=None)
+            if t_signup is not None
+            else None
+        )
+        t_purchase = (
+            min((p for p in p_ts if p > t_view), default=None)
+            if t_view is not None
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "has_signup": [int(t_signup is not None)],
+                "has_view": [int(t_view is not None)],
+                "has_purchase": [int(t_purchase is not None)],
+                "batch_seq": [seq],
+            }
+        )
+
+    emitted = enriched.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, has_signup int, has_view int, has_purchase int,"
+        " batch_seq long",
+        "s_ts array<long>, v_ts array<long>, p_ts array<long>, seq long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    log = run_to_completion(emitted, _ckpt("funnel"), out_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_seq"))
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("has_signup") == 1))
+    )
+    n_s = F.sum("has_signup").cast("bigint")
+    n_v = F.sum("has_view").cast("bigint")
+    n_p = F.sum("has_purchase").cast("bigint")
+    return final.agg(
+        n_s.alias("n_signup"),
+        n_v.alias("n_view"),
+        n_p.alias("n_purchase"),
+        F.round(n_v / n_s.cast("double"), 4).alias("view_rate"),
+        F.round(n_p / n_s.cast("double"), 4).alias("purchase_rate"),
+    )

@@ -752,3 +752,54 @@ def test_ewma_state_matches_batch_recurrence(spark):
         rows.append({"event_type": etype, "n_obs": len(g), "ewma_cents": e})
     want = pd.DataFrame(rows)
     assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_funnel_stream_matches_batch_funnel(spark):
+    """s_funnel's drained result must equal the batch ordered funnel
+    computed over second-truncated timestamps (the landing render) —
+    the composition claim: resequencing-exact stage predicates under
+    micro-batch arrival order."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from data_pipeline_cursor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonical_rows
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    got = get_queries()["s_funnel"](spark, SF_SMOKE).toPandas()
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("second", "ts").alias("ts"),
+        )
+        .toPandas()
+    )
+    n_s = n_v = n_p = 0
+    for _uid, g in ev.groupby("user_id"):
+        s = g.loc[g["event_type"] == "signup", "ts"]
+        if s.empty:
+            continue
+        n_s += 1
+        t_signup = s.min()
+        v = g.loc[(g["event_type"] == "view") & (g["ts"] > t_signup), "ts"]
+        if v.empty:
+            continue
+        n_v += 1
+        t_view = v.min()
+        p = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t_view), "ts"]
+        if not p.empty:
+            n_p += 1
+    want = pd.DataFrame(
+        {
+            "n_signup": [n_s],
+            "n_view": [n_v],
+            "n_purchase": [n_p],
+            "view_rate": [round(n_v / n_s, 4)],
+            "purchase_rate": [round(n_p / n_s, 4)],
+        }
+    )
+    assert canonical_rows(got) == canonical_rows(want)

@@ -478,12 +478,16 @@ def _bounded_query_batch(codes: DataFrame):
     return sorted(rows, key=lambda r: r["vec_id"])
 
 
-def _duck_sub(m: int) -> str:
+def _duck_sub(m: int, sub: int = None, k_pq: int = None) -> str:
     """Per-subspace CTE chain: slice → md5 seeds → one Lloyd round →
-    codebook c{m} → encoding e{m}(vec_id, cid)."""
-    lo, hi = m * SUB + 1, (m + 1) * SUB
+    codebook c{m} → encoding e{m}(vec_id, cid).  ``sub``/``k_pq`` default
+    to the registered x_ann_pq config; the structured-recall variant
+    passes its own sizing."""
+    sub = SUB if sub is None else sub
+    k_pq = K_PQ if k_pq is None else k_pq
+    lo, hi = m * sub + 1, (m + 1) * sub
     dist = (
-        f"list_sum(list_transform(range(1, {SUB + 1}), "
+        f"list_sum(list_transform(range(1, {sub + 1}), "
         f"i -> CAST((h{m}.sv[i] - s.cv[i]) * (h{m}.sv[i] - s.cv[i]) "
         f"AS BIGINT)))"
     )
@@ -505,29 +509,57 @@ def _duck_sub(m: int) -> str:
     ),
     seeds{m} AS (
       SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, sv AS cv
-      FROM h{m} ORDER BY hv, vec_id LIMIT {K_PQ}
+      FROM h{m} ORDER BY hv, vec_id LIMIT {k_pq}
     ),
     a{m} AS ({assign(f'seeds{m}')}),
     u{m} AS (
       SELECT cid, d.i AS dim,
              CAST(floor(CAST(SUM(sv[d.i]) AS DOUBLE) / COUNT(*)) AS INT) AS c
-      FROM a{m}, range(1, {SUB + 1}) AS d(i)
+      FROM a{m}, range(1, {sub + 1}) AS d(i)
       GROUP BY 1, 2
     ),
     c{m} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u{m} GROUP BY cid),
     e{m} AS ({assign(f'c{m}')})"""
 
 
-def _duck_lut(m: int) -> str:
-    lo = m * SUB
+def _duck_lut(m: int, sub: int = None) -> str:
+    sub = SUB if sub is None else sub
+    lo = m * sub
     return f"""
     lut{m} AS (
       SELECT qs.query_id, c.cid,
-             list_sum(list_transform(range(1, {SUB + 1}),
+             list_sum(list_transform(range(1, {sub + 1}),
                i -> CAST((qs.qv[{lo} + i] - c.cv[i])
                          * (qs.qv[{lo} + i] - c.cv[i]) AS BIGINT))) AS d
       FROM qs CROSS JOIN c{m} c
     )"""
+
+
+def _duck_pq_body(m_sub: int) -> str:
+    """The ADC ranking subquery over e0..e{M-1} codes and lut0..lut{M-1}
+    tables, for any subspace count — the join chain _PQ_BODY hardcoded
+    for M=4, generated."""
+    adist = " + ".join(f"l{m}.d" for m in range(m_sub))
+    e_joins = "\n      ".join(
+        f"JOIN e{m} ON e{m}.vec_id = e0.vec_id" for m in range(1, m_sub)
+    )
+    l_joins = "\n      ".join(
+        f"JOIN lut{m} l{m} ON l{m}.query_id = qs.query_id"
+        f" AND l{m}.cid = e{m}.cid"
+        for m in range(m_sub)
+    )
+    return f"""
+      SELECT qs.query_id, e0.vec_id,
+             CAST({adist} AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY qs.query_id
+                                ORDER BY ({adist}),
+                                         e0.vec_id) AS rnk
+      FROM qs
+      CROSS JOIN e0
+      {e_joins}
+      {l_joins}
+      WHERE e0.vec_id <> qs.query_id
+"""
 
 
 _PQ_ORACLE = (
@@ -581,18 +613,28 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the corpus; per-partition top-k candidates (Q×k rows per
     task) merge in one tiny window.  Production composes this with the
     IVF cells (scan only probed cells) — the plans are orthogonal."""
+    codes = quantized_codes(spark, sf_dir).cache()
+    return _pq_topk(codes, M_SUB, SUB, K_PQ, PQ_TOPK)
+
+
+def _pq_topk(
+    codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int, topk: int
+) -> DataFrame:
+    """The PQ pipeline of x_ann_pq, parameterized: train one integer
+    codebook per subspace (md5-seeded, 1 Lloyd round), encode, ADC-scan,
+    per-partition (adist, vec_id) top-k, global window merge.  Shared by
+    the registered index (global config) and the structured-recall
+    operating point (M=8, K=16)."""
     import numpy as np
     import pandas as pd
 
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    codes = quantized_codes(spark, sf_dir).cache()
-
     # -- train one integer codebook per subspace (1 Lloyd round) --
-    books = []  # [(K_PQ, SUB) int64 arrays], index = subspace
-    for m in range(M_SUB):
+    books = []  # [(k_pq, sub_dim) int64 arrays], index = subspace
+    for m in range(m_sub):
         sub = codes.select(
-            "vec_id", F.slice("qv", m * SUB + 1, SUB).alias("qv")
+            "vec_id", F.slice("qv", m * sub_dim + 1, sub_dim).alias("qv")
         )
         h = sub.withColumn(
             "hv", phash(F.col("vec_id").cast("string"), f"pq{m}")
@@ -600,7 +642,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.orderBy("hv", "vec_id")
         seeds = (
             h.orderBy("hv", "vec_id")
-            .limit(K_PQ)
+            .limit(k_pq)
             .select(
                 F.row_number().over(w).cast("int").alias("cid"),
                 F.col("qv").alias("cv"),
@@ -632,10 +674,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
-    luts = []  # per m: (n_queries, K_PQ) exact int distances, cid-ordered
-    for m in range(M_SUB):
+    luts = []  # per m: (n_queries, k_pq) exact int distances, cid-ordered
+    for m in range(m_sub):
         _cids, C = books[m]
-        qsub = Qm[:, m * SUB : (m + 1) * SUB]
+        qsub = Qm[:, m * sub_dim : (m + 1) * sub_dim]
         luts.append(((qsub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
 
     # -- encode + ADC scan + per-partition top-k in ONE pass --
@@ -646,9 +688,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
             vids = pdf["vec_id"].to_numpy()
             adist = np.zeros((len(q_ids), len(vids)), dtype=np.int64)
-            for m in range(M_SUB):
+            for m in range(m_sub):
                 _cids, C = books[m]
-                sub = V[:, m * SUB : (m + 1) * SUB]
+                sub = V[:, m * sub_dim : (m + 1) * sub_dim]
                 d = (
                     (sub * sub).sum(axis=1)[:, None]
                     - 2 * (sub @ C.T)
@@ -657,7 +699,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 code = d.argmin(axis=1)  # first-min = smallest cid
                 adist += luts[m][:, code]
             out_q, out_v, out_d = [], [], []
-            k = min(PQ_TOPK, len(vids))
+            k = min(topk, len(vids))
             for qi in range(len(q_ids)):
                 # lexsort on (adist, vec_id) so the per-partition cut
                 # respects the same TOTAL order as the global window and
@@ -680,7 +722,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     return (
         cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= PQ_TOPK)
+        .filter(F.col("rnk") <= topk)
         .select("query_id", "rnk", "vec_id", "adist")
     )
 
@@ -756,13 +798,23 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this fixture tops out near 0.47 even at M=16, K=32, 2 rounds).
     That is precisely what this table is FOR: it reports, with an
     oracle-verified number, that the compressed index must not replace
-    exact search on this corpus at this config."""
+    exact search on this corpus at this config.  The validated POSITIVE
+    operating point lives in x_pq_recall_structured: same machinery on a
+    low-intrinsic-dimension corpus, where sized M/K reaches recall 1.0."""
+    codes = quantized_codes(spark, sf_dir).cache()
+    truth = _exact_topk(codes, PQ_TOPK)
+    index = ann_pq(spark, sf_dir)
+    return _recall_table(truth, index, PQ_TOPK)
+
+
+def _exact_topk(codes: DataFrame, topk: int) -> DataFrame:
+    """EXACT full-dimension integer-L2 top-k over (vec_id, qv) codes for
+    the %199 query batch — the ground-truth side of the recall tables.
+    One mapInPandas scan-once pass; per-partition candidates cut in the
+    (dist, vec_id) total order; tiny window merge."""
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql.window import Window
-
-    codes = quantized_codes(spark, sf_dir).cache()
     q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
@@ -779,7 +831,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (V * V).sum(axis=1)[None, :]
             )
             out_q, out_v, out_d = [], [], []
-            k = min(PQ_TOPK + 1, d.shape[1])
+            k = min(topk + 1, d.shape[1])
             for qi in range(len(q_ids)):
                 # (dist, vec_id) total order — same boundary-tie fix as
                 # the ADC scan above, keeping the cut oracle-consistent.
@@ -797,12 +849,19 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_scan, "query_id bigint, vec_id bigint, dist bigint"
     )
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-    truth = (
+    return (
         cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_TOPK)
+        .filter(F.col("rn") <= topk)
         .select("query_id", "vec_id")
     )
-    index = ann_pq(spark, sf_dir).select(
+
+
+def _recall_table(
+    truth: DataFrame, index: DataFrame, topk: int
+) -> DataFrame:
+    """Per-query hits/recall of an ANN index's (query_id, vec_id) pairs
+    against exact ground truth."""
+    index = index.select(
         F.col("query_id").alias("pq_query"), F.col("vec_id").alias("pq_vec")
     )
     joined = truth.join(
@@ -812,5 +871,118 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("query_id").agg(
         F.count("pq_vec").alias("n_hits"),
-        F.round(F.count("pq_vec") / float(PQ_TOPK), 4).alias("recall"),
+        F.round(F.count("pq_vec") / float(topk), 4).alias("recall"),
     )
+
+
+# ---- PQ validated operating point (x_pq_recall_structured) -----------------
+#
+# x_pq_recall documents PQ's failure mode on the isotropic fixture; this
+# variant documents the POSITIVE operating point the method exists for.
+# The corpus is a deterministic LOW-INTRINSIC-DIMENSION set derived from
+# vec_id alone (so both engines construct it bit-identically): clusters of
+# ST_CLUSTER vectors share one center, centers are well-separated integer
+# points, and within-cluster spread is zero — the limiting case of the
+# "real embedding corpora concentrate near a low-dim manifold" premise.
+# With K codewords >= distinguishable sub-centers per subspace, the ADC
+# ranking reproduces the exact ranking and recall@5 is 1.0 (pinned by
+# test_pq_structured_recall_operating_point, threshold 0.8).
+
+ST_M = 8                  # subspaces (vs 4 in the registered index)
+ST_SUB = DIM // ST_M      # 8 dims per subspace
+ST_K = 16                 # codewords per subspace (vs 4)
+ST_CLUSTER = 6            # vectors per cluster (> PQ_TOPK, so ground-truth
+#                           top-5 stays within the cluster)
+ST_MOD = 1009             # prime modulus for the hashed center values
+
+
+def structured_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv) with qv[j] = (phash(c ‖ j) mod 1009) − 504 and
+    c = vec_id // ST_CLUSTER: md5-derived pseudorandom integer centers
+    over the embeddings table's ids — no RNG state, SQL-expressible,
+    identical in both engines.  Hash-based (not affine in c) on purpose:
+    an affine center map makes codeword-basin collisions CORRELATED
+    across subspaces (the same Δc shift applies in every slice), and a
+    full-tuple collision puts a foreign cluster at the exact same ADC
+    sum where vec_id tie-break displaces true neighbors."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    c = F.floor(F.col("vec_id") / F.lit(ST_CLUSTER)).cast("long")
+    qv = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            phash(F.concat(c.cast("string"), F.lit("_"), j.cast("string")),
+                  "stpq")
+            % ST_MOD
+            - (ST_MOD - 1) // 2
+        ).cast("int"),
+    )
+    return emb.select("vec_id", qv.alias("qv"))
+
+
+_ST_Q_CTE = f"""q AS (
+      SELECT vec_id,
+             list_transform(range(0, {DIM}),
+               j -> CAST(((('0x' || substr(md5('stpq:' ||
+                            (vec_id // {ST_CLUSTER}) || '_' || j), 1, 15)
+                          )::BIGINT % {ST_MOD}) - {(ST_MOD - 1) // 2})
+                         AS INT)) AS qv
+      FROM embeddings
+    )"""
+
+_PQ_STRUCTURED_ORACLE = (
+    f"WITH {_ST_Q_CTE},\n"
+    + ",".join(_duck_sub(m, sub=ST_SUB, k_pq=ST_K) for m in range(ST_M))
+    + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
+    " WHERE vec_id % 199 = 0),"
+    + ",".join(_duck_lut(m, sub=ST_SUB) for m in range(ST_M))
+    + f""",
+    pq AS (
+      SELECT query_id, vec_id FROM ({_duck_pq_body(ST_M)})
+      WHERE rnk <= {PQ_TOPK}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> CAST((qs.qv[i] - c.qv[i]) * (qs.qv[i] - c.qv[i])
+                             AS BIGINT))),
+                 c.vec_id) AS rn
+        FROM qs CROSS JOIN q c
+        WHERE c.vec_id <> qs.query_id
+      ) WHERE rn <= {PQ_TOPK}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(p.vec_id) / {PQ_TOPK}.0, 4) AS recall
+    FROM truth t
+    LEFT JOIN pq p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+    GROUP BY t.query_id
+"""
+)
+
+
+@register("x_pq_recall_structured", oracle=_PQ_STRUCTURED_ORACLE)
+def pq_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_pq_recall's harness on the structured corpus with SIZED config
+    (M={ST_M} subspaces × K={ST_K} codewords vs the registered 4×4): the
+    one VALIDATED PQ operating point — recall@{PQ_TOPK} = 1.0 here —
+    complementing x_pq_recall's correctly-reported ~0 on the isotropic
+    fixture.  Together they are the calibration story: measure recall in
+    the target code space, ship PQ only where structure exists.
+
+    Why this corpus compresses: each subspace sees at most |clusters|
+    distinct sub-vectors with zero within-cluster spread, so the Lloyd
+    round lands codewords on (floor-means of) actual sub-centers and the
+    per-subspace assignment of a query equals that of its own cluster —
+    the ADC sum is then minimized exactly by same-cluster vectors, and
+    (adist, vec_id) tie-break matches the exact scan's (0-distance,
+    vec_id) order.  100 TB posture identical to x_ann_pq (bounded
+    codebook collects, scan-once encode+ADC, no corpus shuffle)."""
+    codes = structured_codes(spark, sf_dir).cache()
+    truth = _exact_topk(codes, PQ_TOPK)
+    index = _pq_topk(codes, ST_M, ST_SUB, ST_K, PQ_TOPK)
+    return _recall_table(truth, index, PQ_TOPK)

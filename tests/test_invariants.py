@@ -1012,3 +1012,16 @@ def test_cents_half_away_midpoints():
     # i.e. the test actually forces the bug class
     bankers = list((pd.Series(vals) * 100).round(0).astype("int64"))
     assert bankers[0] == 12  # 12.5 -> even -> 12 under banker's
+
+
+def test_pq_structured_recall_operating_point(spark):
+    """Round-5 item 7: the PQ path must have one VALIDATED positive
+    operating point — on the low-intrinsic-dimension structured corpus
+    with sized M=8/K=16, recall@5 against the exact scan exceeds 0.8
+    (measured 1.0), complementing x_pq_recall's documented ~0 on the
+    isotropic fixture."""
+    from data_pipeline_cursor_spark.registry import get_queries
+
+    pdf = get_queries()["x_pq_recall_structured"](spark, SF_ORACLE).toPandas()
+    assert len(pdf) >= 3
+    assert pdf["recall"].mean() > 0.8, pdf.to_string()

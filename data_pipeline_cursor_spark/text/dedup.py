@@ -143,20 +143,33 @@ def _minhash_signature(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
     The fixture is a single parquet file → one scan task; the shingle-hash
     projection is the dominant cost, so spread it across the cluster first.
     (At 100 TB the corpus arrives in thousands of splits and this
-    repartition is a no-op to remove.)"""
-    assert n_hashes <= 4  # md5 yields 32 hex chars = 4 × 8-char slices
+    repartition is a no-op to remove.)
+
+    Hashes 4..7 (the WIDE-band config, x_dedup_minhash_wide) come from a
+    second salted md5 ('mh2:') — one extra md5 per shingle, only computed
+    when asked for."""
+    assert n_hashes <= 8  # 2 md5s × 4 32-bit slices
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sel = ["doc_id", F.md5(F.concat(F.lit("mh:"), F.col("s"))).alias("m")]
+    if n_hashes > 4:
+        sel.append(F.md5(F.concat(F.lit("mh2:"), F.col("s"))).alias("m2"))
     ex = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col())).alias("s")
-    ).select("doc_id", F.md5(F.concat(F.lit("mh:"), F.col("s"))).alias("m"))
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(F.substring("m", 1 + 8 * i, 8), 16, 10).cast("bigint")
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    ).select(*sel)
+    aggs = [
+        F.min(
+            F.conv(F.substring("m", 1 + 8 * i, 8), 16, 10).cast("bigint")
+        ).alias(f"mh{i}")
+        for i in range(min(n_hashes, 4))
+    ] + [
+        F.min(
+            F.conv(F.substring("m2", 1 + 8 * (i - 4), 8), 16, 10).cast(
+                "bigint"
+            )
+        ).alias(f"mh{i}")
+        for i in range(4, n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 _DUCK_MINHASH = f"""
@@ -221,6 +234,83 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_join("mh0", "mh1")
         .unionByName(band_join("mh2", "mh3"))
         .distinct()  # a pair may collide in both bands
+    )
+
+
+_DUCK_MINHASH_WIDE = f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    ex AS (
+      SELECT doc_id, md5('mh:' || s.sh) AS m, md5('mh2:' || s.sh) AS m2
+      FROM sh, unnest(shingles) AS s(sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(('0x' || substr(m, 1, 8))::BIGINT)   AS mh0,
+             MIN(('0x' || substr(m, 9, 8))::BIGINT)   AS mh1,
+             MIN(('0x' || substr(m, 17, 8))::BIGINT)  AS mh2,
+             MIN(('0x' || substr(m, 25, 8))::BIGINT)  AS mh3,
+             MIN(('0x' || substr(m2, 1, 8))::BIGINT)  AS mh4,
+             MIN(('0x' || substr(m2, 9, 8))::BIGINT)  AS mh5,
+             MIN(('0x' || substr(m2, 17, 8))::BIGINT) AS mh6,
+             MIN(('0x' || substr(m2, 25, 8))::BIGINT) AS mh7
+      FROM ex GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "x_dedup_minhash_wide",
+    oracle=_DUCK_MINHASH_WIDE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
+           AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+          OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
+              AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    """,
+)
+def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates at the CORPUS-TUNED band width: 8 minhashes
+    in 2 bands of r=4 (vs x_dedup_minhash's fixture width of 2 bands of
+    r=2) — "tune (b, r) per corpus" as shipped code, not a docstring.
+
+    Why this exists (round-6 sf10 scale run): with b bands of r rows,
+    P(candidate | Jaccard j) = 1-(1-j^r)^b, so the RANDOM-pair candidate
+    rate is ~b·j̄^r for the corpus's background similarity j̄.  On this
+    low-entropy fixture corpus j̄ is high enough that the r=2 width goes
+    quadratic as the corpus grows — measured candidate pairs: 394 at
+    sf0.1 (5 k docs) → 20.8 k at sf1 (50 k docs, 53× for 10× docs) →
+    ~1.4 M at sf10 (500 k docs), where the downstream exact-Jaccard
+    verify and clustering blow up with it.  Squaring the row count
+    (r=4) squares the background rate while keeping near-dup recall
+    (j ≥ 0.8 still collides with P ≈ 1-(1-0.41)^2 ≈ 0.65 per band pair):
+    the measured wide-config candidate counts scale ~linearly with the
+    corpus.  Same plan shape — two equi-joins on 4-hash tuple keys,
+    UNION, distinct; the extra md5 is one per shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(docs, 8).cache()
+
+    def band_join(cols: list[str]) -> DataFrame:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(cols)],
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(cols)],
+        )
+        return (
+            a.join(b, [f"b{i}" for i in range(len(cols))])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    return (
+        band_join(["mh0", "mh1", "mh2", "mh3"])
+        .unionByName(band_join(["mh4", "mh5", "mh6", "mh7"]))
+        .distinct()
     )
 
 
@@ -462,10 +552,16 @@ def dedup_cluster(
         # narrowing it for the label loop: the Jaccard block-join is the
         # data-heavy stage and feeds both union branches of the edge list
         pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
-        pairs.count()
+    # size the label loop's shuffle width to the EDGE COUNT, not a fixture
+    # constant: 8 was right for sf0.1's ~400 edges (empty-partition
+    # scheduling dominates below that) but starves the loop at the sf10
+    # scale run's ~1.4 M edges (round-6 finding).  ~100 k edge rows per
+    # partition keeps each round's shuffle blocks small-integer sized.
+    n_edges = pairs.count()
+    loop_sp = min(64, max(8, n_edges // 100_000))
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
     try:
         # localCheckpoint, NOT cache(): each round's plan references the
         # previous round's labels 3× (neighbour-min, step, convergence

@@ -1097,3 +1097,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return band("mh0", "mh1").unionByName(band("mh2", "mh3")).distinct()
+
+
+@register(
+    "x_dedup_minhash_verified",
+    oracle=_DUCK_MINHASH_WIDE
+    + f""",
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
+                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(sa.ss, sb.ss))
+                 / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
+                        AS DOUBLE), 4) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.ss, sb.ss))
+          / CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-CORRECT end-to-end near-dup pair pipeline, registered:
+    wide-band minhash candidates (x_dedup_minhash_wide — candidate count
+    ~linear in the corpus, round-6 sf10 finding) verified by EXACT
+    shingle-set Jaccard at the stack's {JACCARD_THRESHOLD} threshold.
+
+    This is the composition the sf10 run proved out: feeding these pairs
+    to dedup_cluster(pairs=...) clusters 500 k docs in 2.4 s where the
+    prefix-block candidate family took 3,143 s — the registered artifact
+    of "swap head_tok for a minhash band".  Exact verification touches
+    only candidate rows: O(corpus + candidates) with candidates ~ true
+    near-dups.
+
+    100 TB: two equi-joins on 4-hash band tuples + a candidate-sized
+    shingle-set join; no stage is quadratic in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup_minhash_wide(spark, sf_dir)
+    # shingle SETS for exact verification — same construction the
+    # signatures hash, so candidates and verification share a universe
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col())).alias("ss"),
+    ).cache()
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = inter / union.cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

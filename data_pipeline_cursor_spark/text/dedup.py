@@ -1159,3 +1159,70 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# (doc_a, doc_b) CTE chain for the wide-band verified pairs — reused by
+# x_dedup_cluster_banded's recursive-closure oracle.
+_DUCK_WIDE_VERIFIED_PAIRS = (
+    _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
+    .removeprefix("WITH ")  # defensive; replace above already handles it
+    + f""",
+    candw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
+                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    setsw AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM candw c
+      JOIN setsw sa ON sa.doc_id = c.doc_a
+      JOIN setsw sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.ss, sb.ss))
+            / CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    )"""
+)
+
+
+@register(
+    "x_dedup_cluster_banded",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_WIDE_VERIFIED_PAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering capstone on the SCALE-CORRECT candidate family:
+    connected components (same pointer-jumping loop as x_dedup_cluster,
+    via its ``pairs`` parameter) over x_dedup_minhash_verified's
+    wide-band verified pairs — the exact composition measured at 2.4 s
+    over 500 k docs in the round-6 sf10 run, now a registered, fully
+    hash-oracled operator rather than an internal API path.
+
+    x_dedup_cluster (prefix-block candidates) remains registered as the
+    fixture-width twin; a deployment picks the candidate family by
+    measured growth (PLANS.md round-6 table).  Plan: band equi-joins +
+    candidate-sized verify + the O(log diameter) label loop, its width
+    sized to the edge count — no stage quadratic in the corpus."""
+    pairs = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    return dedup_cluster(spark, sf_dir, pairs=pairs)

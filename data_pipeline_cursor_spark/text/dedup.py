@@ -1226,3 +1226,50 @@ def dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return dedup_cluster(spark, sf_dir, pairs=pairs)
+
+
+_CANONICAL_BANDED_ORACLE = _CANONICAL_ORACLE.replace(
+    f"pairs AS ({_DUCK_JACCARD_PAIRS})", _DUCK_WIDE_VERIFIED_PAIRS, 1
+)
+
+
+@register("x_canonical_pick_banded", oracle=_CANONICAL_BANDED_ORACLE)
+def canonical_pick_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_canonical_pick's capstone (CC labels + fixed-point PageRank +
+    per-cluster argmax) on the SCALE-CORRECT candidate family: the one
+    shared, checkpointed pair table comes from x_dedup_minhash_verified
+    instead of the prefix-block Jaccard join.
+
+    Motivated directly by the round-6 sf10 run: the prefix-block
+    capstone aborted at the default 16 GiB driver (hash-agg OOM inside
+    the ~2 M-candidate pair checkpoint) — on this pair family the pair
+    table is near-dup-sized (hundreds of rows at sf10, not millions),
+    so the same composition is memory-safe and fast at any corpus size.
+    Oracle = the x_canonical_pick replay (recursive closure + unrolled
+    integer PageRank + ranking window) over the wide-verified pairs."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup_cluster(spark, sf_dir, pairs=pairs)
+    ranks = pagerank(spark, sf_dir, pairs=pairs)
+    joined = clusters.join(ranks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "rank",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

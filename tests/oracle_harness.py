@@ -23,12 +23,19 @@ FLOAT_DECIMALS = 4
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Register each fixture parquet as a view, as the driver does."""
+    """Register each fixture parquet as a view, as the driver does.
+
+    A table may be a single parquet file (driver fixtures) or a DIRECTORY
+    of part files (scripts/make_scale_data.py's sf1/sf10 fixtures, written
+    one file per copy) — DuckDB needs an explicit glob for the latter."""
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
-        )
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 

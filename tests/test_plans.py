@@ -361,3 +361,14 @@ def test_drift_kl_single_corpus_pass(spark):
     df = get_queries()["q_drift_kl"](spark, SF_SMOKE)
     plan = _plan(df)
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_minhash_wide_bands_are_equi_joins(spark):
+    """x_dedup_minhash_wide: both 4-hash band joins must plan as hash
+    equi-joins — an OR-of-conjunctions formulation degenerates to
+    BroadcastNestedLoopJoin (O(n²) compares, the PLANS.md load-bearing
+    rewrite), which the per-band UNION exists to prevent."""
+    df = get_queries()["x_dedup_minhash_wide"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

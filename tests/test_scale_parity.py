@@ -1,0 +1,49 @@
+"""Oracle parity AT SCALE (round 6): the driver's correctness gate runs at
+sf0.01; this module re-runs the same Spark-vs-DuckDB hash comparison at
+sf1 (~6 M lineitem rows, 10x the bench fixture) for a representative
+slice, so correctness is evidenced at the scale the bench curves measure
+— not only speed.
+
+Skipped when the derived sf1 fixtures are absent (regenerate with
+`python scripts/make_scale_data.py 10`); they are .gitignored build
+artifacts, ~170 MB.
+
+Slice selection: one per plan family that the sf10 run exercised —
+scan+agg (tpch pricing), multi-way broadcast join (market share),
+window/as-of, exact percentile, the scale-path dedup pipeline end to end
+(wide candidates -> verified pairs -> CC labels), and the trained
+language profiler (the heaviest linear text op).  Streaming jobs are
+excluded: their drain cost at sf1 is minutes each and their determinism
+is already pinned by batch-equivalence tests at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_pipeline_cursor_spark.registry import get_oracles, get_queries
+from tests.oracle_harness import compare_query
+
+SF1 = "/root/repo/.scaledata/sf1"
+
+SCALE_SLICE = [
+    "q_tpch_pricing",
+    "q_tpch_market_share",
+    "q_join_asof",
+    "q_percentile",
+    "x_dedup_minhash_wide",
+    "x_dedup_minhash_verified",
+    "x_dedup_cluster_banded",
+    "x_lang_ngram_profile",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF1), reason="sf1 scale fixtures not generated"
+)
+
+
+@pytest.mark.parametrize("name", SCALE_SLICE)
+def test_scale_parity_sf1(spark, name):
+    compare_query(spark, name, get_queries()[name], get_oracles()[name], SF1)

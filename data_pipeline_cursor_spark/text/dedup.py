@@ -1165,7 +1165,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_dedup_cluster_banded's recursive-closure oracle.
 _DUCK_WIDE_VERIFIED_PAIRS = (
     _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
-    .removeprefix("WITH ")  # defensive; replace above already handles it
     + f""",
     candw AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -78,12 +78,15 @@ def main() -> None:
     try:
         with open(base_path) as f:
             base = json.load(f).get("queries", {})
-        for q, t in timings.items():
-            b = base.get(q, -1.0)
-            if t >= 0 and b >= 0.1 and t / b > worst_ratio:
-                worst_q, worst_ratio = q, round(t / b, 2)
     except (OSError, ValueError):
         base = {}
+    for q, t in timings.items():
+        b = base.get(q, -1.0)
+        # floor sub-0.1 s baselines at 0.1 instead of skipping them: a
+        # fast-baseline query that regresses to seconds must still surface
+        # in the verdict, while two sub-noise-floor times never flag.
+        if t >= 0.1 and b > 0 and t / max(b, 0.1) > worst_ratio:
+            worst_q, worst_ratio = q, round(t / max(b, 0.1), 2)
 
     payload = {
         "metric": (
@@ -124,6 +127,10 @@ def main() -> None:
     line = dict(payload)
     line["queries"] = slowest
     line["queries_note"] = "top-20 slowest; full per-query dict in 'full'"
+    # cap the failure list too — a registry-wide breakage (200+ names)
+    # would blow the 2 kB tail exactly when the verdict matters most
+    line["n_failed"] = len(failed)
+    line["failed"] = failed[:10]
     line["full"] = os.path.basename(full_path)
     print(json.dumps(line))
 

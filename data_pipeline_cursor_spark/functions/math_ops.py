@@ -77,9 +77,13 @@ def cents_half_away(values):
     """
     import numpy as np
 
-    return np.floor(np.asarray(values, dtype="float64") * 100 + 0.5).astype(
-        "int64"
-    )
+    v = np.asarray(values, dtype="float64")
+    # floor(v+0.5) is half-UP, which equals half-away ONLY for v >= 0 —
+    # enforce the precondition instead of silently desyncing on a future
+    # negative-valued caller (DuckDB/Spark round negatives AWAY from zero).
+    if v.size and np.nanmin(v) < 0:
+        raise ValueError("cents_half_away requires nonnegative values")
+    return np.floor(v * 100 + 0.5).astype("int64")
 
 
 @register(

@@ -1042,6 +1042,10 @@ def passjoin_probe_keys(
     hash proves the tighter window loses no pair).  multi_match=False
     keeps the flat window — retained only so the test can measure the
     reduction."""
+    # the multi-match derivation assumes exactly τ+1 chunks; with more,
+    # slots past τ would get d_lo > d_hi and F.sequence would count DOWN
+    # through the excluded middle (the char_trigrams trap) — guard it
+    assert k == tau + 1, (k, tau)
     gap = F.col("Lb") - F.col("L")
     if multi_match:
         d_lo = F.greatest(-F.col("i"), gap - (tau - F.col("i")))

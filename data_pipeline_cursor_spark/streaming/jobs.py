@@ -1325,11 +1325,21 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for qid has too.  Bounded public-API wait — no private
         # listenerBus drain.
         deadline = time.monotonic() + 30.0
+        drained = False
         while time.monotonic() < deadline:
             with listener.lock:
                 if qid in listener.terminated:
+                    drained = True
                     break
             time.sleep(0.05)
+        if not drained:
+            # the listener bus DROPS events past queue capacity rather than
+            # blocking — a silent undercount here would emit a wrong metric
+            # with no signal, so fail loudly instead
+            raise RuntimeError(
+                f"streaming-metrics listener never saw termination of {qid} "
+                "within 30s; progress events may have been dropped"
+            )
     finally:
         spark.streams.removeListener(listener)
     with listener.lock:

@@ -838,6 +838,36 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """CC labels + fixed-point PageRank + per-cluster argmax over one
+    shared pair table — the capstone tail shared by x_canonical_pick and
+    x_canonical_pick_banded (only the candidate family differs; a
+    tie-break or n_members fix lands in both)."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup_cluster(spark, sf_dir, pairs=pairs)
+    ranks = pagerank(spark, sf_dir, pairs=pairs)
+    joined = clusters.join(ranks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "rank",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .alias("n_members"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 _CANONICAL_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
     edges AS (
@@ -890,32 +920,12 @@ def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked, and the combined DuckDB replay (recursive closure +
     unrolled integer PageRank + one ranking window) hash-checks the
     end-to-end decision."""
-    from pyspark.sql.window import Window
-
     pairs = (
         dedup_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    clusters = dedup_cluster(spark, sf_dir, pairs=pairs)
-    ranks = pagerank(spark, sf_dir, pairs=pairs)
-    joined = clusters.join(ranks, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("rank"), F.asc("doc_id")
-    )
-    return (
-        joined.select(
-            "cluster_id",
-            F.col("doc_id").alias("canonical_id"),
-            "rank",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("cluster_id"))
-            .alias("n_members"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _canonical_from_pairs(spark, sf_dir, pairs)
 
 
 @register(
@@ -1246,29 +1256,9 @@ def canonical_pick_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the same composition is memory-safe and fast at any corpus size.
     Oracle = the x_canonical_pick replay (recursive closure + unrolled
     integer PageRank + ranking window) over the wide-verified pairs."""
-    from pyspark.sql.window import Window
-
     pairs = (
         dedup_minhash_verified(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    clusters = dedup_cluster(spark, sf_dir, pairs=pairs)
-    ranks = pagerank(spark, sf_dir, pairs=pairs)
-    joined = clusters.join(ranks, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("rank"), F.asc("doc_id")
-    )
-    return (
-        joined.select(
-            "cluster_id",
-            F.col("doc_id").alias("canonical_id"),
-            "rank",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("cluster_id"))
-            .alias("n_members"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _canonical_from_pairs(spark, sf_dir, pairs)

@@ -32,6 +32,7 @@ import sys
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
@@ -101,7 +102,7 @@ def make(copies: int, out: str) -> None:
             for col, domain in cols.items():
                 off = c * dom[domain]
                 idx = tbl.schema.get_field_index(col)
-                arr = pa.compute.add(tbl.column(col), off)
+                arr = pc.add(tbl.column(col), off)
                 tbl = tbl.set_column(idx, col, arr)
             if t == "documents" and c > 0:
                 ids = tbl.column("doc_id").to_pylist()

@@ -130,7 +130,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+def _minhash_signature(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
     """doc_id + minhash_0..n over 3-word shingles (portable hash).
 
     All n minhashes come from ONE md5 per shingle — hash i is hex chars
@@ -190,7 +190,7 @@ _DUCK_MINHASH = f"""
 
 
 @register(
-    "x_dedup_minhash",
+    "x_dedup_minhash_narrow",
     oracle=_DUCK_MINHASH
     + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -200,13 +200,20 @@ _DUCK_MINHASH = f"""
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (E2): shingle → 4 minhashes → 2 bands
-    of 2 → candidate pair iff equal on some band.
+    """MinHash+LSH candidates at the NARROW fixture band width (4 minhashes,
+    2 bands of r=2) — kept registered ONLY as the calibration foil of
+    x_minhash_accuracy, which measures exactly this config's estimator
+    error.  Renamed from ``x_dedup_minhash`` in round 7 so no caller can
+    mistake it for the default: the round-6 sf10 run measured its
+    background-collision candidate count going quadratic
+    (394 → 20.8 k → 1.98 M at sf0.1/sf1/sf10).  The E2 primary is
+    ``x_dedup_minhash_wide`` (r=4 bands, candidates ~linear), and the
+    downstream graph consumers default to ``x_dedup_minhash_verified``.
 
-    100 TB plan shape: the self-join is TWO equi-joins on band keys (union),
-    each a shuffle on a 2-hash tuple — never a cross join.  Banding theory:
-    with k hashes in b bands of r, P(candidate) = 1-(1-j^r)^b for Jaccard j;
-    tune (b, r) per corpus."""
+    100 TB plan shape (shared by every band width): the self-join is TWO
+    equi-joins on band keys (union), each a shuffle on a hash tuple —
+    never a cross join.  Banding theory: with k hashes in b bands of r,
+    P(candidate) = 1-(1-j^r)^b for Jaccard j; tune (b, r) per corpus."""
     docs = load_table(spark, sf_dir, "documents")
     # cache: the signature feeds both sides of two self-joins — without it
     # the 4×|shingles| hash pipeline runs four times
@@ -289,7 +296,14 @@ def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured wide-config candidate counts scale ~linearly with the
     corpus.  Same plan shape — two equi-joins on 4-hash tuple keys,
     UNION, distinct; the extra md5 is one per shingle."""
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_wide_candidates_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_wide_candidates_df(docs: DataFrame) -> DataFrame:
+    """Wide-band (8 hashes, 2 bands of r=4) LSH candidate pairs over ANY
+    docs DataFrame with (doc_id, text) — the reusable core of
+    x_dedup_minhash_wide, also consumed by x_split_leakage's
+    injected-duplicate corpus."""
     sig = _minhash_signature(docs, 8).cache()
 
     def band_join(cols: list[str]) -> DataFrame:
@@ -450,21 +464,67 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only pairs sharing (lang, first token) are compared — an equi-join, so
     the candidate set is O(block²) per block, not O(n²) over the corpus.
 
-    100 TB: blocking key choice is the scale lever; swap head_tok for a
-    minhash band (x_dedup_minhash) when recall matters more than cost."""
+    FIXTURE-SCALE CANDIDATE FAMILY (round-7 demotion): the round-6 sf10
+    run measured this blocking going quadratic on a low-entropy corpus
+    (x_dedup_cluster over these pairs: 3,143 s; x_canonical_pick: OOM at
+    16 AND 48 GiB driver).  Every downstream graph consumer
+    (x_pair_table, x_dedup_cluster, x_pagerank, x_canonical_pick,
+    x_triangles, x_split_leakage) now defaults to
+    x_dedup_minhash_verified's wide-band verified pairs; this scorer
+    stays registered as the blocking-strategy contrast (and because
+    "blocking key choice is the scale lever" is best demonstrated by
+    shipping both)."""
     return jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+# (doc_a, doc_b, jaccard) CTE chain for the WIDE-BAND VERIFIED pairs — the
+# round-7 default pair source for every dedup-graph oracle (cluster,
+# pagerank, canonical pick, pair table, triangles, split leakage).
+_DUCK_WIDE_VERIFIED_PAIRS = (
+    _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
+    + f""",
+    candw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
+                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    setsw AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(len(list_intersect(sa.ss, sb.ss))
+                   / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
+                          AS DOUBLE), 4) AS jaccard
+      FROM candw c
+      JOIN setsw sa ON sa.doc_id = c.doc_a
+      JOIN setsw sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.ss, sb.ss))
+            / CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    )"""
+)
+
+
+def _verified_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default (doc_a, doc_b) edge source for the dedup-graph stack:
+    x_dedup_minhash_verified's wide-band + exact-Jaccard-verified pairs,
+    eagerly localCheckpoint'ed (materialized AND lineage-truncated) so
+    iterative consumers don't re-run the signature/verify pipeline per
+    reference."""
+    return (
+        dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
 
 
 @register(
     "x_pair_table",
     oracle=f"""
-    WITH d AS ({_DUCK_JACCARD_D}),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
-      FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
-      WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
-    )
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS}
     SELECT doc_a,
            CAST(COUNT(*) AS BIGINT)   AS n_partners,
            ROUND(MAX(jaccard), 4)     AS best_jaccard,
@@ -475,21 +535,25 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized candidate-pair table — the dedup stack's analog of
-    x_token_table: compute the Jaccard near-dup pairs ONCE, persist
+    x_token_table: compute the verified near-dup pairs ONCE, persist
     (doc_a, doc_b, jaccard) as parquet, read back, and aggregate a
     per-document partner summary from the table — the hash check proves
     the materialization lossless end to end.
 
+    Round 7: the persisted pairs are x_dedup_minhash_verified's wide-band
+    + exact-Jaccard family (candidates ~linear in the corpus — round-6
+    sf10 measurement), not the prefix-block join that went quadratic.
+
     At 100 TB this table is the shared input of clustering
     (x_dedup_cluster), ranking (x_pagerank), calibration
     (x_minhash_accuracy) and the canonical pick — amortizing the
-    tokenize + block-join (the dedup stack's data-heavy stage) across
+    signature + verify (the dedup stack's data-heavy stage) across
     all consumers exactly as x_canonical_pick's in-memory
     localCheckpoint does within one job.  Write it bucketed by doc_a and
     the label-propagation joins also start co-located."""
     from data_pipeline_cursor_spark.sources.formats import _work_dir
 
-    pairs = jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+    pairs = dedup_minhash_verified(spark, sf_dir)
     path = _work_dir(sf_dir, "pair_table")
     pairs.write.mode("overwrite").parquet(path)
     table = spark.read.schema(pairs.schema).parquet(path)
@@ -504,7 +568,7 @@ def pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_dedup_cluster",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
+    WITH RECURSIVE {_DUCK_WIDE_VERIFIED_PAIRS},
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
@@ -523,9 +587,13 @@ def dedup_cluster(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
     """Near-dup CLUSTERING (E2 completion): connected components over the
-    Jaccard candidate pairs (x_dedup_jaccard's edges), labelling every
-    involved doc with the min doc_id of its component — the canonical-doc
-    assignment a dedup pipeline keeps.
+    near-dup pairs, labelling every involved doc with the min doc_id of
+    its component — the canonical-doc assignment a dedup pipeline keeps.
+
+    Round 7: the default edge source is x_dedup_minhash_verified's
+    wide-band + exact-Jaccard pairs — the composition the round-6 sf10
+    run measured at 2.4 s over 500 k docs, where the prefix-block
+    candidate family (now x_dedup_cluster_prefix) took 3,143 s.
 
     Iterative min-label propagation with POINTER JUMPING: each round a
     node takes the min of its own and its neighbours' labels, then
@@ -549,9 +617,14 @@ def dedup_cluster(
     owns_pairs = pairs is None
     if owns_pairs:
         # materialize the candidate pairs at FULL shuffle width before
-        # narrowing it for the label loop: the Jaccard block-join is the
-        # data-heavy stage and feeds both union branches of the edge list
-        pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+        # narrowing it for the label loop: the signature + verify pipeline
+        # is the data-heavy stage and feeds both union branches of the
+        # edge list
+        pairs = (
+            dedup_minhash_verified(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .cache()
+        )
     # size the label loop's shuffle width to the EDGE COUNT, not a fixture
     # constant: 8 was right for sf0.1's ~400 edges (empty-partition
     # scheduling dominates below that) but starves the loop at the sf10
@@ -643,7 +716,7 @@ def _duck_pr_round(prev: str) -> str:
 
 
 _PAGERANK_ORACLE = f"""
-    WITH pairs AS ({_DUCK_JACCARD_PAIRS}),
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS},
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
@@ -665,8 +738,9 @@ _PAGERANK_ORACLE = f"""
 def pagerank(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
-    """Fixed-point PageRank over the near-dup graph (x_dedup_jaccard's
-    candidate pairs, symmetrized) — the second iterative graph algorithm
+    """Fixed-point PageRank over the near-dup graph
+    (x_dedup_minhash_verified's wide-band verified pairs since round 7,
+    symmetrized) — the second iterative graph algorithm
     after x_dedup_cluster's connected components, and the ranking signal a
     dedup pipeline uses to pick the CANONICAL copy inside a cluster (keep
     the most-linked duplicate, not the lowest id).
@@ -689,7 +763,11 @@ def pagerank(
     (x_canonical_pick shares one across cluster + PageRank); default
     recomputes and caches its own."""
     if pairs is None:
-        pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+        pairs = (
+            dedup_minhash_verified(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .cache()
+        )
         pairs.count()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -843,7 +921,7 @@ def _canonical_from_pairs(
 ) -> DataFrame:
     """CC labels + fixed-point PageRank + per-cluster argmax over one
     shared pair table — the capstone tail shared by x_canonical_pick and
-    x_canonical_pick_banded (only the candidate family differs; a
+    x_canonical_pick_prefix (only the candidate family differs; a
     tie-break or n_members fix lands in both)."""
     from pyspark.sql.window import Window
 
@@ -868,7 +946,7 @@ def _canonical_from_pairs(
     )
 
 
-_CANONICAL_ORACLE = f"""
+_CANONICAL_PREFIX_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -903,6 +981,11 @@ _CANONICAL_ORACLE = f"""
 """
 
 
+_CANONICAL_ORACLE = _CANONICAL_PREFIX_ORACLE.replace(
+    f"pairs AS ({_DUCK_JACCARD_PAIRS})", _DUCK_WIDE_VERIFIED_PAIRS, 1
+)
+
+
 @register("x_canonical_pick", oracle=_CANONICAL_ORACLE)
 def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-copy selection — the dedup stack's capstone composition:
@@ -912,7 +995,13 @@ def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-linked copy", the policy real curation uses instead of
     lowest-id-wins.
 
-    The Jaccard candidate pairs are computed ONCE (eager localCheckpoint —
+    Round 7: the shared pair set is x_dedup_minhash_verified's wide-band
+    verified family — the composition measured at 6.8 s over 500 k docs
+    at sf10 on the default 16 GiB driver, where the prefix-block capstone
+    (now x_canonical_pick_prefix) aborted with SparkOutOfMemoryError at
+    16 AND 48 GiB.
+
+    The candidate pairs are computed ONCE (eager localCheckpoint —
     materialized AND lineage-truncated) and shared by both components via
     their ``pairs`` parameter — the x_pair_table/x_token_table
     materialize-once pattern, which halves the capstone's cost vs each
@@ -920,18 +1009,15 @@ def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked, and the combined DuckDB replay (recursive closure +
     unrolled integer PageRank + one ranking window) hash-checks the
     end-to-end decision."""
-    pairs = (
-        dedup_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    return _canonical_from_pairs(
+        spark, sf_dir, _verified_pairs_checkpointed(spark, sf_dir)
     )
-    return _canonical_from_pairs(spark, sf_dir, pairs)
 
 
 @register(
     "x_triangles",
     oracle=f"""
-    WITH pairs AS ({_DUCK_JACCARD_PAIRS}),
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS},
     tri AS (
       SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
       FROM pairs e1
@@ -965,12 +1051,9 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ deg(v)²) pair candidates, bounded here because near-dup graphs
     are sparse; for skewed hubs the production refinement (degree-ordered
     orientation) keeps every node's out-degree ≤ √|E| with the same
-    join plan."""
-    pairs = (
-        dedup_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    join plan.  Round 7: edges come from x_dedup_minhash_verified's
+    wide-band verified pairs (the scale-safe default family)."""
+    pairs = _verified_pairs_checkpointed(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -988,13 +1071,13 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_split_leakage",
     oracle=f"""
-    WITH d AS ({_DUCK_JACCARD_D}),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND({_DUCK_JACCARD_EXPR}, 4) AS jaccard
-      FROM d a JOIN d b ON {_DUCK_JACCARD_ON}
-      WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 0
     ),
+    {_DUCK_WIDE_VERIFIED_PAIRS.replace("FROM documents", "FROM corpus")},
     edges AS (
       SELECT doc_a AS u, doc_b AS v, jaccard FROM pairs
       UNION ALL
@@ -1009,7 +1092,7 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                ('0x' || substr(md5('spl:' || doc_id), 1, 15))::BIGINT % 100
                  AS r
-        FROM documents
+        FROM corpus
       )
     )
     SELECT su.split, e.u AS doc_id,
@@ -1023,20 +1106,33 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train→holdout LEAKAGE check — the eval-hygiene composition of
-    x_split_assign and the near-dup pair table: every val/test document
+    """Train→holdout LEAKAGE check — the eval-hygiene composition of the
+    split assignment and the near-dup pair table: every val/test document
     that has a near-duplicate in the train split, with its partner count
     and worst (highest) Jaccard.  These are the docs whose eval loss is
     memorization, not generalization; curation drops them from the
     holdout before any benchmark number ships.
 
-    Plan: candidate pairs from the blocked Jaccard join (never doc×doc),
-    symmetrized, then two broadcast-sized joins against the zero-shuffle
-    split projection.  100 TB: cost is the pair table (already needed by
-    the dedup stack — share it via x_pair_table) plus an O(pairs) join."""
-    from data_pipeline_cursor_spark.text.packing import split_assign
+    The corpus unions in a deterministic re-keyed copy of every 5th doc
+    (the x_dedup_exact synthetic-fixture convention): on the round-7
+    verified pair family the fixture corpus has no natural cross-split
+    near-dup at the sf0.01 gate, which would make the oracle vacuously
+    empty — the injected exact duplicates land in a different split than
+    their originals at the split rate (~4% of copies) and the detector
+    must recover exactly those.
 
-    pairs = jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+    Plan: verified pairs from the wide-band minhash family (never
+    doc×doc; round-7 default), symmetrized, then two joins against the
+    zero-shuffle split projection (the same md5 'spl:' rule as
+    x_split_assign, applied to the widened corpus).  100 TB: cost is
+    the pair table (already needed by the dedup stack — share it via
+    x_pair_table) plus an O(pairs) join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    pairs = minhash_verified_pairs_df(corpus)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "jaccard"
     ).unionAll(
@@ -1044,7 +1140,14 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "jaccard"
         )
     )
-    splits = split_assign(spark, sf_dir)
+    r = phash(F.col("doc_id").cast("string"), "spl") % 100
+    splits = corpus.select(
+        "doc_id",
+        F.when(r < 98, "train")
+        .when(r == 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
     su = splits.select(F.col("doc_id").alias("u"), F.col("split"))
     sv = splits.select(
         F.col("doc_id").alias("v"), F.col("split").alias("split_v")
@@ -1063,13 +1166,15 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_incremental",
-    oracle=_DUCK_MINHASH
+    oracle=_DUCK_MINHASH_WIDE
     + """
     SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
     FROM sig n JOIN sig c
       ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1)
-          OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1
+           AND n.mh2 = c.mh2 AND n.mh3 = c.mh3)
+          OR (n.mh4 = c.mh4 AND n.mh5 = c.mh5
+              AND n.mh6 = c.mh6 AND n.mh7 = c.mh7))
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,55 +1189,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: per-band equi-joins with the DELTA side broadcast — cost is
     O(delta + collisions), independent of corpus size, which is what
-    makes daily dedup of a PB-scale corpus feasible at all."""
+    makes daily dedup of a PB-scale corpus feasible at all.
+
+    Round 7: probes the WIDE 8-hash signature table (2 bands of r=4), so
+    corpus-side band collisions carry the wide family's ~linear
+    background rate instead of inheriting the narrow-band quadratic one
+    (round-6 VERDICT weak item)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signature(docs, 4).cache()
+    sig = _minhash_signature(docs, 8).cache()
     is_new = F.col("doc_id") % 10 == 7
     new_sig = sig.filter(is_new)
     corpus_sig = sig.filter(~is_new)
 
-    def band(k1: str, k2: str) -> DataFrame:
+    def band(cols: list[str]) -> DataFrame:
         n = new_sig.select(
             F.col("doc_id").alias("new_doc"),
-            F.col(k1).alias("b1"),
-            F.col(k2).alias("b2"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(cols)],
         )
         c = corpus_sig.select(
             F.col("doc_id").alias("corpus_doc"),
-            F.col(k1).alias("b1"),
-            F.col(k2).alias("b2"),
+            *[F.col(k).alias(f"b{i}") for i, k in enumerate(cols)],
         )
-        return F.broadcast(n).join(c, ["b1", "b2"]).select(
-            "new_doc", "corpus_doc"
+        return (
+            F.broadcast(n)
+            .join(c, [f"b{i}" for i in range(len(cols))])
+            .select("new_doc", "corpus_doc")
         )
 
-    return band("mh0", "mh1").unionByName(band("mh2", "mh3")).distinct()
+    return (
+        band(["mh0", "mh1", "mh2", "mh3"])
+        .unionByName(band(["mh4", "mh5", "mh6", "mh7"]))
+        .distinct()
+    )
 
 
 @register(
     "x_dedup_minhash_verified",
-    oracle=_DUCK_MINHASH_WIDE
-    + f""",
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id
-       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
-             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
-            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
-                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
-    ),
-    sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
-    SELECT c.doc_a, c.doc_b,
-           ROUND(len(list_intersect(sa.ss, sb.ss))
-                 / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
-                        AS DOUBLE), 4) AS jaccard
-    FROM cand c
-    JOIN sets sa ON sa.doc_id = c.doc_a
-    JOIN sets sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.ss, sb.ss))
-          / CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE)
-          >= {JACCARD_THRESHOLD}
+    oracle=f"""
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,8 +1245,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: two equi-joins on 4-hash band tuples + a candidate-sized
     shingle-set join; no stage is quadratic in the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    cand = dedup_minhash_wide(spark, sf_dir)
+    return minhash_verified_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_verified_pairs_df(docs: DataFrame) -> DataFrame:
+    """Wide-band candidates + exact shingle-set Jaccard verification over
+    ANY docs DataFrame with (doc_id, text) — the reusable core of
+    x_dedup_minhash_verified (the round-7 default pair source for the
+    whole dedup-graph stack)."""
+    cand = minhash_wide_candidates_df(docs)
     # shingle SETS for exact verification — same construction the
     # signatures hash, so candidates and verification share a universe
     sets = docs.select(
@@ -1171,37 +1273,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (doc_a, doc_b) CTE chain for the wide-band verified pairs — reused by
-# x_dedup_cluster_banded's recursive-closure oracle.
-_DUCK_WIDE_VERIFIED_PAIRS = (
-    _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
-    + f""",
-    candw AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id
-       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
-             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
-            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
-                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
-    ),
-    setsw AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
-    pairs AS (
-      SELECT c.doc_a, c.doc_b
-      FROM candw c
-      JOIN setsw sa ON sa.doc_id = c.doc_a
-      JOIN setsw sb ON sb.doc_id = c.doc_b
-      WHERE len(list_intersect(sa.ss, sb.ss))
-            / CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS DOUBLE)
-            >= {JACCARD_THRESHOLD}
-    )"""
-)
-
-
 @register(
-    "x_dedup_cluster_banded",
+    "x_dedup_cluster_prefix",
     oracle=f"""
-    WITH RECURSIVE {_DUCK_WIDE_VERIFIED_PAIRS},
+    WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
@@ -1216,48 +1291,39 @@ _DUCK_WIDE_VERIFIED_PAIRS = (
     FROM reach GROUP BY node
     """,
 )
-def dedup_cluster_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The clustering capstone on the SCALE-CORRECT candidate family:
-    connected components (same pointer-jumping loop as x_dedup_cluster,
-    via its ``pairs`` parameter) over x_dedup_minhash_verified's
-    wide-band verified pairs — the exact composition measured at 2.4 s
-    over 500 k docs in the round-6 sf10 run, now a registered, fully
-    hash-oracled operator rather than an internal API path.
+def dedup_cluster_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering capstone on the LEGACY prefix-block candidate
+    family (x_dedup_jaccard's (lang, first-token) blocking) — the
+    fixture-width calibration twin of x_dedup_cluster, which since
+    round 7 defaults to the wide-band verified pairs.
 
-    x_dedup_cluster (prefix-block candidates) remains registered as the
-    fixture-width twin; a deployment picks the candidate family by
-    measured growth (PLANS.md round-6 table).  Plan: band equi-joins +
-    candidate-sized verify + the O(log diameter) label loop, its width
-    sized to the edge count — no stage quadratic in the corpus."""
-    pairs = (
-        dedup_minhash_verified(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    return dedup_cluster(spark, sf_dir, pairs=pairs)
+    Kept registered because the round-6 sized runs made this exact
+    composition the measured counter-example (3,143 s at sf10 vs 2.4 s
+    for the wide-band family on identical cluster semantics): the
+    blocking-strategy contrast is an artifact worth re-running whenever
+    the corpus statistics change.  Same CC loop (pointer jumping, width
+    sized to edges) — only the candidate family differs."""
+    pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    try:
+        return dedup_cluster(spark, sf_dir, pairs=pairs)
+    finally:
+        pairs.unpersist()
 
 
-_CANONICAL_BANDED_ORACLE = _CANONICAL_ORACLE.replace(
-    f"pairs AS ({_DUCK_JACCARD_PAIRS})", _DUCK_WIDE_VERIFIED_PAIRS, 1
-)
-
-
-@register("x_canonical_pick_banded", oracle=_CANONICAL_BANDED_ORACLE)
-def canonical_pick_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("x_canonical_pick_prefix", oracle=_CANONICAL_PREFIX_ORACLE)
+def canonical_pick_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x_canonical_pick's capstone (CC labels + fixed-point PageRank +
-    per-cluster argmax) on the SCALE-CORRECT candidate family: the one
-    shared, checkpointed pair table comes from x_dedup_minhash_verified
-    instead of the prefix-block Jaccard join.
+    per-cluster argmax) on the LEGACY prefix-block candidate family —
+    the fixture-width calibration twin of x_canonical_pick, which since
+    round 7 defaults to the wide-band verified pairs.
 
-    Motivated directly by the round-6 sf10 run: the prefix-block
-    capstone aborted at the default 16 GiB driver (hash-agg OOM inside
-    the ~2 M-candidate pair checkpoint) — on this pair family the pair
-    table is near-dup-sized (hundreds of rows at sf10, not millions),
-    so the same composition is memory-safe and fast at any corpus size.
-    Oracle = the x_canonical_pick replay (recursive closure + unrolled
-    integer PageRank + ranking window) over the wide-verified pairs."""
+    Kept registered as the measured counter-example: at sf10 this
+    composition aborted with SparkOutOfMemoryError at BOTH 16 GiB and
+    48 GiB driver (hash-agg OOM inside the ~2 M-candidate pair
+    checkpoint) while the wide-band default runs in 6.8 s — memory
+    cannot buy back a quadratic candidate set."""
     pairs = (
-        dedup_minhash_verified(spark, sf_dir)
+        dedup_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

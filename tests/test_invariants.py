@@ -42,14 +42,16 @@ def test_seq_pack_capacity_and_offsets(spark):
 def test_dedup_cluster_well_formed(spark):
     """Cluster ids are component minima: every label <= its node, every
     label is itself a member node, and both endpoints of every candidate
-    pair share a label."""
+    pair share a label.  Edges come from the round-7 default pair family
+    (x_dedup_minhash_verified — the same source x_dedup_cluster consumes)."""
     qs = get_queries()
     labels = qs["x_dedup_cluster"](spark, SF_ORACLE).toPandas()
     assert (labels["cluster_id"] <= labels["doc_id"]).all()
     members = set(labels["doc_id"])
     assert set(labels["cluster_id"]) <= members
     lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
-    pairs = qs["x_dedup_jaccard"](spark, SF_ORACLE).toPandas()
+    pairs = qs["x_dedup_minhash_verified"](spark, SF_ORACLE).toPandas()
+    assert len(pairs) > 0  # non-vacuous: the fixture must have near-dups
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         assert lab[a] == lab[b], (a, b)
 
@@ -230,7 +232,7 @@ def test_text_ops_survive_short_docs(spark, tmp_path):
         f"'{table_path(sf, 'documents')}/*.parquet'"
     )
     qs, orcs = get_queries(), get_oracles()
-    for name in ["x_ngram", "x_dedup_minhash", "x_fingerprint", "x_seq_pack"]:
+    for name in ["x_ngram", "x_dedup_minhash_wide", "x_fingerprint", "x_seq_pack"]:
         got = canonical_rows(qs[name](spark, sf).toPandas())
         want = canonical_rows(con.sql(orcs[name]).df())
         assert got == want, f"{name}: {got[:3]} != {want[:3]}"

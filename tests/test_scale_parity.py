@@ -35,7 +35,7 @@ SCALE_SLICE = [
     "q_percentile",
     "x_dedup_minhash_wide",
     "x_dedup_minhash_verified",
-    "x_dedup_cluster_banded",
+    "x_dedup_cluster",
     "x_lang_ngram_profile",
 ]
 

@@ -9,7 +9,10 @@ materialization, which is the honest cost model for a cluster run — a
 `collect()` would add a driver bottleneck the real pipeline doesn't have.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset),
+SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset —
+subset runs write BENCH_SUBSET.json, never the committed BENCH_FULL.json;
+regression ratios compare against git HEAD's BENCH_FULL.json unless
+BENCH_BASE overrides),
 BENCH_REPEATS (default 2 — per-query BEST-of-N; the host is co-tenant
 with load-avg swings of 3-8 that inflate any single run up to 3x on
 arbitrary queries, so the minimum is the reproducible-machine number;
@@ -32,6 +35,19 @@ def main() -> None:
     from data_pipeline_cursor_spark.session import get_spark
 
     spark = get_spark("bench")
+    # The remaining unpartitioned windows run over summary-grain inputs
+    # only (q_gap_detect's per-bucket handoff, x_curriculum_order's
+    # per-score cumulative — pinned by tests/test_plans.py); WindowExec's
+    # blanket no-partition warning is noise in the bench tail, so demote
+    # that single logger.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend differs — warnings are cosmetic anyway
     queries = get_queries()
     subset = os.environ.get("BENCH_QUERIES")
     if subset:
@@ -67,19 +83,37 @@ def main() -> None:
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
-    # Per-query regression check against the last committed full record,
+    # Per-query regression check against the last GIT-COMMITTED full
+    # record (not the on-disk file this run is about to overwrite — that
+    # would let sub-2x regressions ratchet invisibly, round-6 ADVICE),
     # so the verdict line itself carries the 2x clause.  Queries under a
     # 0.1 s floor are excluded from the ratio (pure scheduling noise).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    base_path = os.environ.get(
-        "BENCH_BASE", os.path.join(repo_dir, "BENCH_FULL.json")
-    )
+    base, base_src = {}, None
+    base_path = os.environ.get("BENCH_BASE")
+    if base_path:
+        try:
+            with open(base_path) as f:
+                base = json.load(f).get("queries", {})
+            base_src = base_path
+        except (OSError, ValueError):
+            pass
+    else:
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "-C", repo_dir, "show", "HEAD:BENCH_FULL.json"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+            if out.returncode == 0:
+                base = json.loads(out.stdout).get("queries", {})
+                base_src = "git:HEAD:BENCH_FULL.json"
+        except (OSError, ValueError, subprocess.SubprocessError):
+            pass
     worst_q, worst_ratio = None, 0.0
-    try:
-        with open(base_path) as f:
-            base = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        base = {}
     for q, t in timings.items():
         b = base.get(q, -1.0)
         # floor sub-0.1 s baselines at 0.1 instead of skipping them: a
@@ -103,13 +137,18 @@ def main() -> None:
         "n_queries": len(timings),
         "worst_vs_prev": worst_ratio,
         "worst_query": worst_q,
+        "baseline": base_src,
     }
-    # Persist the COMPLETE payload to a file (BENCH_OUT, default
-    # BENCH_FULL.json) — the committed artifact that proves the per-query
-    # 2x clause for the whole registry.
-    full_path = os.environ.get(
-        "BENCH_OUT", os.path.join(repo_dir, "BENCH_FULL.json")
-    )
+    # Persist the COMPLETE payload to a file (BENCH_OUT) — the committed
+    # artifact that proves the per-query 2x clause for the whole registry.
+    # A BENCH_QUERIES-subset debug run must NEVER silently replace the
+    # committed full-registry artifact (round-6 ADVICE): without an
+    # explicit BENCH_OUT, subsets write to BENCH_SUBSET.json instead.
+    full_path = os.environ.get("BENCH_OUT")
+    if full_path is None:
+        full_path = os.path.join(
+            repo_dir, "BENCH_SUBSET.json" if subset else "BENCH_FULL.json"
+        )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
 

@@ -389,6 +389,9 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_BUCKET = 1 << 16  # ids per lag partition (the parallelism unit)
+
+
 @register(
     "q_gap_detect",
     oracle="""
@@ -413,26 +416,79 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENCE-GAP detection — the completeness check run on ingested
     logs with monotonically-assigned ids (Kafka offsets, DB sequences):
-    every missing id range as (gap_start, gap_end, n_missing), found by
-    one lag() pass over the sorted ids — never by joining against a
-    generated full-range spine, which materializes max(id) rows to find
-    a handful of holes.
+    every missing id range as (gap_start, gap_end, n_missing) — never by
+    joining against a generated full-range spine, which materializes
+    max(id) rows to find a handful of holes.
 
     The fixture's ids are contiguous, so the query first drops a
     deterministic slice and must recover exactly those holes — keeping
     the oracle non-vacuous at every SF.
 
-    100 TB: ids partition by their natural ranges (offset per Kafka
-    partition, sequence per shard) — lag() runs per partition key with
-    no global sort; here the single global window is fixture-shaped."""
+    SCALE PLAN (round-7 fix of the single-partition global window): two
+    levels, neither sorting the full table on one task.
+    (1) ids group by ``event_id div 65536`` — ONE hash shuffle, as
+        parallel as the cluster; each bucket's ids are sorted as a
+        bounded array (≤65536 longs = 512 KB, partial-aggregated
+        map-side) and adjacent-pair gaps fall out of a zip_with over
+        the array against its shift — every gap whose endpoints share
+        a bucket, no window over the raw grain.
+    (2) the per-bucket (min_id, max_id) summary — |ids| / 65536 rows —
+        is lagged by bucket order to catch the boundary-crossing gaps
+        (adjacent kept ids in different buckets are necessarily their
+        buckets' max and min, with only empty buckets between).
+    Every adjacent id pair is inspected by exactly one level, so the
+    union equals a single global lag.  The only unpartitioned window
+    consumes the 65536×-reduced summary: at 10^13 ids that is ~10^8
+    rows — and the same two-level split can be applied recursively if a
+    deployment needs more."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    kept = ev.filter(F.col("event_id") % 97 != 13).select("event_id")
-    w = Window.orderBy("event_id")
-    runs = kept.withColumn("prev_id", F.lag("event_id").over(w))
-    return runs.filter(F.col("event_id") - F.col("prev_id") > 1).select(
+    kept = ev.filter(F.col("event_id") % 97 != 13).select(
+        "event_id", F.expr(f"event_id div {GAP_BUCKET}").alias("bucket")
+    )
+    # cache: the bucketed array aggregate feeds BOTH levels (intra-bucket
+    # pair scan + boundary summary) — uncached it would shuffle twice
+    ag = (
+        kept.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("ids"))
+        .cache()
+    )
+    gap_cols = [
         (F.col("prev_id") + 1).alias("gap_start"),
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    ]
+    # adjacent in-bucket pairs: ids[0..n-2] zipped with ids[1..n-1]
+    # (slice of length 0 on a 1-element bucket → empty, no guard needed)
+    adj = F.zip_with(
+        F.slice("ids", 1, F.size("ids") - 1),
+        F.slice("ids", 2, F.greatest(F.size("ids") - 1, F.lit(0))),
+        lambda p, q: F.struct(p.alias("prev_id"), q.alias("event_id")),
     )
+    intra = (
+        ag.select(
+            F.explode(
+                F.filter(adj, lambda s: s["event_id"] - s["prev_id"] > 1)
+            ).alias("g")
+        )
+        .select("g.prev_id", "g.event_id")
+        .select(*gap_cols)
+    )
+    summary = ag.select(
+        "bucket",
+        F.element_at("ids", 1).alias("min_id"),
+        F.element_at("ids", -1).alias("max_id"),
+    )
+    # the summary is DELIBERATELY windowed on one task: it is 65536x
+    # smaller than the input (a foldable lit() partition key would be
+    # optimized away anyway); test_plans pins that no unpartitioned
+    # window ever touches the id grain
+    ws = Window.orderBy("bucket")
+    cross = (
+        summary.withColumn("prev_id", F.lag("max_id").over(ws))
+        .withColumnRenamed("min_id", "event_id")
+        .filter(F.col("event_id") - F.col("prev_id") > 1)
+        .select(*gap_cols)
+    )
+    return intra.unionByName(cross)

@@ -325,17 +325,28 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURRICULUM phase assignment — training-order prep: documents rank
     by a difficulty proxy (character entropy, reusing x_char_entropy's
     helper: low-entropy repetitive text first, information-dense text
-    last) and split into 4 equal phases by ntile over the TOTAL order
+    last) and split into 4 equal phases over the TOTAL order
     (rounded score, doc_id).  The emitted manifest (per-phase doc/char
     totals and score range) is what a staged training run consumes;
     compose with x_shard_shuffle to shard WITHIN each phase.
 
-    Plan: the entropy aggregate (two doc_id-keyed shuffles) joined back
-    to the corpus row, one global ntile sort, one phase aggregate.
-    100 TB: the global sort is the honest cost of a total curriculum
-    order — production ranks within-partition + stratifies by score
-    range instead (same manifest, no global sort); the phase aggregate
-    is 4 rows."""
+    SCALE PLAN (round-7 fix of the global single-partition ntile): the
+    phase of a row is a pure function of its GLOBAL 0-based rank in
+    (score, doc_id) order, and that rank decomposes as
+    ``rank = (#rows with smaller score) + (rank among score-ties)``:
+    - rank among ties: row_number() over a window PARTITIONED BY score —
+      hash-parallel, no global sort (skew note: a single degenerate
+      score shared by ~everything would concentrate one partition;
+      salt the tie-rank by doc_id ranges if a corpus does that);
+    - rows-below count: a per-distinct-score aggregate (vocabulary-
+      sized — at most 10^5 rows for round-4 entropy scores) cumulated
+      by one window over that TINY summary, then joined back on score;
+    - the ntile bucket boundaries come from the corpus row count,
+      broadcast as a one-row total (never collect()ed to the driver).
+    The phase expression replays ntile(4)'s exact fill rule (first
+    n mod 4 buckets get one extra row), so the DuckDB ntile oracle
+    still hash-matches.  No stage funnels the corpus through one task;
+    the phase aggregate is 4 rows."""
     from data_pipeline_cursor_spark.functions.math_ops import stable_round4
     from data_pipeline_cursor_spark.text.analysis import _char_entropy_df
     from pyspark.sql.window import Window
@@ -344,11 +355,44 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _char_entropy_df(docs).select(
         "doc_id", stable_round4(F.col("ent")).alias("score")
     )
-    w = Window.orderBy("score", "doc_id")
+    # cache: the scored corpus feeds the tie-rank window, the per-score
+    # summary AND (via per_score) the total — uncached, the char-entropy
+    # explode pipeline would run three times
+    base = docs.select("doc_id", "n_chars").join(scored, "doc_id").cache()
+    wn = Window.partitionBy("score").orderBy("doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(wn))
+    per_score = base.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    # the cumulative sum runs over the vocabulary-sized per-score summary
+    # only (deliberate single-task window; a foldable lit() partition key
+    # would be optimized away) — test_plans pins that no unpartitioned
+    # window ever touches the doc grain.  The SAME window pass also emits
+    # the grand total n (unbounded frame), so no separate global
+    # aggregate + crossJoin is needed.
+    ws = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_score.select(
+        "score",
+        F.coalesce(F.sum("c").over(ws), F.lit(0)).alias("cum_below"),
+        F.sum("c").over(w_all).alias("n"),
+    )
     phased = (
-        docs.select("doc_id", "n_chars")
-        .join(scored, "doc_id")
-        .withColumn("phase", F.ntile(4).over(w))
+        ranked.join(F.broadcast(cum), "score")
+        .withColumn("r0", F.col("cum_below") + F.col("rn") - 1)
+        .withColumn("q", F.expr("n div 4"))
+        .withColumn("m", F.col("n") % 4)
+        .withColumn(
+            "phase",
+            F.when(
+                F.col("r0") < F.col("m") * (F.col("q") + 1),
+                F.expr("r0 div (q + 1)") + 1,
+            )
+            .otherwise(
+                F.col("m") + F.expr("(r0 - m * (q + 1)) div greatest(q, 1)") + 1
+            )
+            .cast("int"),
+        )
     )
     return phased.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1027,3 +1027,23 @@ def test_pq_structured_recall_operating_point(spark):
     pdf = get_queries()["x_pq_recall_structured"](spark, SF_ORACLE).toPandas()
     assert len(pdf) >= 3
     assert pdf["recall"].mean() > 0.8, pdf.to_string()
+
+
+def test_gap_detect_boundary_handoff_any_bucket_width(spark, monkeypatch):
+    """q_gap_detect's two-level decomposition must be invariant to the
+    bucket width: shrinking GAP_BUCKET to 16 routes gaps through the
+    boundary-handoff path thousands of times at sf0.01 (the default
+    65536 width only exercises it at sf1+), and the result must still
+    hash-match the single-global-lag DuckDB oracle."""
+    from data_pipeline_cursor_spark.operators import history
+    from data_pipeline_cursor_spark.registry import get_oracles
+    from tests.oracle_harness import compare_query
+
+    monkeypatch.setattr(history, "GAP_BUCKET", 16)
+    compare_query(
+        spark,
+        "q_gap_detect",
+        get_queries()["q_gap_detect"],
+        get_oracles()["q_gap_detect"],
+        SF_ORACLE,
+    )

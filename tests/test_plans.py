@@ -372,3 +372,57 @@ def test_minhash_wide_bands_are_equi_joins(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def _window_nodes_without_partition(plan: str) -> list[str]:
+    """Window physical nodes whose spec has NO partition list.
+
+    A partitioned node renders as `Window [funcs], [partSpec], [ordSpec]`
+    (3 top-level bracket groups after the node name); an unpartitioned one
+    as `Window [funcs], [ordSpec]` (2 groups) and funnels its whole input
+    through ONE task."""
+    bad = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        rest = line.split("Window ", 1)[1]
+        groups, depth = 0, 0
+        for ch in rest:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            bad.append(line.strip())
+    return bad
+
+
+def test_gap_detect_windows_are_partitioned(spark):
+    """q_gap_detect (round-7 rewrite): the corpus-sized lag runs per
+    id-bucket (hash-partitioned window); the ONLY unpartitioned window
+    consumes the 65536x-reduced per-bucket (min,max) summary — it may
+    reference the bucket grain but never the raw id grain."""
+    df = get_queries()["q_gap_detect"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "hashpartitioning(bucket" in plan, plan
+    bad = _window_nodes_without_partition(plan)
+    assert bad, plan  # the summary handoff window must exist
+    for node in bad:
+        assert "bucket" in node and "event_id" not in node, node
+
+
+def test_curriculum_order_has_no_global_sort_window(spark):
+    """x_curriculum_order (round-7 rewrite): the per-doc rank runs in a
+    window PARTITIONED BY score (hash-parallel); the ONLY unpartitioned
+    window cumulates the vocabulary-sized per-score summary — the corpus
+    is never funneled through a single-task ntile sort (no doc-grain
+    column in any unpartitioned window)."""
+    df = get_queries()["x_curriculum_order"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "row_number()" in plan, plan
+    bad = _window_nodes_without_partition(plan)
+    assert bad, plan  # the per-score cumulative window must exist
+    for node in bad:
+        assert "score" in node and "doc_id" not in node, node

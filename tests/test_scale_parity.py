@@ -33,6 +33,9 @@ SCALE_SLICE = [
     "q_tpch_market_share",
     "q_join_asof",
     "q_percentile",
+    # boundary-handoff branch of the two-level gap detector only fires at
+    # sf1+ (first bucket-edge id dropped by the %97 slice is 327679)
+    "q_gap_detect",
     "x_dedup_minhash_wide",
     "x_dedup_minhash_verified",
     "x_dedup_cluster",

@@ -1302,7 +1302,13 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     listener = _Harvest()
     spark.streams.addListener(listener)
     try:
-        df = _stream(spark, sf_dir)
+        from data_pipeline_cursor_spark.streaming.sources import (
+            read_event_stream,
+            write_landing_fixture,
+        )
+
+        landing = write_landing_fixture(spark, sf_dir, _work("landing"))
+        df = read_event_stream(spark, landing, 4)
         agg = tumble_agg(df)
         name = "metrics_" + uuid.uuid4().hex[:8]
         from data_pipeline_cursor_spark.streaming.sources import (
@@ -1344,6 +1350,19 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.streams.removeListener(listener)
     with listener.lock:
         rows = sum(n for i, n in listener.progress if i == qid)
+    # A delivered TERMINATION event does not prove every PROGRESS event
+    # survived the bounded listener bus (round-6 ADVICE): a dropped
+    # progress event with termination intact would silently undercount —
+    # the one failure mode an observability pipeline must never have.
+    # Under an availableNow drain the true ingested total is a pure batch
+    # line count of the landing fixture; cross-check and fail loudly.
+    expected = spark.read.text(os.path.join(landing, "*.json")).count()
+    if rows != expected:
+        raise RuntimeError(
+            f"streaming-metrics listener undercounted: progress-event sum "
+            f"{rows} != landing fixture rows {expected}; the listener bus "
+            "dropped progress events"
+        )
     return spark.createDataFrame(
         [("total_input_rows", rows)], "metric string, value long"
     )

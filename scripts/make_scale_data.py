@@ -120,12 +120,26 @@ def make(copies: int, out: str) -> None:
                 )
             if t == "embeddings" and c > 0:
                 vecs = tbl.column("embedding").to_pylist()
-                rolled = [
-                    np.roll(np.asarray(v, dtype=np.float32), c).tolist()
-                    if v is not None
-                    else None
-                    for v in vecs
-                ]
+                # rotate by c % DIM — np.roll(v, c) aliases to the identity
+                # whenever c is a multiple of DIM, so runs with copies > DIM
+                # (sf10 uses 100 against DIM=64) would seed bit-identical
+                # cross-copy vectors (round-6 ADVICE).  For c >= DIM a
+                # second deterministic transform (sign flip on a hashed
+                # dim subset) keeps every copy distinct even at equal
+                # rotation residues; both transforms are norm-preserving.
+                dim = len(next(v for v in vecs if v is not None))
+                rolled = []
+                for v in vecs:
+                    if v is None:
+                        rolled.append(None)
+                        continue
+                    a = np.roll(np.asarray(v, dtype=np.float32), c % dim)
+                    if c >= dim:
+                        flip_mask = (
+                            np.arange(dim) * 2654435761 + c
+                        ) % 97 < 32  # ~1/3 of dims, copy-dependent
+                        a = np.where(flip_mask, -a, a).astype(np.float32)
+                    rolled.append(a.tolist())
                 ei = tbl.schema.get_field_index("embedding")
                 tbl = tbl.set_column(
                     ei, "embedding", pa.array(rolled, type=pa.list_(pa.float32()))

@@ -173,12 +173,12 @@ def _minhash_signature(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 _DUCK_MINHASH = f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
+    WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
     ex AS (
       SELECT doc_id, md5('mh:' || s.sh) AS m
       FROM sh, unnest(shingles) AS s(sh)
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              MIN(('0x' || substr(m, 1, 8))::BIGINT)  AS mh0,
              MIN(('0x' || substr(m, 9, 8))::BIGINT)  AS mh1,
@@ -191,12 +191,22 @@ _DUCK_MINHASH = f"""
 
 @register(
     "x_dedup_minhash_narrow",
+    # per-band equi-joins + UNION, not an OR-of-conjunctions join: the OR
+    # form has no extractable equi-keys, so BOTH engines degrade to a
+    # nested-loop self-join — observed in DuckDB at sf10 (500 k sigs →
+    # ~1.2e11 comparisons, the oracle itself becomes the quadratic plan
+    # the operator exists to avoid); the UNION form hash-joins
     oracle=_DUCK_MINHASH
     + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.doc_id < b.doc_id
-     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    SELECT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    )
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,12 +255,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_MINHASH_WIDE = f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
+    WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
     ex AS (
       SELECT doc_id, md5('mh:' || s.sh) AS m, md5('mh2:' || s.sh) AS m2
       FROM sh, unnest(shingles) AS s(sh)
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              MIN(('0x' || substr(m, 1, 8))::BIGINT)   AS mh0,
              MIN(('0x' || substr(m, 9, 8))::BIGINT)   AS mh1,
@@ -267,15 +277,21 @@ _DUCK_MINHASH_WIDE = f"""
 
 @register(
     "x_dedup_minhash_wide",
+    # UNION of per-band equi-joins (hash-joinable) — see
+    # x_dedup_minhash_narrow's oracle note for why the OR form is banned
     oracle=_DUCK_MINHASH_WIDE
     + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.doc_id < b.doc_id
-     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
-           AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
-          OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
-              AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    SELECT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+       AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
+       AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
+    )
     """,
 )
 def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,20 +496,25 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_a, doc_b, jaccard) CTE chain for the WIDE-BAND VERIFIED pairs — the
 # round-7 default pair source for every dedup-graph oracle (cluster,
 # pagerank, canonical pick, pair table, triangles, split leakage).
+# candw is a UNION of per-band equi-joins, NOT an OR-of-conjunctions join
+# (which nested-loops in DuckDB exactly as it would in Spark — the oracle
+# must scale with the operator it checks).
 _DUCK_WIDE_VERIFIED_PAIRS = (
     _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
     + f""",
     candw AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id
-       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1
-             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
-            OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5
-                AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+       AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
+       AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
     ),
-    setsw AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
-    pairs AS (
+    setsw AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+    pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
              ROUND(len(list_intersect(sa.ss, sb.ss))
                    / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
@@ -812,17 +833,28 @@ def pagerank(
 
 @register(
     "x_minhash_accuracy",
+    # candidate pairs via per-band equi-joins + UNION (hash-joinable; the
+    # OR form nested-loops — x_dedup_minhash_narrow oracle note), then
+    # re-join the signatures to count agreeing components
     oracle=_DUCK_MINHASH
     + """,
+    cand0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    ),
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT c.doc_a, c.doc_b,
              (CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
               + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT))
                AS n_eq
-      FROM sig a JOIN sig b
-        ON a.doc_id < b.doc_id
-       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
-            OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+      FROM cand0 c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
     ),
     sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
     SELECT c.doc_a, c.doc_b,
@@ -1166,15 +1198,23 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_incremental",
+    # per-band equi-joins + UNION (hash-joinable; the OR form
+    # nested-loops — x_dedup_minhash_narrow oracle note)
     oracle=_DUCK_MINHASH_WIDE
     + """
-    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
-    FROM sig n JOIN sig c
-      ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1
-           AND n.mh2 = c.mh2 AND n.mh3 = c.mh3)
-          OR (n.mh4 = c.mh4 AND n.mh5 = c.mh5
-              AND n.mh6 = c.mh6 AND n.mh7 = c.mh7))
+    SELECT new_doc, corpus_doc FROM (
+      SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+      FROM sig n JOIN sig c
+        ON n.mh0 = c.mh0 AND n.mh1 = c.mh1
+       AND n.mh2 = c.mh2 AND n.mh3 = c.mh3
+       AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+      UNION
+      SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+      FROM sig n JOIN sig c
+        ON n.mh4 = c.mh4 AND n.mh5 = c.mh5
+       AND n.mh6 = c.mh6 AND n.mh7 = c.mh7
+       AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+    )
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

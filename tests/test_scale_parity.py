@@ -1,20 +1,23 @@
-"""Oracle parity AT SCALE (round 6): the driver's correctness gate runs at
-sf0.01; this module re-runs the same Spark-vs-DuckDB hash comparison at
-sf1 (~6 M lineitem rows, 10x the bench fixture) for a representative
-slice, so correctness is evidenced at the scale the bench curves measure
-— not only speed.
+"""Oracle parity AT SCALE (round 6, extended round 7): the driver's
+correctness gate runs at sf0.01; this module re-runs the same
+Spark-vs-DuckDB hash comparison at sf1 (~6 M lineitem rows, 10x the
+bench fixture) and sf10 (~60 M) for a representative slice, so
+correctness is evidenced at the scales the bench curves measure — not
+only speed.  Before round 7, sf10 correctness was only INFERRED from
+bench completion (round-6 VERDICT item 4).
 
-Skipped when the derived sf1 fixtures are absent (regenerate with
-`python scripts/make_scale_data.py 10`); they are .gitignored build
-artifacts, ~170 MB.
+Skipped per scale when the derived fixtures are absent (regenerate with
+`python scripts/make_scale_data.py 10` / `... 100`); they are
+.gitignored build artifacts (~170 MB / ~1.7 GB).
 
-Slice selection: one per plan family that the sf10 run exercised —
+Slice selection: one per plan family that the sized runs exercise —
 scan+agg (tpch pricing), multi-way broadcast join (market share),
-window/as-of, exact percentile, the scale-path dedup pipeline end to end
-(wide candidates -> verified pairs -> CC labels), and the trained
-language profiler (the heaviest linear text op).  Streaming jobs are
-excluded: their drain cost at sf1 is minutes each and their determinism
-is already pinned by batch-equivalence tests at sf0.01.
+window/as-of, exact percentile, the two-level gap detector, the
+scale-path dedup pipeline end to end (wide candidates -> verified pairs
+-> CC labels), and the trained language profiler (the heaviest linear
+text op).  Streaming jobs are excluded here: their drain cost at scale
+is minutes each; tests/test_streaming_scale.py covers them with a
+RocksDB state store at sf1.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from data_pipeline_cursor_spark.registry import get_oracles, get_queries
 from tests.oracle_harness import compare_query
 
 SF1 = "/root/repo/.scaledata/sf1"
+SF10 = "/root/repo/.scaledata/sf10"
 
 SCALE_SLICE = [
     "q_tpch_pricing",
@@ -42,11 +46,14 @@ SCALE_SLICE = [
     "x_lang_ngram_profile",
 ]
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF1), reason="sf1 scale fixtures not generated"
-)
 
-
+@pytest.mark.skipif(not os.path.isdir(SF1), reason="sf1 fixtures not generated")
 @pytest.mark.parametrize("name", SCALE_SLICE)
 def test_scale_parity_sf1(spark, name):
     compare_query(spark, name, get_queries()[name], get_oracles()[name], SF1)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF10), reason="sf10 fixtures not generated")
+@pytest.mark.parametrize("name", SCALE_SLICE)
+def test_scale_parity_sf10(spark, name):
+    compare_query(spark, name, get_queries()[name], get_oracles()[name], SF10)

@@ -529,6 +529,14 @@ _DUCK_WIDE_VERIFIED_PAIRS = (
 )
 
 
+def duck_wide_verified_pairs(src: str = "documents") -> str:
+    """The wide-verified pair CTE chain over ANY relation with
+    (doc_id, text) — ends in a ``pairs`` CTE; splice after your own CTEs
+    (x_split_leakage's injected corpus, x_curation_pipeline's gated
+    corpus)."""
+    return _DUCK_WIDE_VERIFIED_PAIRS.replace("FROM documents", f"FROM {src}")
+
+
 def _verified_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default (doc_a, doc_b) edge source for the dedup-graph stack:
     x_dedup_minhash_verified's wide-band + exact-Jaccard-verified pairs,
@@ -1109,7 +1117,7 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id + 10000000 AS doc_id, text
         FROM documents WHERE doc_id % 5 = 0
     ),
-    {_DUCK_WIDE_VERIFIED_PAIRS.replace("FROM documents", "FROM corpus")},
+    {duck_wide_verified_pairs("corpus")},
     edges AS (
       SELECT doc_a AS u, doc_b AS v, jaccard FROM pairs
       UNION ALL

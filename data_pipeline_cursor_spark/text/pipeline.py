@@ -7,10 +7,12 @@ Stages, in dependency order, each already proven as a standalone operator:
    family of signals, reduced to the two portable ones);
 2. **exact dedup** — keep the min doc_id per identical text (x_dedup_exact);
 3. **near-dup drop** — greedy: drop every doc that appears as the LARGER
-   id of a Jaccard candidate pair over the surviving set (jaccard_pairs_df
-   / x_dedup_jaccard's blocking + threshold).  Greedy-by-id keeps at least
-   one doc per near-dup cluster deterministically without the iterative
-   clustering pass (x_dedup_cluster is the exact variant);
+   id of a verified near-dup pair over the surviving set
+   (minhash_verified_pairs_df — the wide-band + exact-Jaccard family
+   that is the round-7 default for the whole dedup-graph stack; the
+   prefix-block jaccard_pairs_df went quadratic at sf10).  Greedy-by-id
+   keeps at least one doc per near-dup cluster deterministically without
+   the iterative clustering pass (x_dedup_cluster is the exact variant);
 4. **stratified sample** — per-language keep rates by portable hash
    residue (x_stratified_sample's idiom);
 5. **audit summary** — per (lang, source) doc/token/char counts, the
@@ -18,12 +20,13 @@ Stages, in dependency order, each already proven as a standalone operator:
 
 Each stage's intermediate is a DataFrame — the pipeline is ONE lazy plan,
 so Catalyst sees through the whole composition (filters reach the scan,
-the dedup aggregate and the pair join share the corpus scan via the
-jaccard cache).  The DuckDB oracle replays all five stages as chained
+the dedup aggregate and the signature pipeline share the gated corpus
+via one cache).  The DuckDB oracle replays all five stages as chained
 CTEs, so the final audit numbers are value-checked end to end.
 
 100 TB: stages 1/4 are zero-shuffle predicates; stage 2 is one hash agg on
-text; stage 3 is the blocked pair join (O(block²), never O(n²)) plus an
+text; stage 3 is band equi-joins + candidate-sized exact verify (never
+O(n²) — candidates ~linear in the corpus, round-6 measurement) plus an
 anti-join on doc id; stage 5 one small agg.  Nothing collects; every
 stage's output is a fraction of its input, so the expensive pair join runs
 on the already-gated corpus.
@@ -37,8 +40,8 @@ from pyspark.sql import functions as F
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
 from data_pipeline_cursor_spark.text.dedup import (
-    jaccard_pairs_df,
-    duck_jaccard_pairs,
+    duck_wide_verified_pairs,
+    minhash_verified_pairs_df,
     phash,
 )
 
@@ -62,7 +65,7 @@ _ORACLE = f"""
     exact_deduped AS (
       SELECT g.* FROM gated g JOIN keepers USING (doc_id)
     ),
-    pairs AS ({duck_jaccard_pairs('exact_deduped')}),
+    {duck_wide_verified_pairs('exact_deduped')},
     near_deduped AS (
       SELECT * FROM exact_deduped
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
@@ -94,9 +97,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tok") >= MIN_TOKENS)
     )
     keepers = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    exact_deduped = gated.join(keepers.select("doc_id"), "doc_id")
+    # cache: the exact-deduped corpus feeds the signature pipeline, the
+    # shingle-set verify AND the anti-join — uncached, the gate + dedup
+    # subplan would re-run three times
+    exact_deduped = gated.join(keepers.select("doc_id"), "doc_id").cache()
     dropped = (
-        jaccard_pairs_df(exact_deduped)
+        minhash_verified_pairs_df(exact_deduped)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -198,11 +198,11 @@ _DUCK_MINHASH = f"""
     # the operator exists to avoid); the UNION form hash-joins
     oracle=_DUCK_MINHASH
     + """
-    SELECT doc_a, doc_b FROM (
+    SELECT DISTINCT doc_a, doc_b FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
         ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-      UNION
+      UNION ALL
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
         ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
@@ -281,12 +281,12 @@ _DUCK_MINHASH_WIDE = f"""
     # x_dedup_minhash_narrow's oracle note for why the OR form is banned
     oracle=_DUCK_MINHASH_WIDE
     + """
-    SELECT doc_a, doc_b FROM (
+    SELECT DISTINCT doc_a, doc_b FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
         ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
        AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-      UNION
+      UNION ALL
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
         ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
@@ -503,15 +503,21 @@ _DUCK_WIDE_VERIFIED_PAIRS = (
     _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
     + f""",
     candw AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-       AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
-       AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
+      -- explicit DISTINCT over UNION ALL, never bare UNION: inside a
+      -- WITH RECURSIVE chain DuckDB 1.0 does NOT dedup a non-recursive
+      -- member's UNION (observed: duplicate both-band candidates at sf1
+      -- inflating PageRank degrees in the canonical-pick replay)
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+         AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
+         AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
+      )
     ),
     setsw AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
     pairs AS MATERIALIZED (
@@ -847,13 +853,15 @@ def pagerank(
     oracle=_DUCK_MINHASH
     + """,
     cand0 AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+      )
     ),
     cand AS (
       SELECT c.doc_a, c.doc_b,
@@ -1210,13 +1218,13 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nested-loops — x_dedup_minhash_narrow oracle note)
     oracle=_DUCK_MINHASH_WIDE
     + """
-    SELECT new_doc, corpus_doc FROM (
+    SELECT DISTINCT new_doc, corpus_doc FROM (
       SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
       FROM sig n JOIN sig c
         ON n.mh0 = c.mh0 AND n.mh1 = c.mh1
        AND n.mh2 = c.mh2 AND n.mh3 = c.mh3
        AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-      UNION
+      UNION ALL
       SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
       FROM sig n JOIN sig c
         ON n.mh4 = c.mh4 AND n.mh5 = c.mh5

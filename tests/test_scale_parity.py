@@ -43,6 +43,10 @@ SCALE_SLICE = [
     "x_dedup_minhash_wide",
     "x_dedup_minhash_verified",
     "x_dedup_cluster",
+    # the two repointed capstones: CC + PageRank + pick, and the
+    # injected-duplicate leakage check (round-7 defaults)
+    "x_canonical_pick",
+    "x_split_leakage",
     "x_lang_ngram_profile",
 ]
 

@@ -1384,3 +1384,269 @@ def canonical_pick_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return _canonical_from_pairs(spark, sf_dir, pairs)
+
+
+SUBSTRING_WINDOW = 16  # tokens per exact-substring window
+SUBSTRING_STRIDE = 8  # window start spacing (50% overlap)
+SUBSTRING_BOILERPLATE_CAP = 64  # windows in more docs than this are boilerplate
+
+
+@register(
+    "x_substring_dup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(tok) - {SUBSTRING_WINDOW - 1}, 1),
+                                    {SUBSTRING_STRIDE})) AS st,
+             tok
+      FROM t
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tok[st:st + {SUBSTRING_WINDOW - 1}], ' ')) AS h
+      FROM s
+    ),
+    c AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM w GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {SUBSTRING_BOILERPLATE_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM w a JOIN c USING (h) JOIN w b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication across documents (the token-window
+    pass of "Deduplicating Training Data Makes Language Models Better":
+    near-dup Jaccard misses a verbatim paragraph pasted into an
+    otherwise-different page; this catches exactly that).  Every
+    16-token window at stride 8 is hashed; documents sharing a window
+    hash are reported with their shared-window count — the spans a
+    curation pass would then excise or attribute.
+
+    Plan: one explode (corpus tokens / stride windows, ~n_tokens/8
+    rows), one hash groupBy for the per-window doc count, and a
+    within-hash self-join restricted to hashes held by 2..64 documents.
+    The upper cap is the BOILERPLATE GUARD and the scale load-bearer: a
+    navigation header shared by 10^7 pages would otherwise contribute
+    10^14 pairs from one hash — at 100 TB boilerplate belongs to a
+    frequency detector (the rejected hashes ARE that report), not a
+    pair list.  With the cap, pairs per hash are <= 64^2/2 and total
+    output is bounded by true cross-doc duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_col()
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tok) - (SUBSTRING_WINDOW - 1), F.lit(1)),
+        F.lit(SUBSTRING_STRIDE),
+    )
+    d = docs.select("doc_id", tok.alias("t"), F.explode(starts).alias("st"))
+    w = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("t", F.col("st"), SUBSTRING_WINDOW), " ")
+        ).alias("h"),
+    ).distinct()
+    # cache: the distinct (doc, window-hash) projection feeds the count
+    # AND both self-join sides (LRU-managed; module docstring)
+    w = w.cache()
+    c = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(
+            (F.col("nd") >= 2) & (F.col("nd") <= SUBSTRING_BOILERPLATE_CAP)
+        )
+    )
+    a = w.join(c.select("h"), "h").select("h", F.col("doc_id").alias("doc_a"))
+    b = w.select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+@register(
+    "x_ngram_novelty",
+    oracle=f"""
+    WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+    ds AS (
+      SELECT DISTINCT doc_id, s.sh AS g
+      FROM sh, unnest(shingles) AS s(sh)
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM ds GROUP BY g
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM ds d JOIN first_seen f ON f.g = d.g
+    GROUP BY d.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document N-GRAM NOVELTY — the corpus-diversity signal a
+    data-mixing pass ranks sources by: the fraction of a document's
+    distinct 3-word shingles whose global FIRST OCCURRENCE (min doc_id
+    over all docs containing the shingle, i.e. ingestion order) is this
+    document.  Repetitive scrape tails score near 0; fresh content near
+    1.  Sum(n_novel) over docs = |global distinct shingles| — a useful
+    audit identity.
+
+    Plan: distinct (doc, shingle) explode, one shuffle for the global
+    min-doc per shingle, join back, per-doc aggregate — all linear in
+    corpus shingles, the same bound as the minhash signature pass.
+    100 TB: the first-seen table is |distinct shingles|; at trillions
+    of shingles, partition by shingle hash exactly as written (the
+    groupBy key IS the shingle) and nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(tokens_col()))).alias("g")
+    ).distinct()
+    # cache: feeds the first-seen aggregate AND the join back
+    ds = ds.cache()
+    first_seen = ds.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ds.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@register(
+    "x_dup_inflation",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text, lang, source
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    sized AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      FROM corpus
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM sized GROUP BY text
+    )
+    SELECT s.lang, s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_docs_unique,
+           CAST(SUM(s.n_tok) AS BIGINT) AS tok_raw,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN s.n_tok ELSE 0 END)
+                AS BIGINT) AS tok_unique,
+           ROUND(SUM(s.n_tok)
+                 / CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN s.n_tok
+                            ELSE 0 END) AS DOUBLE), 4) AS inflation
+    FROM sized s LEFT JOIN keepers k ON k.doc_id = s.doc_id
+    GROUP BY s.lang, s.source
+    """,
+)
+def dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION-INFLATION report — the number a curation review asks
+    for first: per (lang, source), raw vs exact-deduped doc and token
+    counts and the token inflation factor (raw/unique).  A source with
+    inflation 3.0 is two-thirds verbatim copies; its mixing weight (and
+    its crawl budget) should be set against UNIQUE tokens, not raw.
+
+    The corpus unions in the deterministic re-keyed copy slice
+    (doc_id % 17, the x_dedup_exact convention) so the report is
+    non-vacuous at every SF.  Plan: one hash agg on text for keepers
+    (min doc_id), a left join back, one grouped aggregate — linear,
+    two shuffles, the same shape as x_dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    copies = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    sized = docs.unionByName(copies).withColumn(
+        "n_tok", F.size(F.split(F.lower("text"), " ")).cast("bigint")
+    )
+    # cache: feeds the keeper aggregate AND the join back
+    sized = sized.cache()
+    keepers = sized.groupBy("text").agg(F.min("doc_id").alias("kid"))
+    is_keeper = F.col("kid").isNotNull()
+    joined = sized.join(
+        keepers.select(F.col("kid")), sized.doc_id == F.col("kid"), "left"
+    )
+    uniq_tok = F.sum(F.when(is_keeper, F.col("n_tok")).otherwise(0))
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_raw"),
+        F.count("kid").alias("n_docs_unique"),
+        F.sum("n_tok").alias("tok_raw"),
+        uniq_tok.alias("tok_unique"),
+        F.round(F.sum("n_tok") / uniq_tok.cast("double"), 4).alias(
+            "inflation"
+        ),
+    )
+
+
+@register(
+    "x_component_stats",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_WIDE_VERIFIED_PAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    """,
+)
+def component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE HISTOGRAM — the dedup-graph health check
+    read before trusting canonical-pick deletions: many small clusters
+    is normal near-duplication; a few giant components mean the
+    candidate threshold under-separates (or boilerplate leaked past the
+    band filter) and a merge audit is due BEFORE data is dropped.
+    Composes x_dedup_cluster's labels (over the round-7 verified pair
+    family) with two tiny aggregates; output is |distinct sizes| rows.
+
+    100 TB: cost is the clustering itself (band equi-joins +
+    O(log diameter) label loop); the histogram adds two
+    partial-aggregated shuffles over the label table."""
+    labels = dedup_cluster(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -1047,3 +1047,79 @@ def test_gap_detect_boundary_handoff_any_bucket_width(spark, monkeypatch):
         get_oracles()["q_gap_detect"],
         SF_ORACLE,
     )
+
+
+def test_ngram_novelty_audit_identity(spark):
+    """Sum of per-doc novel-shingle counts must equal the global number
+    of distinct shingles (every shingle is novel in exactly one doc —
+    its first), and novelty stays in [0, 1]."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.dedup import shingles_col, tokens_col
+    from pyspark.sql import functions as F
+
+    pdf = get_queries()["x_ngram_novelty"](spark, SF_ORACLE).toPandas()
+    assert pdf["novelty"].between(0.0, 1.0).all()
+    assert (pdf["n_novel"] <= pdf["n_shingles"]).all()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_distinct = (
+        docs.select(F.explode(shingles_col(tokens_col())).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert int(pdf["n_novel"].sum()) == n_distinct
+
+
+def test_substring_dup_pairs_share_verbatim_window(spark):
+    """Every reported pair must actually share a verbatim 16-token
+    window (recomputed here in plain Python on the raw texts — a third
+    code path besides Spark and DuckDB), and the fixture must produce
+    at least one pair."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.dedup import (
+        SUBSTRING_STRIDE,
+        SUBSTRING_WINDOW,
+    )
+
+    pdf = get_queries()["x_substring_dup"](spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+
+    def windows(doc_id):
+        tok = texts[doc_id].lower().split(" ")
+        n = max(len(tok) - (SUBSTRING_WINDOW - 1), 1)
+        return {
+            " ".join(tok[st : st + SUBSTRING_WINDOW])
+            for st in range(0, n, SUBSTRING_STRIDE)
+        }
+
+    for _, row in pdf.head(20).iterrows():
+        shared = windows(row["doc_a"]) & windows(row["doc_b"])
+        assert len(shared) == row["n_shared_windows"], row
+
+
+def test_dup_inflation_bounds(spark):
+    """Inflation >= 1 everywhere, unique <= raw, and the injected copy
+    slice must make at least one group's inflation strictly > 1."""
+    pdf = get_queries()["x_dup_inflation"](spark, SF_ORACLE).toPandas()
+    assert (pdf["tok_unique"] <= pdf["tok_raw"]).all()
+    assert (pdf["n_docs_unique"] <= pdf["n_docs_raw"]).all()
+    assert (pdf["inflation"] >= 1.0).all()
+    assert (pdf["inflation"] > 1.0).any()
+
+
+def test_component_stats_totals_match_cluster_output(spark):
+    """The histogram's doc total equals the clustering's labelled-doc
+    count, and no cluster of size < 2 exists (singletons are not in the
+    near-dup graph)."""
+    qs = get_queries()
+    hist = qs["x_component_stats"](spark, SF_ORACLE).toPandas()
+    labels = qs["x_dedup_cluster"](spark, SF_ORACLE).toPandas()
+    assert (hist["cluster_size"] >= 2).all()
+    assert int(hist["n_docs"].sum()) == len(labels)
+    assert (
+        hist["n_clusters"] * hist["cluster_size"] == hist["n_docs"]
+    ).all()

@@ -96,9 +96,17 @@ def main() -> None:
             with open(base_path) as f:
                 base = json.load(f).get("queries", {})
             base_src = base_path
-        except (OSError, ValueError):
-            pass
-    else:
+        except (OSError, ValueError) as exc:
+            # the user EXPLICITLY asked for this baseline — losing it
+            # silently would disable the 2x gate they requested; warn
+            # loudly and fall through to the git-HEAD default
+            print(
+                f"# bench WARNING: BENCH_BASE={base_path} unreadable "
+                f"({exc}); falling back to git:HEAD:BENCH_FULL.json",
+                file=sys.stderr,
+            )
+            base_path = None
+    if not base_path:
         import subprocess
 
         try:

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.sources import load_table
+from data_pipeline_cursor_spark.text.packing import duck_splits_cte, split_col
 
 
 def phash(col: Column, seed: str) -> Column:
@@ -189,6 +190,42 @@ _DUCK_MINHASH = f"""
 """
 
 
+
+
+NARROW_BANDS = [["mh0", "mh1"], ["mh2", "mh3"]]  # 4 hashes, 2 bands of r=2
+WIDE_BANDS = [["mh0", "mh1", "mh2", "mh3"], ["mh4", "mh5", "mh6", "mh7"]]
+
+
+def _duck_band_union(
+    bands: list[list[str]],
+    lcol: str = "doc_a",
+    rcol: str = "doc_b",
+    filt: str = "a.doc_id < b.doc_id",
+) -> str:
+    """Candidate-pair SQL over the ``sig`` CTE: a UNION of per-band
+    equi-joins with explicit outer DISTINCT — the single source of truth
+    for every banded oracle (narrow, wide, verified-candw, accuracy,
+    incremental), so a band-definition change cannot drift between the
+    operator oracles that must agree.
+
+    Never an OR-of-conjunctions join (no extractable equi-keys -> both
+    engines nested-loop) and never bare UNION (inside a WITH RECURSIVE
+    chain DuckDB 1.0 does not dedup a non-recursive member's UNION)."""
+    branches = []
+    for cols in bands:
+        on = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        branches.append(
+            f"SELECT a.doc_id AS {lcol}, b.doc_id AS {rcol}\n"
+            f"        FROM sig a JOIN sig b\n"
+            f"          ON {on}\n"
+            f"         AND {filt}"
+        )
+    body = "\n        UNION ALL\n        ".join(branches)
+    return (
+        f"SELECT DISTINCT {lcol}, {rcol} FROM (\n        {body}\n      )"
+    )
+
+
 @register(
     "x_dedup_minhash_narrow",
     # per-band equi-joins + UNION, not an OR-of-conjunctions join: the OR
@@ -196,18 +233,7 @@ _DUCK_MINHASH = f"""
     # nested-loop self-join — observed in DuckDB at sf10 (500 k sigs →
     # ~1.2e11 comparisons, the oracle itself becomes the quadratic plan
     # the operator exists to avoid); the UNION form hash-joins
-    oracle=_DUCK_MINHASH
-    + """
-    SELECT DISTINCT doc_a, doc_b FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-      UNION ALL
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-    )
-    """,
+    oracle=_DUCK_MINHASH + "\n    " + _duck_band_union(NARROW_BANDS),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates at the NARROW fixture band width (4 minhashes,
@@ -279,20 +305,7 @@ _DUCK_MINHASH_WIDE = f"""
     "x_dedup_minhash_wide",
     # UNION of per-band equi-joins (hash-joinable) — see
     # x_dedup_minhash_narrow's oracle note for why the OR form is banned
-    oracle=_DUCK_MINHASH_WIDE
-    + """
-    SELECT DISTINCT doc_a, doc_b FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-       AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-      UNION ALL
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
-       AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
-    )
-    """,
+    oracle=_DUCK_MINHASH_WIDE + "\n    " + _duck_band_union(WIDE_BANDS),
 )
 def dedup_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates at the CORPUS-TUNED band width: 8 minhashes
@@ -502,23 +515,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_WIDE_VERIFIED_PAIRS = (
     _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
     + f""",
-    candw AS (
-      -- explicit DISTINCT over UNION ALL, never bare UNION: inside a
-      -- WITH RECURSIVE chain DuckDB 1.0 does NOT dedup a non-recursive
-      -- member's UNION (observed: duplicate both-band candidates at sf1
-      -- inflating PageRank degrees in the canonical-pick replay)
-      SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-         AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh4 = b.mh4 AND a.mh5 = b.mh5
-         AND a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
-      )
-    ),
+    candw AS ({_duck_band_union(WIDE_BANDS)}),
     setsw AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
     pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
@@ -851,18 +848,8 @@ def pagerank(
     # OR form nested-loops — x_dedup_minhash_narrow oracle note), then
     # re-join the signatures to count agreeing components
     oracle=_DUCK_MINHASH
-    + """,
-    cand0 AS (
-      SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-      )
-    ),
+    + f""",
+    cand0 AS ({_duck_band_union(NARROW_BANDS)}),
     cand AS (
       SELECT c.doc_a, c.doc_b,
              (CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
@@ -1131,18 +1118,7 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_b AS u, doc_a AS v, jaccard FROM pairs
     ),
-    splits AS (
-      SELECT doc_id,
-             CASE WHEN r < 98 THEN 'train'
-                  WHEN r = 98 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (
-        SELECT doc_id,
-               ('0x' || substr(md5('spl:' || doc_id), 1, 15))::BIGINT % 100
-                 AS r
-        FROM corpus
-      )
-    )
+    splits AS ({duck_splits_cte("corpus")})
     SELECT su.split, e.u AS doc_id,
            CAST(COUNT(*) AS BIGINT)  AS n_train_partners,
            ROUND(MAX(e.jaccard), 4)  AS worst_jaccard
@@ -1188,14 +1164,9 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "jaccard"
         )
     )
-    r = phash(F.col("doc_id").cast("string"), "spl") % 100
-    splits = corpus.select(
-        "doc_id",
-        F.when(r < 98, "train")
-        .when(r == 98, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    # the SHARED split rule (packing.split_col) — a threshold/seed change
+    # in x_split_assign automatically propagates to this audit
+    splits = corpus.select("doc_id", split_col())
     su = splits.select(F.col("doc_id").alias("u"), F.col("split"))
     sv = splits.select(
         F.col("doc_id").alias("v"), F.col("split").alias("split_v")
@@ -1217,21 +1188,13 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-band equi-joins + UNION (hash-joinable; the OR form
     # nested-loops — x_dedup_minhash_narrow oracle note)
     oracle=_DUCK_MINHASH_WIDE
-    + """
-    SELECT DISTINCT new_doc, corpus_doc FROM (
-      SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
-      FROM sig n JOIN sig c
-        ON n.mh0 = c.mh0 AND n.mh1 = c.mh1
-       AND n.mh2 = c.mh2 AND n.mh3 = c.mh3
-       AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-      UNION ALL
-      SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc
-      FROM sig n JOIN sig c
-        ON n.mh4 = c.mh4 AND n.mh5 = c.mh5
-       AND n.mh6 = c.mh6 AND n.mh7 = c.mh7
-       AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-    )
-    """,
+    + "\n    "
+    + _duck_band_union(
+        WIDE_BANDS,
+        lcol="new_doc",
+        rcol="corpus_doc",
+        filt="a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7",
+    ),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup check — the daily-ingest production shape:
@@ -1404,7 +1367,7 @@ SUBSTRING_BOILERPLATE_CAP = 64  # windows in more docs than this are boilerplate
              tok
       FROM t
     ),
-    w AS (
+    w AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              md5(array_to_string(tok[st:st + {SUBSTRING_WINDOW - 1}], ' ')) AS h
       FROM s
@@ -1476,7 +1439,7 @@ def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_ngram_novelty",
     oracle=f"""
     WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
-    ds AS (
+    ds AS MATERIALIZED (
       SELECT DISTINCT doc_id, s.sh AS g
       FROM sh, unnest(shingles) AS s(sh)
     ),

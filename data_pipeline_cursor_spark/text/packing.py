@@ -192,21 +192,47 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_split_assign",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id,
-             ('0x' || substr(md5('spl:' || doc_id), 1, 15))::BIGINT % 100 AS r
-      FROM documents
+# single source of truth for the 98/1/1 split rule — the Spark column and
+# the DuckDB CTE are generated from THESE constants, and x_split_leakage
+# builds its split join from the same helpers, so a threshold/seed change
+# can never leave the leakage audit checking a stale rule
+SPLIT_SEED = "spl"
+SPLIT_TRAIN_BELOW = 98  # residues 0..97 -> train, 98 -> val, 99 -> test
+
+
+def split_col(doc_id_col: str = "doc_id"):
+    """The split-label Column for any frame with a doc id column."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    r = phash(F.col(doc_id_col).cast("string"), SPLIT_SEED) % 100
+    return (
+        F.when(r < SPLIT_TRAIN_BELOW, "train")
+        .when(r == SPLIT_TRAIN_BELOW, "val")
+        .otherwise("test")
+        .alias("split")
     )
-    SELECT doc_id,
-           CASE WHEN r < 98 THEN 'train'
-                WHEN r = 98 THEN 'val'
-                ELSE 'test' END AS split
-    FROM h
-    """,
-)
+
+
+def duck_splits_cte(src: str = "documents") -> str:
+    """(doc_id, split) SELECT over any relation with doc_id — the DuckDB
+    twin of split_col()."""
+    return f"""
+      SELECT doc_id,
+             CASE WHEN r < {SPLIT_TRAIN_BELOW} THEN 'train'
+                  WHEN r = {SPLIT_TRAIN_BELOW} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('{SPLIT_SEED}:' || doc_id), 1, 15))::BIGINT
+                 % 100 AS r
+        FROM {src}
+      )
+"""
+
+
+@register("x_split_assign", oracle=duck_splits_cte())
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment (98/1/1): each doc's
     split is a pure function of its id via the portable md5 hash — stable
@@ -218,17 +244,8 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a consumer filters one split (same plan shape as q_sample_hash);
     stratify by crossing the residue with a grouping column if per-source
     balance matters (x_stratified_sample)."""
-    from data_pipeline_cursor_spark.text.dedup import phash
-
     docs = load_table(spark, sf_dir, "documents")
-    r = phash(F.col("doc_id").cast("string"), "spl") % 100
-    return docs.select(
-        "doc_id",
-        F.when(r < 98, "train")
-        .when(r == 98, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return docs.select("doc_id", split_col())
 
 
 CHUNK_TOKENS = 64  # max tokens per training chunk

@@ -127,7 +127,12 @@ def make(copies: int, out: str) -> None:
                 # second deterministic transform (sign flip on a hashed
                 # dim subset) keeps every copy distinct even at equal
                 # rotation residues; both transforms are norm-preserving.
-                dim = len(next(v for v in vecs if v is not None))
+                dim = next(
+                    (len(v) for v in vecs if v is not None), None
+                )
+                if dim is None:  # all-null embedding column: pass through
+                    pq.write_table(tbl, os.path.join(d, f"part-{c:03d}.parquet"))
+                    continue
                 rolled = []
                 for v in vecs:
                     if v is None:

@@ -1073,10 +1073,14 @@ def test_ngram_novelty_audit_identity(spark):
 def test_substring_dup_pairs_share_verbatim_window(spark):
     """Every reported pair must actually share a verbatim 16-token
     window (recomputed here in plain Python on the raw texts — a third
-    code path besides Spark and DuckDB), and the fixture must produce
-    at least one pair."""
+    code path besides Spark and DuckDB), counting ONLY windows inside
+    the operator's 2..64 doc-frequency boilerplate cap, and the fixture
+    must produce at least one pair."""
+    from collections import Counter
+
     from data_pipeline_cursor_spark.sources import load_table
     from data_pipeline_cursor_spark.text.dedup import (
+        SUBSTRING_BOILERPLATE_CAP,
         SUBSTRING_STRIDE,
         SUBSTRING_WINDOW,
     )
@@ -1096,8 +1100,19 @@ def test_substring_dup_pairs_share_verbatim_window(spark):
             for st in range(0, n, SUBSTRING_STRIDE)
         }
 
+    # global doc-frequency per window: the operator excludes windows held
+    # by more docs than the boilerplate cap, so the recount must too
+    df = Counter()
+    for did in texts:
+        for w in windows(did):
+            df[w] += 1
+
     for _, row in pdf.head(20).iterrows():
-        shared = windows(row["doc_a"]) & windows(row["doc_b"])
+        shared = {
+            w
+            for w in windows(row["doc_a"]) & windows(row["doc_b"])
+            if df[w] <= SUBSTRING_BOILERPLATE_CAP
+        }
         assert len(shared) == row["n_shared_windows"], row
 
 

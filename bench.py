@@ -121,6 +121,15 @@ def main() -> None:
                 base_src = "git:HEAD:BENCH_FULL.json"
         except (OSError, ValueError, subprocess.SubprocessError):
             pass
+        if base_src is None:
+            # a silently-disabled regression gate looks identical to a
+            # clean pass in the verdict line (round-7 ADVICE) — say so
+            print(
+                "# bench WARNING: no baseline available (git show "
+                "HEAD:BENCH_FULL.json failed); 2x regression gate is "
+                "DISABLED for this run",
+                file=sys.stderr,
+            )
     worst_q, worst_ratio = None, 0.0
     for q, t in timings.items():
         b = base.get(q, -1.0)

@@ -1304,6 +1304,7 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from data_pipeline_cursor_spark.streaming.sources import (
             read_event_stream,
+            stream_state_partitions,
             write_landing_fixture,
         )
 
@@ -1311,10 +1312,6 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_event_stream(spark, landing, 4)
         agg = tumble_agg(df)
         name = "metrics_" + uuid.uuid4().hex[:8]
-        from data_pipeline_cursor_spark.streaming.sources import (
-            stream_state_partitions,
-        )
-
         with stream_state_partitions(spark):
             q = (
                 agg.writeStream.format("memory")

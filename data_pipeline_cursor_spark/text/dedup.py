@@ -87,6 +87,34 @@ _DUCK_SHINGLES = """
 """
 
 
+_SYNTH_OFFSET = 10_000_000
+
+
+def _rekey_synthetic(doc_id_col):
+    """Re-key an injected synthetic copy above the real id space.
+
+    Fixture invariant, GUARDED rather than assumed (round-7 ADVICE): if a
+    corpus ever carried doc_ids >= the offset, the synthetic ids would
+    silently collide with real documents — Spark and the DuckDB oracle
+    would still agree (both apply the same arithmetic) but the duplicate
+    report would be wrong.  The raise_error branch lives inside the
+    projected expression itself so Catalyst cannot prune the check; the
+    per-row cost is one comparison in codegen, no extra scan or action.
+    """
+    return F.when(
+        doc_id_col < F.lit(_SYNTH_OFFSET), doc_id_col + F.lit(_SYNTH_OFFSET)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("synthetic re-key collision: doc_id "),
+                doc_id_col.cast("string"),
+                F.lit(f" >= {_SYNTH_OFFSET}"),
+            )
+        )
+    )
+
+
+
 @register(
     "x_dedup_exact",
     oracle="""
@@ -118,7 +146,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(text) instead to shrink shuffle keys — same plan shape."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        _rekey_synthetic(F.col("doc_id")).alias("doc_id"), "text"
     )
     return (
         docs.unionByName(copies)
@@ -1153,7 +1181,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_pair_table) plus an O(pairs) join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        _rekey_synthetic(F.col("doc_id")).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(copies)
     pairs = minhash_verified_pairs_df(corpus)
@@ -1538,7 +1566,7 @@ def dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source"
     )
     copies = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        _rekey_synthetic(F.col("doc_id")).alias("doc_id"),
         "text",
         "lang",
         "source",

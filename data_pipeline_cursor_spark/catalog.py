@@ -424,3 +424,99 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+# --- x_zorder_layout -------------------------------------------------------
+# 4-bit × 4-bit Morton interleave, generated once so the Spark expression
+# and the DuckDB oracle share the exact bit placement.
+_Z_BITS = 4
+_Z_SQL = " + ".join(
+    f"(((qb >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+    f"(((db >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(_Z_BITS)
+)
+
+
+def _z_col(qb, db):
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftright(qb, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+            + F.shiftright(db, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        )
+    return z
+
+
+@register(
+    "x_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor((l_quantity - 1) * 16 / 50) AS INT) AS qb,
+             CAST(round(l_discount * 100, 0) AS INT)        AS db
+      FROM lineitem
+    ),
+    z AS (SELECT qb, db, {_Z_SQL} AS zv FROM b),
+    blocks AS (
+      SELECT 'zorder' AS layout, zv >> 4 AS block, qb, db FROM z
+      UNION ALL
+      SELECT 'rowmajor' AS layout, qb AS block, qb, db FROM z
+    )
+    SELECT layout, CAST(block AS INT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(qb) AS INT) AS qb_min, CAST(MAX(qb) AS INT) AS qb_max,
+           CAST(MIN(db) AS INT) AS db_min, CAST(MAX(db) AS INT) AS db_max
+    FROM blocks
+    GROUP BY layout, block
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout audit — the multi-dimensional clustering
+    that makes parquet min/max file stats selective on MORE than the
+    leading sort key.  l_quantity and l_discount are bucketized to 4 bits
+    each (fixed domains 1..50 and 0..0.10, so the bucket rule is
+    SF-independent) and bit-interleaved; rows are then grouped into 16
+    contiguous z-RANGE blocks (zv >> 4 — the stand-in for "files written
+    in z order") and, for contrast, 16 row-major blocks (sort by quantity
+    alone).  Per block the emitted min/max of BOTH dimensions is exactly
+    what a scan planner prunes on: in the z-order layout every block
+    bounds quantity AND discount to a 4-value sub-range (a predicate on
+    either column skips ~3/4 of blocks); in the row-major layout discount
+    spans its full domain in every block, so discount predicates prune
+    NOTHING.
+
+    At 100 TB the audited layout is produced by
+    ``df.repartitionByRange(N, zv).sortWithinPartitions(zv).write...`` —
+    one range shuffle at write time buys file-skipping on every
+    z-participating column forever after; this query is the deterministic
+    computational twin (block = z-range) that proves the bound tightness
+    without materializing files.  All math is integer/bit expressions in
+    whole-stage codegen; one shuffle for the 32-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount"
+    )
+    qb = F.floor((F.col("l_quantity") - 1) * 16 / 50).cast("int")
+    db = F.round(F.col("l_discount") * 100, 0).cast("int")
+    z = li.select(qb.alias("qb"), db.alias("db")).withColumn(
+        "zv", _z_col(F.col("qb"), F.col("db"))
+    )
+    blocks = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("zv", 4).alias("block"),
+        "qb",
+        "db",
+    ).unionAll(
+        z.select(
+            F.lit("rowmajor").alias("layout"),
+            F.col("qb").alias("block"),
+            "qb",
+            "db",
+        )
+    )
+    return blocks.groupBy("layout", "block").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("qb").alias("qb_min"),
+        F.max("qb").alias("qb_max"),
+        F.min("db").alias("db_min"),
+        F.max("db").alias("db_max"),
+    )

@@ -540,11 +540,19 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candw is a UNION of per-band equi-joins, NOT an OR-of-conjunctions join
 # (which nested-loops in DuckDB exactly as it would in Spark — the oracle
 # must scale with the operator it checks).
-_DUCK_WIDE_VERIFIED_PAIRS = (
+# Shared prefix: wide-band candidates + distinct shingle sets — the pair
+# verify (below) and the containment scorer (x_dedup_containment) both
+# splice their own scoring CTE after this chain.
+_DUCK_WIDE_CAND_SETS = (
     _DUCK_MINHASH_WIDE.replace("WITH sh AS", "sh AS", 1).lstrip()
     + f""",
     candw AS ({_duck_band_union(WIDE_BANDS)}),
-    setsw AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+    setsw AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)"""
+)
+
+_DUCK_WIDE_VERIFIED_PAIRS = (
+    _DUCK_WIDE_CAND_SETS
+    + f""",
     pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
              ROUND(len(list_intersect(sa.ss, sb.ss))
@@ -1320,6 +1328,79 @@ def minhash_verified_pairs_df(docs: DataFrame) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.7  # |A∩B|/|smaller side| for subset-style dup
+
+
+@register(
+    "x_dedup_containment",
+    oracle=f"""
+    WITH {_DUCK_WIDE_CAND_SETS},
+    cont AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ss, sb.ss))
+               / CAST(len(sa.ss) AS DOUBLE) AS ca,
+             len(list_intersect(sa.ss, sb.ss))
+               / CAST(len(sb.ss) AS DOUBLE) AS cb
+      FROM candw c
+      JOIN setsw sa ON sa.doc_id = c.doc_a
+      JOIN setsw sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(ca, 4) AS containment_a,
+           ROUND(cb, 4) AS containment_b,
+           CAST(CASE WHEN ca >= cb THEN doc_a ELSE doc_b END AS BIGINT)
+             AS contained_doc
+    FROM cont
+    WHERE greatest(ca, cb) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup (asymmetric Jaccard): C(A→B) = |A∩B|/|A| over
+    shingle sets.  Jaccard misses the inclusion case — a short document
+    pasted verbatim inside a much longer one scores |A|/|B| ≈ 0 on the
+    union but 1.0 on containment — and corpus curation (RefinedWeb-style
+    pipelines) removes the CONTAINED side, not an arbitrary pair member.
+    Emits, per candidate pair, both directed containments and the doc the
+    pipeline would drop (the more-contained side; ties keep doc_b by the
+    deterministic >= rule).
+
+    Plan: identical shape to the wide-band verified pair family (the
+    round-7 scale default) — bucketed band equi-joins produce ~linear
+    candidates, shingle sets join back on the candidate ids only, and the
+    score is an O(|set|) array intersect per candidate.  The ONLY change
+    vs x_dedup_minhash_verified is the scoring expression, so the sf10
+    measurements of that family (seconds, not hours) carry over.  Caveat
+    honestly stated: MinHash bands sample the UNION, so a tiny-doc⊂huge-
+    doc pair can miss candidacy; at 100 TB a containment-first pipeline
+    hashes bands over the SMALLER doc's shingles (prefix bands) — the
+    detector here scores whatever candidate family feeds it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_wide_candidates_df(docs)
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col())).alias("ss"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    ca = inter / F.size("sa")
+    cb = inter / F.size("sb")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+            F.when(ca >= cb, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
+
+
 @register(
     "x_dedup_cluster_prefix",
     oracle=f"""
@@ -1381,11 +1462,9 @@ SUBSTRING_WINDOW = 16  # tokens per exact-substring window
 SUBSTRING_STRIDE = 8  # window start spacing (50% overlap)
 SUBSTRING_BOILERPLATE_CAP = 64  # windows in more docs than this are boilerplate
 
-
-@register(
-    "x_substring_dup",
-    oracle=f"""
-    WITH t AS (
+# t → s → w: the distinct (doc_id, window-hash) projection — shared by
+# x_substring_dup (pair grain) and x_boilerplate_windows (hash grain).
+_DUCK_SUBSTRING_W = f"""t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
     ),
     s AS (
@@ -1399,7 +1478,30 @@ SUBSTRING_BOILERPLATE_CAP = 64  # windows in more docs than this are boilerplate
       SELECT DISTINCT doc_id,
              md5(array_to_string(tok[st:st + {SUBSTRING_WINDOW - 1}], ' ')) AS h
       FROM s
-    ),
+    )"""
+
+
+def _substring_windows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h): every 16-token window at stride 8, hashed."""
+    tok = tokens_col()
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tok) - (SUBSTRING_WINDOW - 1), F.lit(1)),
+        F.lit(SUBSTRING_STRIDE),
+    )
+    d = docs.select("doc_id", tok.alias("t"), F.explode(starts).alias("st"))
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("t", F.col("st"), SUBSTRING_WINDOW), " ")
+        ).alias("h"),
+    ).distinct()
+
+
+@register(
+    "x_substring_dup",
+    oracle=f"""
+    WITH {_DUCK_SUBSTRING_W},
     c AS (
       SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM w GROUP BY h
       HAVING COUNT(*) BETWEEN 2 AND {SUBSTRING_BOILERPLATE_CAP}
@@ -1430,22 +1532,9 @@ def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list.  With the cap, pairs per hash are <= 64^2/2 and total
     output is bounded by true cross-doc duplication."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens_col()
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(tok) - (SUBSTRING_WINDOW - 1), F.lit(1)),
-        F.lit(SUBSTRING_STRIDE),
-    )
-    d = docs.select("doc_id", tok.alias("t"), F.explode(starts).alias("st"))
-    w = d.select(
-        "doc_id",
-        F.md5(
-            F.array_join(F.slice("t", F.col("st"), SUBSTRING_WINDOW), " ")
-        ).alias("h"),
-    ).distinct()
     # cache: the distinct (doc, window-hash) projection feeds the count
     # AND both self-join sides (LRU-managed; module docstring)
-    w = w.cache()
+    w = _substring_windows(docs).cache()
     c = (
         w.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1460,6 +1549,47 @@ def substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+@register(
+    "x_boilerplate_windows",
+    oracle=f"""
+    WITH {_DUCK_SUBSTRING_W}
+    SELECT h AS window_md5,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM w
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+    """,
+)
+def boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-window FREQUENCY report — the hash-grain complement of
+    x_substring_dup's pair view and the scale-correct home for
+    boilerplate: a navigation header shared by 10^7 pages is ONE row
+    here (hash, count, first/last doc) where the pair view would owe
+    10^14 rows.  x_substring_dup's BOILERPLATE_CAP rejects those hashes
+    from pairing; THIS query is the report those rejections point to —
+    the excision list a curation pass applies per-document (drop any
+    window whose hash is frequent) without ever joining doc×doc.
+
+    Plan: one explode (corpus tokens / stride windows), one distinct,
+    one hash groupBy — linear in corpus tokens, no self-join at any
+    frequency.  min/max doc_id bound each window's doc-id span for
+    attribution triage (a span ≈ corpus width means template boilerplate;
+    a tight span means local copy-paste)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _substring_windows(docs)
+        .groupBy(F.col("h").alias("window_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )
 
 

@@ -417,3 +417,65 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("score"), 4).alias("min_score"),
         F.round(F.max("score"), 4).alias("max_score"),
     )
+
+
+WSAMPLE_K = 50  # fixed sample size
+WSAMPLE_SEED = "wsamp"
+_TWO_60 = float(1 << 60)
+
+
+@register(
+    "x_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('{WSAMPLE_SEED}:' || doc_id), 1, 15))::BIGINT + 1)
+                / {_TWO_60!r}) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           ROUND(k, 8) AS es_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic (E-family
+    sampling op): the Efraimidis–Spirakis A-ES scheme — each doc draws
+    uniform u and ranks by u^(1/w); the top-k ARE a weighted sample
+    without replacement.  Ranking by ln(u)/w is the same order
+    (monotone transform) without the overflow-prone power.  u comes from
+    the portable md5 hash (the x_shard_shuffle convention), so the sample
+    is a pure function of doc_id — reproducible across engines, runs, and
+    partitionings, which is what makes a TRAINING subsample auditable.
+    Weight = n_chars: longer docs proportionally likelier, the standard
+    size-weighted corpus subsample.
+
+    100 TB: zero shuffles — Spark executes orderBy+limit as
+    TakeOrderedAndProject (per-partition top-k, tree-merged on the
+    driver), so the full corpus is scanned once and only k rows ever
+    move.  Contrast q_sample_hash (Bernoulli by hash threshold:
+    unweighted, unbounded count) — A-ES gives an EXACT-k weighted draw.
+    Determinism caveat (docstring contract): the top-k CUT compares raw
+    doubles, so two docs whose keys differ below double precision could
+    in principle order differently across engines; with 60-bit hash
+    entropy the minimum observed key gap is ~1e-7 at fixture SFs and the
+    emitted key is rounded to 8 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    u = (phash(F.col("doc_id").cast("string"), WSAMPLE_SEED) + 1) / F.lit(
+        _TWO_60
+    )
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+        .select("doc_id", "weight", F.round("k", 8).alias("es_key"))
+    )

@@ -751,3 +751,131 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- x_rank_fusion ----------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the x_bm25 lexical top-20
+# and a cosine top-20 for one query vector.  The analysis module is
+# imported for its registration side effect so the reused oracle key is
+# guaranteed present whatever entry point loaded this module first.
+from data_pipeline_cursor_spark.text import analysis as _analysis  # noqa: E402,F401
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_QUERY_VEC = 0  # vec_id of the fixed query embedding
+RRF_TOPN = 20  # per-ranker depth
+RRF_OUT = 10  # fused results returned
+
+
+@register(
+    "x_rank_fusion",
+    oracle=f"""
+    WITH bm AS ({_REGISTERED_ORACLES['x_bm25']}),
+    tr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    cosed AS (
+      SELECT b.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                          qv.embedding::DOUBLE[]), 4) AS score
+      FROM embeddings b, qv
+      WHERE b.vec_id <> {RRF_QUERY_VEC}
+      ORDER BY score DESC, b.vec_id
+      LIMIT {RRF_TOPN}
+    ),
+    vr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM cosed
+    ),
+    fused AS (
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + tr.r), 0)
+               + COALESCE(1.0 / ({RRF_K} + vr.r), 0) AS rrf,
+             COALESCE(tr.r, 0) AS text_rank,
+             COALESCE(vr.r, 0) AS vec_rank
+      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(text_rank AS INT) AS text_rank,
+           CAST(vec_rank AS INT)  AS vec_rank,
+           ROUND(rrf, 6)          AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_OUT}
+    """,
+)
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (the standard way a
+    curation/retrieval stack combines a lexical index with an embedding
+    index): rrf(d) = Σ 1/(60 + rank_i(d)) over the BM25 top-20 for the
+    fixed term query (x_bm25) and the cosine top-20 for the fixed query
+    embedding (vec_id = 0; doc_id == vec_id in the fixtures).  Ranks are
+    fused, not scores — RRF needs no score calibration between rankers,
+    which is exactly why it is the default hybrid in production search.
+
+    Plan: each ranker ends in a distributed TakeOrdered top-20, so the
+    only windowed rank assignment runs on 20 ROWS (bounded by contract —
+    never the corpus; contrast the q_gap_detect fix).  The cosine side is
+    one broadcast row against the corpus scan: zip_with dot product in
+    whole-stage codegen, no UDF, no shuffle before the top-k.  The fusion
+    join is 20×20.  At 100 TB both rankers come from indexes (inverted /
+    IVF — x_contamination's and x_sim_ivf's shapes); the fusion stays
+    20 rows regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs_scores = _analysis.bm25(spark, sf_dir)  # top-20 (doc_id, bm25)
+    w20 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    tr = docs_scores.select(
+        "doc_id", F.row_number().over(w20).alias("text_rank")
+    )
+
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_emb")
+    )
+    e = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cosed = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(dot / (nrm(F.col("v")) * nrm(F.col("q_emb"))), 4).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_TOPN)
+    )
+    wv = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    vr = cosed.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+
+    fused = tr.join(vr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("text_rank", F.lit(0)).alias("text_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(RRF_OUT)
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )

@@ -1138,3 +1138,124 @@ def test_component_stats_totals_match_cluster_output(spark):
     assert (
         hist["n_clusters"] * hist["cluster_size"] == hist["n_docs"]
     ).all()
+
+
+def test_boilerplate_windows_pair_identity(spark):
+    """Σ over x_substring_dup pairs of n_shared_windows must equal
+    Σ over x_boilerplate_windows hashes (capped band) of C(n_docs, 2) —
+    the pair grain and the hash grain are two views of the same sharing
+    structure, so the identity catches either view silently dropping or
+    double-counting a window."""
+    from data_pipeline_cursor_spark.text.dedup import (
+        SUBSTRING_BOILERPLATE_CAP,
+    )
+
+    qs = get_queries()
+    pairs = qs["x_substring_dup"](spark, SF_ORACLE).toPandas()
+    freq = qs["x_boilerplate_windows"](spark, SF_ORACLE).toPandas()
+    assert (freq["n_docs"] >= 2).all()
+    assert (freq["first_doc"] <= freq["last_doc"]).all()
+    capped = freq[freq["n_docs"] <= SUBSTRING_BOILERPLATE_CAP]
+    expect = int((capped["n_docs"] * (capped["n_docs"] - 1) // 2).sum())
+    assert int(pairs["n_shared_windows"].sum()) == expect
+
+
+def test_weighted_sample_is_exact_top_k_by_recomputed_key(spark):
+    """The 50 returned docs must be EXACTLY the top-50 by the A-ES key
+    recomputed independently (hashlib md5 + math.log over the full
+    corpus) — proves both the key formula and the distributed top-k cut,
+    not just that 50 rows came back."""
+    import hashlib
+    import math
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.packing import (
+        _TWO_60,
+        WSAMPLE_K,
+        WSAMPLE_SEED,
+    )
+
+    got = get_queries()["x_weighted_sample"](spark, SF_ORACLE).toPandas()
+    assert len(got) == WSAMPLE_K and got["doc_id"].is_unique
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+
+    def key(doc_id, n_chars):
+        hv = int(
+            hashlib.md5(f"{WSAMPLE_SEED}:{doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+        return math.log((hv + 1) / _TWO_60) / n_chars
+
+    docs["k"] = [
+        key(d, c) for d, c in zip(docs["doc_id"], docs["n_chars"])
+    ]
+    expect = set(
+        docs.sort_values(["k", "doc_id"], ascending=[False, True])
+        .head(WSAMPLE_K)["doc_id"]
+    )
+    assert set(got["doc_id"]) == expect
+
+
+def test_dedup_containment_dominates_jaccard(spark):
+    """max(containment_a, containment_b) >= jaccard on every pair both
+    views share (set algebra: |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B|), the
+    contained side is one of the pair, and containments are in (0, 1]."""
+    qs = get_queries()
+    cont = qs["x_dedup_containment"](spark, SF_ORACLE).toPandas()
+    jac = qs["x_dedup_minhash_verified"](spark, SF_ORACLE).toPandas()
+    assert len(cont), "containment report vacuous at oracle SF"
+    ok_a = (cont["containment_a"] > 0) & (cont["containment_a"] <= 1)
+    ok_b = (cont["containment_b"] > 0) & (cont["containment_b"] <= 1)
+    assert ok_a.all() and ok_b.all()
+    assert (
+        (cont["contained_doc"] == cont["doc_a"])
+        | (cont["contained_doc"] == cont["doc_b"])
+    ).all()
+    merged = cont.merge(jac, on=["doc_a", "doc_b"])
+    cmax = merged[["containment_a", "containment_b"]].max(axis=1)
+    assert (cmax >= merged["jaccard"] - 1e-4).all()
+
+
+def test_zorder_blocks_bound_both_dimensions(spark):
+    """Every z-order block must bound BOTH bucketized dims to a <=4-value
+    sub-range (z>>4 pins the top 2 bits of each dim) while the row-major
+    contrast pins quantity only and leaves discount spanning its full
+    domain in at least one block — the file-skipping property the layout
+    exists for."""
+    pdf = get_queries()["x_zorder_layout"](spark, SF_ORACLE).toPandas()
+    z = pdf[pdf["layout"] == "zorder"]
+    rm = pdf[pdf["layout"] == "rowmajor"]
+    assert ((z["qb_max"] - z["qb_min"]) <= 3).all()
+    assert ((z["db_max"] - z["db_min"]) <= 3).all()
+    assert ((rm["qb_max"] - rm["qb_min"]) == 0).all()
+    assert int((rm["db_max"] - rm["db_min"]).max()) == 10
+    # block row counts cover the table exactly once per layout
+    assert int(z["n_rows"].sum()) == int(rm["n_rows"].sum())
+
+
+def test_rank_fusion_scores_reconstruct_from_ranks(spark):
+    """rrf must equal 1/(60+text_rank) + 1/(60+vec_rank) with absent
+    ranks (0) contributing nothing, ranks bounded by the per-ranker
+    depth, and exactly RRF_OUT rows returned."""
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        RRF_K,
+        RRF_OUT,
+        RRF_TOPN,
+    )
+
+    pdf = get_queries()["x_rank_fusion"](spark, SF_ORACLE).toPandas()
+    assert len(pdf) == RRF_OUT
+    assert pdf["doc_id"].is_unique
+    assert pdf[["text_rank", "vec_rank"]].max().max() <= RRF_TOPN
+    for _, r in pdf.iterrows():
+        expect = 0.0
+        if r["text_rank"] > 0:
+            expect += 1.0 / (RRF_K + r["text_rank"])
+        if r["vec_rank"] > 0:
+            expect += 1.0 / (RRF_K + r["vec_rank"])
+        assert abs(r["rrf"] - expect) < 1e-6, r
+        assert r["text_rank"] > 0 or r["vec_rank"] > 0, r

@@ -426,3 +426,40 @@ def test_curriculum_order_has_no_global_sort_window(spark):
     assert bad, plan  # the per-score cumulative window must exist
     for node in bad:
         assert "score" in node and "doc_id" not in node, node
+
+
+def test_weighted_sample_zero_shuffle_top_k(spark):
+    """x_weighted_sample: orderBy+limit must compile to the distributed
+    TakeOrderedAndProject (per-partition top-k, no Exchange) — a global
+    sort here would shuffle the whole corpus to rank 50 rows."""
+    df = get_queries()["x_weighted_sample"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_rank_fusion_rankers_end_in_take_ordered(spark):
+    """x_rank_fusion: both rankers cut to top-20 via TakeOrdered BEFORE
+    any windowed rank assignment (windows run on 20 rows by contract);
+    the cosine side joins the one-row query via broadcast, never a
+    shuffle join."""
+    df = get_queries()["x_rank_fusion"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # three TakeOrdered cuts: bm25 top-20, cosine top-20, fused top-10 —
+    # every Window and the full-outer fusion join (SMJ: Spark cannot
+    # broadcast a full outer) consume only post-cut 20-row inputs
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "BatchEvalPython" not in plan, plan  # zip_with dot, no UDF
+    # the corpus-sized side (cosine scan) joins the one-row query via
+    # broadcast nested loop, never a shuffle of the corpus
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_zorder_layout_stays_in_codegen(spark):
+    """x_zorder_layout: Morton interleave is pure integer/bit expressions
+    (no Python eval) and the only shuffle is the 32-group aggregate."""
+    df = get_queries()["x_zorder_layout"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan

@@ -879,3 +879,92 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf"),
         )
     )
+
+
+from data_pipeline_cursor_spark.text.packing import (  # noqa: E402
+    duck_splits_cte as _duck_splits,
+)
+
+EMBED_LEAK_THRESHOLD = 0.2  # recall-leaning: leakage audits prefer recall
+
+
+@register(
+    "x_split_leakage_embed",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS score
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS} >= {EMBED_LEAK_THRESHOLD}
+    ),
+    e AS (
+      SELECT vec_a AS u, vec_b AS v, score FROM p
+      UNION ALL
+      SELECT vec_b AS u, vec_a AS v, score FROM p
+    ),
+    splits AS ({_duck_splits('(SELECT vec_id AS doc_id FROM embeddings)')})
+    SELECT su.split, e.u AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_partners,
+           ROUND(MAX(e.score), 4)   AS worst_cosine
+    FROM e
+    JOIN splits su ON su.doc_id = e.u
+    JOIN splits sv ON sv.doc_id = e.v
+    WHERE su.split <> 'train' AND sv.split = 'train'
+    GROUP BY su.split, e.u
+    """,
+)
+def split_leakage_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC split leakage — x_split_leakage's embedding-space
+    sibling: a val/test item whose near-duplicate *in embedding space*
+    sits in train inflates eval scores even when no n-gram overlaps
+    (paraphrases, translations, re-renders — the leakage class text
+    Jaccard cannot see).  Emits every non-train vector with >= 1
+    same-label train neighbour at cosine >= 0.2, with partner count and
+    the worst (highest) cosine.
+
+    Plan: the same-label blocked BLAS scorer (x_dedup_embed's shape —
+    one shuffle to co-locate blocks, per-block matmul, no vec x vec),
+    symmetrized, then two joins against the zero-shuffle md5 split
+    projection (the x_split_assign rule applied to vec_id; vec_id ==
+    doc_id in the fixtures).  100 TB: candidate generation is the whole
+    cost and it is the dedup stack's, amortized; for unlabeled corpora
+    block by x_sim_lsh buckets or x_sim_ivf cells instead of label —
+    identical downstream."""
+    from data_pipeline_cursor_spark.text.packing import split_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.filter(F.col("label").isNotNull()).select(
+        "vec_id", "label", _unit(F.col("embedding")).alias("u")
+    )
+    pairs = _all_pairs_by_block(
+        d,
+        "label",
+        EMBED_LEAK_THRESHOLD,
+        "vec_a bigint, vec_b bigint, score double",
+    ).select("vec_a", "vec_b", "score")
+    edges = pairs.select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v"), "score"
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("u"), F.col("vec_a").alias("v"), "score"
+        )
+    )
+    splits = emb.select(F.col("vec_id").alias("doc_id")).select(
+        "doc_id", split_col()
+    )
+    su = splits.select(
+        F.col("doc_id").alias("u"), F.col("split").alias("split_u")
+    )
+    sv = splits.select(
+        F.col("doc_id").alias("v"), F.col("split").alias("split_v")
+    )
+    return (
+        edges.join(su, "u")
+        .join(sv, "v")
+        .filter((F.col("split_u") != "train") & (F.col("split_v") == "train"))
+        .groupBy(F.col("split_u").alias("split"), F.col("u").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train_partners"),
+            F.round(F.max("score"), 4).alias("worst_cosine"),
+        )
+    )

@@ -1259,3 +1259,41 @@ def test_rank_fusion_scores_reconstruct_from_ranks(spark):
             expect += 1.0 / (RRF_K + r["vec_rank"])
         assert abs(r["rrf"] - expect) < 1e-6, r
         assert r["text_rank"] > 0 or r["vec_rank"] > 0, r
+
+
+def test_split_leakage_embed_reports_only_nontrain(spark):
+    """Every reported vector is val/test (never train), its partner count
+    is positive, and the worst cosine clears the threshold; the reported
+    ids' split labels must match an independent recomputation of the md5
+    split rule."""
+    import hashlib
+
+    from data_pipeline_cursor_spark.text.packing import (
+        SPLIT_SEED,
+        SPLIT_TRAIN_BELOW,
+    )
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        EMBED_LEAK_THRESHOLD,
+    )
+
+    pdf = get_queries()["x_split_leakage_embed"](spark, SF_ORACLE).toPandas()
+    assert len(pdf), "embedding leakage report vacuous at oracle SF"
+    assert set(pdf["split"]) <= {"val", "test"}
+    assert (pdf["n_train_partners"] >= 1).all()
+    assert (pdf["worst_cosine"] >= EMBED_LEAK_THRESHOLD).all()
+    for _, r in pdf.iterrows():
+        res = (
+            int(
+                hashlib.md5(
+                    f"{SPLIT_SEED}:{r['vec_id']}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % 100
+        )
+        expect = (
+            "train"
+            if res < SPLIT_TRAIN_BELOW
+            else ("val" if res == SPLIT_TRAIN_BELOW else "test")
+        )
+        assert r["split"] == expect, r

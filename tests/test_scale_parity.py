@@ -48,6 +48,12 @@ SCALE_SLICE = [
     "x_canonical_pick",
     "x_split_leakage",
     "x_lang_ngram_profile",
+    # round-8 additions: the hash-grain boilerplate report (linear window
+    # explode), the zero-shuffle weighted top-k, and the containment
+    # scorer riding the same wide-band candidate family as the capstones
+    "x_boilerplate_windows",
+    "x_weighted_sample",
+    "x_dedup_containment",
 ]
 
 

@@ -456,3 +456,145 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_back, "back").otherwise("fwd").alias("direction"),
         )
     )
+
+
+from data_pipeline_cursor_spark.text.dedup import (  # noqa: E402
+    _duck_phash,
+    phash,
+)
+
+BLOOM_BITS = 4096  # filter width (bits); sized ~100x the dim-key count
+BLOOM_SEEDS = ("bf0", "bf1")  # k=2 hash functions
+BLOOM_NATION = "NATION_15"  # selective dim predicate (present at every SF)
+
+_DUCK_BLOOM_POS = [
+    f"CAST({_duck_phash('CAST({key} AS VARCHAR)', s)} % {BLOOM_BITS} AS INT)"
+    for s in BLOOM_SEEDS
+]
+
+
+def _bloom_pos(key, seed: str):
+    return (phash(key.cast("string"), seed) % BLOOM_BITS).cast("int")
+
+
+@register(
+    "x_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{BLOOM_NATION}'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_DUCK_BLOOM_POS[0].format(key='s_suppkey')} AS pos FROM dim
+        UNION
+        SELECT {_DUCK_BLOOM_POS[1].format(key='s_suppkey')} AS pos FROM dim
+      )
+    ),
+    cand AS (
+      SELECT l_suppkey,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem
+      WHERE {_DUCK_BLOOM_POS[0].format(key='l_suppkey')}
+              IN (SELECT pos FROM bits)
+        AND {_DUCK_BLOOM_POS[1].format(key='l_suppkey')}
+              IN (SELECT pos FROM bits)
+    ),
+    flag AS (
+      SELECT c.rev, CASE WHEN d.s_suppkey IS NOT NULL THEN 1 END AS hit
+      FROM cand c LEFT JOIN dim d ON c.l_suppkey = d.s_suppkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim)  AS n_dim_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT)                    AS n_candidates,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT)       AS n_matches,
+           CAST(COUNT(*) - COALESCE(SUM(hit), 0) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN hit = 1 THEN rev END) AS DOUBLE)
+             AS revenue_matched
+    FROM flag
+    """,
+)
+def bloom_prefilter(
+    spark: SparkSession, sf_dir: str, bits_width: int = BLOOM_BITS
+) -> DataFrame:
+    """EXPLICIT RUNTIME BLOOM-FILTER join pruning — the "ship a bitset,
+    not a shuffle" pattern behind Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` rewrite, made
+    portable and auditable: the selective dim side (suppliers of one
+    nation) hashes each key into k={len(BLOOM_SEEDS)} positions of a
+    {BLOOM_BITS}-bit filter; the fact side keeps only rows whose k
+    positions are ALL set, then an exact broadcast join removes the
+    bloom's false positives.  Output is the one-row audit a deployment
+    sizes the filter with: dim keys, bits set, candidates passed,
+    true matches, false positives, matched revenue.
+
+    Plan shape (the 100 TB story): the set-bit table is at most
+    {BLOOM_BITS} ints — broadcast twice as LEFT SEMI joins, so the
+    lineitem fact is scanned ONCE, never shuffled, and rows failing a
+    probe die inside the scan stage; the exact verification join is a
+    broadcast of the (small) dim.  On a 1000-executor cluster this is
+    the difference between moving a 100 TB fact to the join and moving
+    ~16 KB of filter to the fact.  The md5 positions are engine-portable
+    (text.dedup.phash), so the DuckDB oracle replays the EXACT same
+    filter, candidates included — the false-positive count is verified,
+    not estimated.  ``bits_width`` is the sizing knob (tests shrink it
+    to force false positives; n_false_pos >= 0 and n_candidates >=
+    n_matches are invariants at any width)."""
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == BLOOM_NATION
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+
+    def pos(key, seed):
+        return (phash(key.cast("string"), seed) % bits_width).cast("int")
+
+    bits = dim.select(
+        F.explode(
+            F.array(*[pos(F.col("s_suppkey"), s) for s in BLOOM_SEEDS])
+        ).alias("pos")
+    ).distinct()
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        rev.alias("rev"),
+        pos(F.col("l_suppkey"), BLOOM_SEEDS[0]).alias("p0"),
+        pos(F.col("l_suppkey"), BLOOM_SEEDS[1]).alias("p1"),
+    )
+    cand = fact.join(
+        F.broadcast(bits.select(F.col("pos").alias("p0"))), "p0", "left_semi"
+    ).join(
+        F.broadcast(bits.select(F.col("pos").alias("p1"))), "p1", "left_semi"
+    )
+    flag = cand.join(
+        F.broadcast(
+            dim.select(
+                F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("hit")
+            )
+        ),
+        "l_suppkey",
+        "left",
+    )
+    sums = flag.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_matches"),
+        F.sum(F.when(F.col("hit") == 1, F.col("rev")))
+        .cast("double")
+        .alias("revenue_matched"),
+    )
+    meta = dim.agg(F.count(F.lit(1)).alias("n_dim_keys")).crossJoin(
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    )
+    return meta.crossJoin(sums).select(
+        "n_dim_keys",
+        "n_bits_set",
+        "n_candidates",
+        "n_matches",
+        (F.col("n_candidates") - F.col("n_matches")).alias("n_false_pos"),
+        "revenue_matched",
+    )

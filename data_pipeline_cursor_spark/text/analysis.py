@@ -1408,3 +1408,238 @@ def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+from data_pipeline_cursor_spark.text.dedup import (  # noqa: E402
+    _duck_phash,
+    phash,
+)
+
+KMV_K = 16  # sketch size: k-th minimum hash estimates NDV
+KMV_SEED = "kmv"
+KMV_CUT_MARGIN = 8  # pre-cut keeps ~MARGIN*K of each group's hash space
+_TWO60_F = float(1 << 60)
+# MARGIN * K * 2^60 — exactly representable (power-of-two multiple)
+_KMV_CUT_NUM = float(KMV_CUT_MARGIN * KMV_K * (1 << 60))
+# (K-1) * 2^60 — the KMV estimator numerator, exact as a double
+_KMV_EST_NUM = float((KMV_K - 1) * (1 << 60))
+
+_DUCK_KMV_EST = (
+    f"CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE) "
+    f"ELSE {_KMV_EST_NUM!r} / h END"
+)
+
+
+@register(
+    "x_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT lang, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    cnt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tok GROUP BY lang
+    ),
+    pre AS (
+      SELECT t.lang, t.token, c.n_exact,
+             {_duck_phash('t.token', KMV_SEED)} AS h
+      FROM tok t JOIN cnt c ON t.lang = c.lang
+      WHERE CAST({_duck_phash('t.token', KMV_SEED)} AS DOUBLE)
+              < {_KMV_CUT_NUM!r} / c.n_exact
+    ),
+    ranked AS (
+      SELECT lang, n_exact, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, token) AS rn
+      FROM pre
+    )
+    SELECT lang, n_exact, h AS h_k,
+           ROUND({_DUCK_KMV_EST}, 4) AS kmv_est,
+           ROUND(abs(({_DUCK_KMV_EST}) - n_exact) / n_exact, 4) AS rel_err
+    FROM ranked
+    WHERE rn = least({KMV_K}, n_exact)
+    """,
+)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES distinct-count sketch, calibrated per language:
+    hash every distinct token with the portable md5 hash, keep each
+    group's {KMV_K} smallest hash values, and estimate NDV as
+    (k-1)·2^60 / h_k — the classic mergeable KMV/bottom-k estimator
+    (Bar-Yossef et al.), emitted next to the EXACT NDV so the table is
+    the sketch's calibration report (estimate, k-th min, relative
+    error).  Token hashes ignore the group key, so per-group sketches
+    are UNION-mergeable: min-merge two groups' bottom-k sets and you
+    get the sketch of their union — the property that lets 1000
+    executors sketch 100 TB and merge k values per group, not vocab.
+
+    Scale shape: the only corpus-sized steps are the explode and one
+    distinct; everything after runs at vocabulary grain.  The rank
+    window never sees the full vocabulary either — a hash-space PRE-CUT
+    (h < {KMV_CUT_MARGIN}·k·2^60 / NDV, using the exact NDV the audit
+    computes anyway) keeps ~{KMV_CUT_MARGIN}·k uniform survivors per
+    group before ranking, so the per-group sort is O(k), not O(vocab);
+    the cut keeps ≥ k rows with probability 1 - exp(-Ω(k)) (Chernoff),
+    and BOTH engines apply the identical cut, so parity holds by
+    construction even in the astronomically-unlikely short case.  For a
+    pure-sketch deployment (no exact audit), replace the NDV in the cut
+    with approx_count_distinct — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens_col()).alias("token")
+    ).distinct()
+    cnt = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    h = phash(F.col("token"), KMV_SEED)
+    pre = (
+        tok.join(F.broadcast(cnt), "lang")
+        .withColumn("h", h)
+        .filter(
+            F.col("h").cast("double")
+            < F.lit(_KMV_CUT_NUM) / F.col("n_exact")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("h", "token")
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(_KMV_EST_NUM) / F.col("h"))
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.least(F.lit(KMV_K), F.col("n_exact")))
+        .select(
+            "lang",
+            "n_exact",
+            F.col("h").alias("h_k"),
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+CMS_W = 16  # sketch width (counters per row) — undersized on purpose at
+# fixture vocab (~31 tokens) so collisions and overcounts are VISIBLE
+CMS_D = 4  # sketch depth (independent hash rows)
+CMS_TOP = 10  # heavy-hitter query set: exact top-N tokens
+
+
+def _duck_cms_pos(expr: str, r: int) -> str:
+    return f"CAST({_duck_phash(expr, f'cms{r}')} % {CMS_W} AS INT)"
+
+
+_DUCK_CMS_CELLS = "\n      UNION ALL\n".join(
+    f"""      SELECT {r} AS r, {_duck_cms_pos('token', r)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM tok GROUP BY 2"""
+    for r in range(CMS_D)
+)
+_DUCK_CMS_PROBES = "\n      UNION ALL\n".join(
+    f"""      SELECT t.token, t.n_exact, c.cell
+      FROM top t JOIN cells c
+        ON c.r = {r} AND c.pos = {_duck_cms_pos('t.token', r)}"""
+    for r in range(CMS_D)
+)
+
+
+@register(
+    "x_cms_heavy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM tok GROUP BY token
+    ),
+    top AS (
+      SELECT token, n_exact FROM cnt ORDER BY n_exact DESC, token
+      LIMIT {CMS_TOP}
+    ),
+    cells AS (
+{_DUCK_CMS_CELLS}
+    ),
+    probes AS (
+{_DUCK_CMS_PROBES}
+    )
+    SELECT token, n_exact,
+           CAST(MIN(cell) AS BIGINT) AS cms_est,
+           CAST(MIN(cell) - n_exact AS BIGINT) AS overcount
+    FROM probes
+    GROUP BY token, n_exact
+    """,
+)
+def cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation, audited on the exact
+    heavy hitters: a {CMS_D}x{CMS_W} integer counter matrix (each row an
+    independent md5 hash of the token), estimate = min over rows of the
+    probed cell — Cormode-Muthukrishnan, the fixed-size answer to
+    "token frequencies without a vocabulary-sized shuffle".  The output
+    joins the sketch estimate against the EXACT counts of the top-
+    {CMS_TOP} tokens: overcount >= 0 always (CMS never undercounts),
+    and its size is the collision error a deployment tunes W against.
+    The fixture width is deliberately undersized (W={CMS_W} vs ~31
+    distinct tokens) so the error path is exercised, not vacuous.
+
+    Scale shape: the sketch is built STRAIGHT from the token stream —
+    explode → {CMS_D}-way position explode → groupBy over {CMS_D}x{CMS_W}
+    keys, where partial aggregation collapses each partition to at most
+    {CMS_D * CMS_W} rows before the shuffle; no vocabulary-grain
+    intermediate exists on the sketch path.  Sketches are
+    cell-wise-ADDITIVE (merge = matrix sum), the property that makes
+    them the streaming/distributed standard.  The exact-count branch
+    exists only because this is the calibration table; a pure-sketch
+    deployment drops it and keeps the O(D·W) state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col()).alias("token"))
+
+    def pos(col, r):
+        return (phash(col, f"cms{r}") % CMS_W).cast("int")
+
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            pos(F.col("token"), r).alias("pos"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.r").alias("r"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        pos(F.col("token"), r).alias("pos"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "n_exact", F.col("p.r").alias("r"), F.col("p.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "token",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )

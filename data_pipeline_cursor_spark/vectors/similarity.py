@@ -968,3 +968,262 @@ def split_leakage_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("score"), 4).alias("worst_cosine"),
         )
     )
+
+
+KNN_K = 3  # neighbours per vector in the kNN graph
+# id-packing bound for the vectorized (score, id) composite sort key:
+# key = round(score*1e4) << 40  -  vec_id  needs vec_id < 2^40
+_KNN_ID_BOUND = 1 << 40
+
+
+def _block_topk(
+    d: DataFrame,
+    block_col: str,
+    k: int,
+    chunk_rows: int = BLOCK_CHUNK_ROWS,
+) -> DataFrame:
+    """Per-vector top-``k`` cosine neighbours WITHIN each block, emitted
+    directly from the block scorer — never materializing the all-pairs
+    set (for a kNN graph the pair table is the scale killer: a 31k-row
+    bucket is 480M pairs but only 31k x k survivors).
+
+    Same banded chunk-pair matmuls as _all_pairs_by_block, but each row
+    keeps a running (k)-row best buffer merged chunk-by-chunk, so peak
+    state is n x k ids+keys, not n².  Ordering is (rounded score DESC,
+    vec_id ASC) via one int64 composite key (round(s*1e4) << 40 - id),
+    so the merge is a plain vectorized argsort — no per-row Python.
+    Requires vec_id < 2^40 (asserted; sf10 ids are < 2^23)."""
+    import numpy as np
+    import pandas as pd
+
+    def knn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": np.int64, "dst": np.int64, "score": np.float64}
+            )
+        assert ids[-1] < _KNN_ID_BOUND, "vec_id exceeds composite-key bound"
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["u"].to_numpy()[order]]
+        )
+        kk = min(k, n - 1)
+        srcs, dsts, scs = [], [], []
+        for i0 in range(0, n, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            best_key = np.full((i1 - i0, kk), np.iinfo(np.int64).min, np.int64)
+            best_dst = np.zeros((i1 - i0, kk), np.int64)
+            for j0 in range(0, n, chunk_rows):
+                j1 = min(j0 + chunk_rows, n)
+                si = np.round(X[i0:i1] @ X[j0:j1].T * 1e4).astype(np.int64)
+                key = (si << 40) - ids[j0:j1][None, :]
+                # mask self-pairs where global row index == global col index
+                diag_i = np.arange(i0, i1)[:, None] == np.arange(j0, j1)[None, :]
+                key[diag_i] = np.iinfo(np.int64).min
+                cand_key = np.concatenate([best_key, key], axis=1)
+                cand_dst = np.concatenate(
+                    [best_dst, np.broadcast_to(ids[j0:j1], key.shape)], axis=1
+                )
+                # keys are unique per (score, id) composite, so an
+                # ascending argsort reversed is a safe descending pick
+                # (negating the int64-min sentinel would overflow)
+                pick = np.argsort(cand_key, axis=1)[:, ::-1][:, :kk]
+                best_key = np.take_along_axis(cand_key, pick, axis=1)
+                best_dst = np.take_along_axis(cand_dst, pick, axis=1)
+            valid = best_key > np.iinfo(np.int64).min
+            rows = np.broadcast_to(ids[i0:i1][:, None], best_key.shape)
+            srcs.append(rows[valid])
+            dsts.append(best_dst[valid])
+            # recover the rounded score from the key's high bits
+            scs.append(
+                ((best_key[valid] + best_dst[valid]) >> 40).astype(np.float64)
+                / 1e4
+            )
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "score": np.concatenate(scs),
+            }
+        )
+
+    return d.groupBy(block_col).applyInPandas(
+        knn_block, "src bigint, dst bigint, score double"
+    )
+
+
+_DUCK_KNN_DIRECTED = f"""bk AS (
+      SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    dp AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {_DUCK_COS} AS score,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DUCK_COS} DESC, b.vec_id
+             ) AS rn
+      FROM bk a JOIN bk b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn AS (SELECT src, dst, score FROM dp WHERE rn <= {KNN_K})"""
+
+
+@register(
+    "x_knn_graph",
+    oracle=f"""
+    WITH {_DUCK_KNN_DIRECTED}
+    SELECT x.src AS vec_a, x.dst AS vec_b, x.score AS score
+    FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL kNN graph over the embedding corpus — the backbone
+    structure of semantic-diversity curation, graph-based clustering and
+    coreset selection: an undirected edge (a, b) exists iff a is in b's
+    top-{KNN_K} AND b is in a's top-{KNN_K} by cosine, neighbours drawn
+    within the vector's LSH bucket (the x_sim_lsh approximation, so the
+    graph is bucket-local by construction and the oracle can replay the
+    exact same candidate set).
+
+    100 TB: one projection pass buckets the corpus (md5-constant
+    hyperplanes), one shuffle co-locates buckets, and _block_topk emits
+    only n x k directed survivors per bucket with an n x k running
+    buffer (the all-pairs table — 480M rows for one 31k bucket — is
+    never materialized).  The mutuality check is an equi-join of two
+    k·n-row tables on (src, dst) — AQE-sized, never quadratic.  Bucket
+    width is the same knob as x_sim_lsh: raise n_planes until a bucket
+    fits a task.  Mutuality prunes asymmetric hub edges (a problem
+    k-cutoffs have in high dimensions), which is why mutual-kNN is the
+    standard graph for density-based dedup clustering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = _prep_unit_bucket(emb)
+    directed = _block_topk(bk, "bucket", KNN_K)
+    rev = directed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        directed.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "score",
+        )
+    )
+
+
+HARDNEG_K = 3  # negatives mined per query
+HARDNEG_QUERY_MOD = 149  # query set: vec_id % 149 = 0 (~0.7% of corpus)
+
+
+@register(
+    "x_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {HARDNEG_QUERY_MOD} = 0
+    )
+    SELECT query_id, query_label, vec_id, neg_label, score FROM (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS vec_id, b.label AS neg_label,
+             {_DUCK_COS} AS score,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DUCK_COS} DESC, b.vec_id
+             ) AS rn
+      FROM q a JOIN embeddings b ON b.label <> a.label
+    ) WHERE rn <= {HARDNEG_K}
+    """,
+)
+def hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame | None = None,
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (retrieval /
+    embedding fine-tuning): for each query vector, the {HARDNEG_K}
+    highest-cosine corpus vectors with a DIFFERENT label — the
+    near-miss examples that carry the gradient signal in InfoNCE /
+    triplet losses (random negatives are trivially separable).
+
+    Same scan-once scatter-gather as x_sim_topk: the query matrix AND
+    its label vector ride in the task closure (driver-sized by the same
+    max_queries contract), each corpus partition computes one BLAS
+    matmul and emits its local top-{HARDNEG_K} per query AFTER the
+    label-mismatch mask, and a tiny global window merges the
+    |queries| x k x |partitions| survivors.  100 TB: the corpus is
+    scanned once, never shuffled; for corpus-sized query sets mine
+    within x_sim_ivf cells instead (same mask, distributed queries)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    q = (
+        queries
+        if queries is not None
+        else emb.filter(F.col("vec_id") % HARDNEG_QUERY_MOD == 0)
+    )
+    qrows = q.select("vec_id", "embedding", "label").limit(
+        max_queries + 1
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"x_hard_negatives query batch exceeds max_queries="
+            f"{max_queries}; for corpus-sized query sets mine within "
+            "x_sim_ivf cells (distributed queries) instead"
+        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    QM = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    Qu = QM / np.linalg.norm(QM, axis=1)[:, None]
+    k = HARDNEG_K
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            U = E / np.linalg.norm(E, axis=1)[:, None]
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            S = np.round(U @ Qu.T, 4)
+            oq, oql, ov, ovl, os_ = [], [], [], [], []
+            for j, qid in enumerate(qids):
+                mask = labels != qlabels[j]
+                cand_ids, cand_sc = ids[mask], S[mask, j]
+                cand_lb = labels[mask]
+                pick = np.lexsort((cand_ids, -cand_sc))[:k]
+                oq.append(np.full(len(pick), qid))
+                oql.append(np.full(len(pick), qlabels[j]))
+                ov.append(cand_ids[pick])
+                ovl.append(cand_lb[pick])
+                os_.append(cand_sc[pick])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(oq),
+                    "query_label": np.concatenate(oql).astype(np.int32),
+                    "vec_id": np.concatenate(ov),
+                    "neg_label": np.concatenate(ovl).astype(np.int32),
+                    "score": np.concatenate(os_),
+                }
+            )
+
+    local = emb.mapInPandas(
+        local_topk,
+        "query_id bigint, query_label int, vec_id bigint, "
+        "neg_label int, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

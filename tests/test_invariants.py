@@ -1297,3 +1297,122 @@ def test_split_leakage_embed_reports_only_nontrain(spark):
             else ("val" if res == SPLIT_TRAIN_BELOW else "test")
         )
         assert r["split"] == expect, r
+
+
+def test_bloom_prefilter_forced_false_positives(spark):
+    """Shrinking the filter to 32 bits must force false positives through
+    the probe stage (they are then removed by the exact join): candidates
+    strictly exceed matches, and the match count is invariant to width —
+    proving the bloom stage is a PREFILTER, never the answer."""
+    from data_pipeline_cursor_spark.operators.joins import bloom_prefilter
+
+    wide = bloom_prefilter(spark, SF_ORACLE).toPandas().iloc[0]
+    tiny = bloom_prefilter(spark, SF_ORACLE, bits_width=32).toPandas().iloc[0]
+    for row in (wide, tiny):
+        assert row["n_candidates"] >= row["n_matches"] >= 0
+        assert row["n_false_pos"] == row["n_candidates"] - row["n_matches"]
+    assert tiny["n_matches"] == wide["n_matches"]
+    assert tiny["n_false_pos"] > 0  # 10 keys × 2 hashes over 32 bits
+
+
+def test_knn_graph_matches_numpy_brute_force(spark):
+    """Edges must equal an independent numpy replay of the whole
+    construction (hyperplane buckets → within-bucket cosine top-k →
+    mutuality) on the smoke corpus — proves the banded running-buffer
+    scorer against a dense argsort implementation."""
+    import numpy as np
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        DIM,
+        KNN_K,
+        N_PLANES,
+        _plane_weight,
+    )
+
+    got = get_queries()["x_knn_graph"](spark, SF_SMOKE).toPandas()
+    emb = load_table(spark, SF_SMOKE, "embeddings").toPandas()
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    U = X / np.linalg.norm(X, axis=1)[:, None]
+    planes = np.array(
+        [
+            [_plane_weight(p, d) for d in range(1, DIM + 1)]
+            for p in range(N_PLANES)
+        ]
+    )
+    bucket = ((X @ planes.T) >= 0).astype(int) @ (1 << np.arange(N_PLANES))
+    directed = set()
+    for b in np.unique(bucket):
+        m = bucket == b
+        bids, BU = ids[m], U[m]
+        S = np.round(BU @ BU.T, 4)
+        for i in range(len(bids)):
+            sc = S[i].copy()
+            order = np.lexsort((bids, -sc))
+            picks = [j for j in order if j != i][:KNN_K]
+            for j in picks:
+                directed.add((bids[i], bids[j]))
+    expect = {
+        (a, b) for (a, b) in directed if (b, a) in directed and a < b
+    }
+    assert set(zip(got["vec_a"], got["vec_b"])) == expect
+
+
+def test_hard_negatives_label_mismatch_and_ordering(spark):
+    """Every mined negative has a label different from its query's, at
+    most HARDNEG_K rows per query, scores non-increasing per query."""
+    from data_pipeline_cursor_spark.vectors.similarity import HARDNEG_K
+
+    pdf = get_queries()["x_hard_negatives"](spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["neg_label"] != pdf["query_label"]).all()
+    for _, grp in pdf.groupby("query_id"):
+        assert len(grp) <= HARDNEG_K
+        s = grp.sort_values(["score", "vec_id"], ascending=[False, True])[
+            "score"
+        ].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+
+
+def test_kmv_distinct_kth_minimum_recomputed(spark):
+    """h_k must be EXACTLY the k-th smallest md5 hash over each
+    language's true distinct-token set, recomputed with hashlib — proves
+    the pre-cut never clipped below k and the rank picked the right
+    row."""
+    import hashlib
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.analysis import KMV_K, KMV_SEED
+
+    got = (
+        get_queries()["x_kmv_distinct"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        vocab = set()
+        for t in grp["text"]:
+            vocab.update(t.lower().split(" "))
+        hs = sorted(
+            int(
+                hashlib.md5(f"{KMV_SEED}:{tok}".encode()).hexdigest()[:15], 16
+            )
+            for tok in vocab
+        )
+        k = min(KMV_K, len(vocab))
+        assert got.loc[lang, "n_exact"] == len(vocab)
+        assert got.loc[lang, "h_k"] == hs[k - 1]
+
+
+def test_cms_heavy_never_undercounts(spark):
+    """CMS estimates are upper bounds by construction: est >= exact and
+    overcount >= 0 on every heavy hitter; with W deliberately under
+    vocabulary size, at least one collision-driven overcount > 0 must
+    appear at oracle SF."""
+    pdf = get_queries()["x_cms_heavy"](spark, SF_ORACLE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["cms_est"] >= pdf["n_exact"]).all()
+    assert (pdf["overcount"] >= 0).all()
+    assert (pdf["overcount"] > 0).any()

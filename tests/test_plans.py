@@ -463,3 +463,58 @@ def test_zorder_layout_stays_in_codegen(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bloom_prefilter_never_shuffles_the_fact(spark):
+    """x_bloom_prefilter: both bit probes and the exact verification are
+    BROADCAST joins (the whole point: ship a bitset, not a shuffle) —
+    no SortMergeJoin anywhere, and lineitem is scanned exactly once."""
+    df = get_queries()["x_bloom_prefilter"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_knn_graph_mutual_check_is_equi_join(spark):
+    """x_knn_graph: neighbours come from the per-bucket pandas scorer
+    (one FlatMapGroupsInPandas), and the mutuality check is a hash
+    equi-join of the k·n directed survivors — never a nested-loop or
+    cartesian product."""
+    df = get_queries()["x_knn_graph"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_scans_corpus_once(spark):
+    """x_hard_negatives: scan-once scatter-gather — the corpus feeds one
+    MapInPandas scorer (queries ride in the closure), and the only
+    window ranks the tiny per-partition survivor set, partitioned by
+    query_id (never unpartitioned)."""
+    df = get_queries()["x_hard_negatives"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert not _window_nodes_without_partition(plan), plan
+
+
+def test_kmv_distinct_windows_are_partitioned(spark):
+    """x_kmv_distinct: the rank window is partitioned by lang and runs
+    over the hash-space pre-cut survivors — no unpartitioned window,
+    and the NDV side joins back via broadcast."""
+    df = get_queries()["x_kmv_distinct"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_heavy_probe_join_broadcasts_cells(spark):
+    """x_cms_heavy: the sketch is D×W rows and must arrive at the probe
+    join via broadcast; the sketch path stays in hash aggregation
+    (partial agg collapses each partition before the shuffle)."""
+    df = get_queries()["x_cms_heavy"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

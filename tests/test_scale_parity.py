@@ -54,6 +54,11 @@ SCALE_SLICE = [
     "x_boilerplate_windows",
     "x_weighted_sample",
     "x_dedup_containment",
+    # round-8 batch 2: the broadcast-bitset join pruner and the two
+    # bounded-state sketches (vocab-grain cost, corpus-independent state)
+    "x_bloom_prefilter",
+    "x_kmv_distinct",
+    "x_cms_heavy",
 ]
 
 

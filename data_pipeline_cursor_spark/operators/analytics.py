@@ -1144,3 +1144,189 @@ def fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lev <= TAU)
         .select("name_a", "name_b", lev.cast("int").alias("lev"))
     )
+
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+@register(
+    "x_ks_drift",
+    oracle=f"""
+    WITH counts AS (
+      SELECT n_chars AS v,
+             CAST(SUM(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM documents
+      WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c_a) OVER (ORDER BY v) AS cum_a,
+             SUM(c_b) OVER (ORDER BY v) AS cum_b,
+             SUM(c_a) OVER () AS t_a,
+             SUM(c_b) OVER () AS t_b
+      FROM counts
+    )
+    SELECT CAST(v AS BIGINT)                AS at_value,
+           CAST(t_a AS BIGINT)              AS n_a,
+           CAST(t_b AS BIGINT)              AS n_b,
+           CAST(abs(cum_a * t_b - cum_b * t_a) AS BIGINT) AS d_num,
+           ROUND(CAST(abs(cum_a * t_b - cum_b * t_a) AS DOUBLE)
+                 / (t_a * t_b), 4)          AS ks_stat
+    FROM cum
+    ORDER BY abs(cum_a * t_b - cum_b * t_a) DESC, v
+    LIMIT 1
+    """,
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two
+    sources' document-length distributions — q_drift_kl's
+    order-statistic sibling: KL localizes drift per category; KS is the
+    distribution-free test over an ORDERED domain (length, score,
+    timestamp), the standard drift alarm for continuous features.  One
+    row: the supremum gap D = max_v |F_a(v) - F_b(v)|, the length v
+    achieving it (smallest on ties), and both sample sizes.
+
+    Exactness: D is compared as the INTEGER cross-product
+    |cum_a·t_b - cum_b·t_a| — no float CDFs, so the argmax is
+    tie-stable across engines; the statistic divides once at the end.
+    (At extreme counts the product needs DECIMAL(38) — fixture counts
+    keep it in int64 with 2^63/(t_a·t_b) headroom documented.)
+
+    Plan: ONE corpus pass (conditional partial-agg sums on the
+    value-grain key), then cumulative + total windows over the
+    |distinct values|-row summary — the deliberate bounded
+    single-partition window of the q_drift_kl/x_curriculum_order
+    pattern (a few hundred rows), then TakeOrdered(1).  100 TB:
+    identical — the value grain for integer lengths is bounded by the
+    length cap, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    counts = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == KS_SRC_A, 1).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("source") == KS_SRC_B, 1).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "v",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_b").over(w_cum).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("t_a"),
+        F.sum("c_b").over(w_all).alias("t_b"),
+    )
+    d_num = F.abs(
+        F.col("cum_a") * F.col("t_b") - F.col("cum_b") * F.col("t_a")
+    )
+    return (
+        cum.select(
+            F.col("v").alias("at_value"),
+            F.col("t_a").alias("n_a"),
+            F.col("t_b").alias("n_b"),
+            d_num.alias("d_num"),
+            F.round(
+                d_num.cast("double") / (F.col("t_a") * F.col("t_b")), 4
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.col("d_num").desc(), "at_value")
+        .limit(1)
+    )
+
+
+DP_MAX_ORDERS = 3  # per-customer contribution bound
+
+
+@register(
+    "x_dp_clip",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ),
+    flagged AS (
+      SELECT r.o_custkey, r.o_totalprice,
+             CASE WHEN r.rn <= {DP_MAX_ORDERS} THEN 1 ELSE 0 END AS kept
+      FROM ranked r
+    )
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(f.kept) AS BIGINT)                 AS n_orders_kept,
+           CAST(SUM(1 - f.kept) AS BIGINT)             AS n_orders_dropped,
+           CAST(SUM(CASE WHEN f.kept = 1
+                    THEN CAST(f.o_totalprice AS DECIMAL(18,4)) END)
+                AS DOUBLE)                             AS clipped_spend
+    FROM flagged f
+    JOIN customer c ON f.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def dp_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION-BOUNDED aggregation — the user-level sensitivity
+    clipping stage of a differential-privacy / privacy-aware statistics
+    pipeline: before aggregating spend per nation, each customer
+    contributes at most {DP_MAX_ORDERS} orders (their earliest, by
+    (o_orderdate, o_orderkey) — a deterministic rule, so the clip is
+    reproducible).  The report shows what clipping cost: kept/dropped
+    order counts and the clipped spend — after this, adding/removing
+    one customer moves any nation's sum by at most
+    {DP_MAX_ORDERS}·max_price, the bounded sensitivity calibrated noise
+    needs.  (Noise injection itself is deliberately OUT of the
+    deterministic engine surface; this operator is the exact part.)
+
+    Plan: the rank window partitions by customer (bounded groups — a
+    customer has ~10 orders at any SF), one shuffle; the dim joins
+    (customer→nation) follow on the clipped rows; DECIMAL(18,4) keeps
+    the fold exact.  100 TB: identical — per-user windows are the
+    canonical bounded-state shuffle, and skew is impossible by the
+    clip's own definition."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.row_number().over(w) <= DP_MAX_ORDERS, 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        flagged.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("kept").cast("long").alias("n_orders_kept"),
+            F.sum(1 - F.col("kept")).cast("long").alias("n_orders_dropped"),
+            F.sum(
+                F.when(
+                    F.col("kept") == 1,
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            )
+            .cast("double")
+            .alias("clipped_spend"),
+        )
+    )

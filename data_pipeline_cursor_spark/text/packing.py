@@ -479,3 +479,93 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "weight", F.round("k", 8).alias("es_key"))
     )
+
+
+QUOTA_CAP = 10  # max docs kept per source
+QUOTA_SEED = "quota"
+QUOTA_CUT_MARGIN = 4  # pre-cut keeps ~MARGIN*CAP survivors per source
+# MARGIN * CAP * 2^60 = 40 * 2^60 = 5 * 2^63 — exactly representable
+_QUOTA_CUT_NUM = float(QUOTA_CUT_MARGIN * QUOTA_CAP * (1 << 60))
+
+
+@register(
+    "x_source_quota",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    pre AS (
+      SELECT d.source, d.doc_id, d.n_chars, c.n_docs,
+             ('0x' || substr(md5('{QUOTA_SEED}:' || d.doc_id), 1, 15))::BIGINT
+               AS h
+      FROM documents d JOIN cnt c ON d.source = c.source
+      WHERE CAST(('0x' || substr(md5('{QUOTA_SEED}:' || d.doc_id), 1, 15))
+                   ::BIGINT AS DOUBLE)
+              < {_QUOTA_CUT_NUM!r} / c.n_docs
+         OR c.n_docs <= {QUOTA_CAP}
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, n_docs,
+             row_number() OVER (
+               PARTITION BY source ORDER BY h, doc_id
+             ) AS rn
+      FROM pre
+    )
+    SELECT source, MIN(n_docs) AS n_docs,
+           CAST(COUNT(*) AS BIGINT)    AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM ranked
+    WHERE rn <= {QUOTA_CAP}
+    GROUP BY source
+    """,
+)
+def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUOTA capping — the cap-based complement of
+    x_domain_mix's rate-based sampling: every source keeps AT MOST
+    {QUOTA_CAP} documents, chosen by portable md5-hash order (a
+    deterministic uniform draw, reproducible across engines, runs and
+    partitionings) — the "no single crawl domain may dominate the
+    corpus" rule every large-scale curation recipe applies before
+    mixing.  Output is the per-source audit: raw count, kept count,
+    kept characters.
+
+    Scale shape: the per-source rank never sees the full corpus — the
+    same hash-space PRE-CUT as x_kmv_distinct (h < {QUOTA_CUT_MARGIN}
+    ·cap·2^60 / n_docs, using the per-source counts the audit computes
+    anyway, broadcast) keeps ~{QUOTA_CUT_MARGIN}·cap uniform survivors
+    per source before the window, so a 10^9-doc source contributes
+    ~{QUOTA_CUT_MARGIN * QUOTA_CAP} rows to the sort, not 10^9; sources
+    at-or-under quota skip the cut entirely (OR n_docs <= cap).  The
+    cut keeps ≥ cap rows with probability 1 - exp(-Ω(cap)), and both
+    engines apply the identical cut, so parity holds by construction
+    even in the astronomically-unlikely short case."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    h = phash(F.col("doc_id").cast("string"), QUOTA_SEED)
+    pre = (
+        docs.select("source", "doc_id", "n_chars")
+        .join(F.broadcast(cnt), "source")
+        .withColumn("h", h)
+        .filter(
+            (
+                F.col("h").cast("double")
+                < F.lit(_QUOTA_CUT_NUM) / F.col("n_docs")
+            )
+            | (F.col("n_docs") <= QUOTA_CAP)
+        )
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_CAP)
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )

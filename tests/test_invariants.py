@@ -1416,3 +1416,99 @@ def test_cms_heavy_never_undercounts(spark):
     assert (pdf["cms_est"] >= pdf["n_exact"]).all()
     assert (pdf["overcount"] >= 0).all()
     assert (pdf["overcount"] > 0).any()
+
+
+def test_ks_drift_matches_pandas_recompute(spark):
+    """The supremum gap, its location, and both sample sizes must match
+    an independent pandas recompute of the two empirical CDFs."""
+    from data_pipeline_cursor_spark.operators.analytics import (
+        KS_SRC_A,
+        KS_SRC_B,
+    )
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_ks_drift"](spark, SF_ORACLE).toPandas().iloc[0]
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    a = docs[docs["source"] == KS_SRC_A]["n_chars"].to_numpy()
+    b = docs[docs["source"] == KS_SRC_B]["n_chars"].to_numpy()
+    vals = sorted(set(a) | set(b))
+    best = None
+    for v in vals:
+        d = abs(int((a <= v).sum()) * len(b) - int((b <= v).sum()) * len(a))
+        if best is None or d > best[0]:
+            best = (d, v)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["d_num"] == best[0] and got["at_value"] == best[1]
+    assert abs(got["ks_stat"] - best[0] / (len(a) * len(b))) < 1e-4
+
+
+def test_dp_clip_bounds_every_customer(spark):
+    """Recompute the clip in pandas: kept = each customer's first
+    DP_MAX_ORDERS orders by (date, key); totals per nation must match,
+    and kept+dropped must cover every order exactly once."""
+    from data_pipeline_cursor_spark.operators.analytics import DP_MAX_ORDERS
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = (
+        get_queries()["x_dp_clip"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("n_name")
+    )
+    orders = load_table(spark, SF_ORACLE, "orders").toPandas()
+    cust = load_table(spark, SF_ORACLE, "customer").toPandas()
+    nat = load_table(spark, SF_ORACLE, "nation").toPandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    orders["rn"] = orders.groupby("o_custkey").cumcount() + 1
+    orders["kept"] = orders["rn"] <= DP_MAX_ORDERS
+    j = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey",
+            right_on="n_nationkey")
+    for name, grp in j.groupby("n_name"):
+        assert got.loc[name, "n_orders_kept"] == int(grp["kept"].sum())
+        assert got.loc[name, "n_orders_dropped"] == int((~grp["kept"]).sum())
+        assert (
+            grp.groupby("o_custkey")["kept"].sum().max() <= DP_MAX_ORDERS
+        )
+        assert (
+            abs(
+                got.loc[name, "clipped_spend"]
+                - round(float(grp[grp["kept"]]["o_totalprice"].sum()), 4)
+            )
+            < 1e-2
+        )
+
+
+def test_source_quota_is_exact_top_cap_by_recomputed_hash(spark):
+    """Each source keeps exactly min(CAP, n_docs) documents and the kept
+    character total matches the top-CAP by md5 hash recomputed with
+    hashlib over the FULL source (no pre-cut) — proves the pre-cut
+    never clipped below the quota."""
+    import hashlib
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.packing import QUOTA_CAP, QUOTA_SEED
+
+    got = (
+        get_queries()["x_source_quota"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(f"{QUOTA_SEED}:{doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    for source, grp in docs.groupby("source"):
+        grp = grp.assign(h=[h(d) for d in grp["doc_id"]]).sort_values(
+            ["h", "doc_id"]
+        )
+        kept = grp.head(QUOTA_CAP)
+        assert got.loc[source, "n_docs"] == len(grp)
+        assert got.loc[source, "n_kept"] == min(QUOTA_CAP, len(grp))
+        assert got.loc[source, "chars_kept"] == int(kept["n_chars"].sum())

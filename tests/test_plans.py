@@ -518,3 +518,37 @@ def test_cms_heavy_probe_join_broadcasts_cells(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ks_drift_windows_bounded_to_value_grain(spark):
+    """x_ks_drift: the cumulative/total windows are the deliberate
+    bounded single-partition pass over the |distinct n_chars|-row
+    summary — they must reference only value-grain columns (v/c_a/c_b),
+    never a doc-grain column, and the corpus is scanned once."""
+    df = get_queries()["x_ks_drift"](spark, SF_SMOKE)
+    plan = _plan(df)
+    bad = _window_nodes_without_partition(plan)
+    assert bad, plan  # the value-grain pass must exist
+    for node in bad:
+        assert "doc_id" not in node and "text" not in node, node
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_dp_clip_window_partitioned_by_customer(spark):
+    """x_dp_clip: the contribution-bound rank partitions by customer
+    (bounded groups) and nation arrives via broadcast — no
+    unpartitioned window anywhere."""
+    df = get_queries()["x_dp_clip"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_quota_rank_is_partitioned_and_counts_broadcast(spark):
+    """x_source_quota: the quota rank partitions by source over pre-cut
+    survivors; the per-source count joins back via broadcast; no
+    unpartitioned window."""
+    df = get_queries()["x_source_quota"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -59,6 +59,9 @@ SCALE_SLICE = [
     "x_bloom_prefilter",
     "x_kmv_distinct",
     "x_cms_heavy",
+    "x_ks_drift",
+    "x_dp_clip",
+    "x_source_quota",
 ]
 
 

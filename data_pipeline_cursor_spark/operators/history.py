@@ -492,3 +492,130 @@ def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*gap_cols)
     )
     return intra.unionByName(cross)
+
+
+BITMAP_VALUE_MIN = 180.0  # per-type user sets: users with a value above
+# this (selective at every SF: ~27% of users per type), so intersections
+# are partial and the bitmap math is exercised, not vacuous
+BITMAP_WORD_BITS = 32  # bits packed per int64 word (positive shifts only)
+
+
+@register(
+    "x_bitmap_users",
+    oracle=f"""
+    WITH bm AS (
+      SELECT event_type,
+             user_id // {BITMAP_WORD_BITS} AS word,
+             bit_or(1::BIGINT << CAST(user_id % {BITMAP_WORD_BITS} AS INT))
+               AS bits
+      FROM events
+      WHERE value > {BITMAP_VALUE_MIN!r}
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(bit_count(bits)) AS BIGINT) AS users
+      FROM bm GROUP BY 1
+    ),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS co_users
+      FROM bm a JOIN bm b
+        ON a.word = b.word AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           ta.users AS users_a, tb.users AS users_b,
+           COALESCE(co.co_users, 0) AS co_users,
+           ROUND(CAST(COALESCE(co.co_users, 0) AS DOUBLE)
+                 / (ta.users + tb.users - COALESCE(co.co_users, 0)), 4)
+             AS jaccard
+    FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+    LEFT JOIN co ON co.type_a = ta.event_type AND co.type_b = tb.event_type
+    """,
+)
+def bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX audience overlap — the roaring-bitmap pattern every
+    OLAP engine uses for COUNT(DISTINCT)-heavy cohort queries, built
+    from plain integer columns: each event type's qualifying-user set
+    (value > {BITMAP_VALUE_MIN}) is packed into
+    (word = user_id div {BITMAP_WORD_BITS},
+    bits = OR of 1 << user_id mod {BITMAP_WORD_BITS}) rows; distinct
+    users = Σ popcount(bits), pairwise co-audience = Σ popcount(a AND b)
+    on word-aligned rows.  Output: the event-type co-occurrence matrix
+    (audience sizes, intersection, Jaccard).
+
+    100 TB: the bitmap build is ONE partial-aggregated shuffle on
+    (type, word) — OR is idempotent so duplicate events never inflate,
+    and each partition emits at most |user-domain|/{BITMAP_WORD_BITS}
+    words per type.  Set algebra then runs at WORD grain (domain/
+    {BITMAP_WORD_BITS} rows), never user grain: the intersection join
+    is word-aligned equi, |types|² × words, independent of event count.
+    Bitmaps are the third mergeable-summary family next to KMV
+    (x_kmv_distinct: approximate, fixed size) and CMS (x_cms_heavy:
+    frequencies) — exact distinct counts at dense-domain cost; a real
+    deployment compresses sparse words (roaring) but the algebra is
+    identical.  Every count is integer → fully hash-oracled."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") > BITMAP_VALUE_MIN
+    )
+    bm = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / BITMAP_WORD_BITS)
+            .cast("long")
+            .alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    t = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("users")
+    )
+    co = (
+        bm.alias("a")
+        .join(
+            bm.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("long")
+            .alias("co_users")
+        )
+    )
+    ta = t.select(
+        F.col("event_type").alias("type_a"), F.col("users").alias("users_a")
+    )
+    tb = t.select(
+        F.col("event_type").alias("type_b"), F.col("users").alias("users_b")
+    )
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b"))
+    out = pairs.join(F.broadcast(co), ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "users_a",
+        "users_b",
+        F.coalesce("co_users", F.lit(0)).alias("co_users"),
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "users_a",
+        "users_b",
+        "co_users",
+        F.round(
+            F.col("co_users").cast("double")
+            / (F.col("users_a") + F.col("users_b") - F.col("co_users")),
+            4,
+        ).alias("jaccard"),
+    )

@@ -1643,3 +1643,209 @@ def cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
         )
     )
+
+
+KMVJ_K = 64  # bottom-k size for set-resemblance estimation
+KMVJ_SEED = "kmvj"
+KMVJ_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+# margin*K*2^60 pre-cut numerator (8·64·2^60 = 2^69, exact as a double)
+_KMVJ_CUT_NUM = float(8 * KMVJ_K * (1 << 60))
+_KMVJ_SRC_LIST = ", ".join(f"'{s}'" for s in KMVJ_SOURCES)
+
+
+@register(
+    "x_kmv_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, s.sh AS sh
+      FROM (
+        SELECT source,
+               list_transform(
+                 generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 1)),
+                 i -> concat_ws(' ', string_split(lower(text),' ')[i],
+                                     string_split(lower(text),' ')[i+1],
+                                     string_split(lower(text),' ')[i+2])
+               ) AS shingles
+        FROM documents WHERE source IN ({_KMVJ_SRC_LIST})
+      ) x, unnest(shingles) AS s(sh)
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_set FROM sh GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    hs AS (
+      SELECT s.source, s.sh,
+             {_duck_phash('s.sh', KMVJ_SEED)} AS h
+      FROM sh s JOIN sizes z ON s.source = z.source
+      WHERE CAST({_duck_phash('s.sh', KMVJ_SEED)} AS DOUBLE)
+              < {_KMVJ_CUT_NUM!r} / z.n_set
+    ),
+    bottoms AS (
+      SELECT source, sh, h FROM (
+        SELECT source, sh, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, sh) AS rn
+        FROM hs
+      ) WHERE rn <= {KMVJ_K}
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, a.n_set AS n_a,
+             b.source AS source_b, b.n_set AS n_b
+      FROM sizes a JOIN sizes b ON a.source < b.source
+    ),
+    m AS (
+      SELECT source_a, source_b, h,
+             MAX(ina) AS ina, MAX(inb) AS inb
+      FROM (
+        SELECT p.source_a, p.source_b, b.h, 1 AS ina, 0 AS inb
+        FROM pairs p JOIN bottoms b ON b.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, b.h, 0 AS ina, 1 AS inb
+        FROM pairs p JOIN bottoms b ON b.source = p.source_b
+      ) GROUP BY 1, 2, 3
+    ),
+    sk AS (
+      SELECT source_a, source_b,
+             CAST(SUM(ina * inb) AS BIGINT) AS n_both,
+             CAST(COUNT(*) AS BIGINT) AS k_u
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source_a, source_b ORDER BY h
+        ) AS rn FROM m
+      ) WHERE rn <= {KMVJ_K}
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 4) AS j_exact,
+           ROUND(CAST(sk.n_both AS DOUBLE) / sk.k_u, 4) AS kmv_j,
+           ROUND(abs(CAST(sk.n_both AS DOUBLE) / sk.k_u
+                     - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / (p.n_a + p.n_b - COALESCE(i.n_inter, 0))), 4)
+             AS abs_err
+    FROM pairs p
+    JOIN sk ON sk.source_a = p.source_a AND sk.source_b = p.source_b
+    LEFT JOIN inter i ON i.sa = p.source_a AND i.sb = p.source_b
+    """,
+)
+def kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORPUS RESEMBLANCE from mergeable bottom-k sketches — the
+    "how much does crawl B overlap crawl A" estimate that decides
+    whether a new source is worth ingesting, WITHOUT a full cross-set
+    join: per source, the {KMVJ_K} smallest md5 shingle hashes; for a
+    pair, min-merge the two sketches, keep the union's bottom-{KMVJ_K},
+    and estimate Jaccard as the fraction present in BOTH sketches
+    (Broder's k-min resemblance estimator — membership in the union's
+    bottom-k implies membership in each side's bottom-k, so the test
+    runs entirely inside the sketches).  The exact Jaccard is computed
+    alongside: the output is the estimator's calibration table
+    (n_inter, exact vs estimate, absolute error).
+
+    Scale: sketch construction touches the corpus once (shingle explode
+    → distinct → the x_kmv_distinct hash-space pre-cut → O(k)-row
+    per-source rank); everything pairwise runs on {KMVJ_K}-row sketches
+    — |sources|²·k rows total, INDEPENDENT of corpus size.  The exact
+    branch (shingle self-join) exists only for calibration; a
+    deployment estimating overlap across 100 crawls of 1 TB each ships
+    {KMVJ_K} hashes per crawl and never joins shingle tables.  Doc
+    grain never enters a window; the per-source rank is partitioned and
+    pre-cut exactly as in x_kmv_distinct."""
+    from data_pipeline_cursor_spark.text.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*KMVJ_SOURCES)
+    )
+    sh = docs.select(
+        "source", F.explode(shingles_col(tokens_col())).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_set"))
+    h = phash(F.col("sh"), KMVJ_SEED)
+    hs = (
+        sh.join(F.broadcast(sizes), "source")
+        .withColumn("h", h)
+        .filter(
+            F.col("h").cast("double")
+            < F.lit(_KMVJ_CUT_NUM) / F.col("n_set")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("h", "sh")
+    bottoms = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMVJ_K)
+        .select("source", "h")
+    )
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_set").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_set").alias("n_b")
+    )
+    pairs = sa.join(sb, F.col("source_a") < F.col("source_b"))
+    pk = pairs.select("source_a", "source_b")
+    ra = pk.join(
+        bottoms.withColumnRenamed("source", "source_a"), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "h",
+        F.lit(1).alias("ina"),
+        F.lit(0).alias("inb"),
+    )
+    rb = pk.join(
+        bottoms.withColumnRenamed("source", "source_b"), "source_b"
+    ).select(
+        "source_a",
+        "source_b",
+        "h",
+        F.lit(0).alias("ina"),
+        F.lit(1).alias("inb"),
+    )
+    m = (
+        ra.unionAll(rb)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
+    sk = (
+        m.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMVJ_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ina") * F.col("inb")).cast("long").alias("n_both"),
+            F.count(F.lit(1)).alias("k_u"),
+        )
+    )
+    est = F.col("n_both").cast("double") / F.col("k_u")
+    ni = F.coalesce("n_inter", F.lit(0))
+    jx = ni.cast("double") / (F.col("n_a") + F.col("n_b") - ni)
+    return (
+        pairs.join(sk, ["source_a", "source_b"])
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            ni.alias("n_inter"),
+            F.round(jx, 4).alias("j_exact"),
+            F.round(est, 4).alias("kmv_j"),
+            F.round(F.abs(est - jx), 4).alias("abs_err"),
+        )
+    )

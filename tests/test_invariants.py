@@ -1512,3 +1512,60 @@ def test_source_quota_is_exact_top_cap_by_recomputed_hash(spark):
         assert got.loc[source, "n_docs"] == len(grp)
         assert got.loc[source, "n_kept"] == min(QUOTA_CAP, len(grp))
         assert got.loc[source, "chars_kept"] == int(kept["n_chars"].sum())
+
+
+def test_bitmap_users_matches_set_algebra(spark):
+    """Audience sizes, intersections and Jaccard must equal plain python
+    set algebra over the same qualifying events."""
+    from data_pipeline_cursor_spark.operators.history import (
+        BITMAP_VALUE_MIN,
+    )
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_bitmap_users"](spark, SF_ORACLE).toPandas()
+    ev = load_table(spark, SF_ORACLE, "events").toPandas()
+    ev = ev[ev["value"] > BITMAP_VALUE_MIN]
+    sets = {
+        t: set(grp["user_id"]) for t, grp in ev.groupby("event_type")
+    }
+    assert len(got) == len(sets) * (len(sets) - 1) // 2
+    for _, row in got.iterrows():
+        a, b = sets[row["type_a"]], sets[row["type_b"]]
+        assert row["users_a"] == len(a) and row["users_b"] == len(b)
+        assert row["co_users"] == len(a & b)
+        assert abs(row["jaccard"] - len(a & b) / len(a | b)) < 1e-4
+
+
+def test_kmv_jaccard_exact_columns_and_estimator_consistency(spark):
+    """The exact-Jaccard columns must match python set algebra over
+    recomputed shingle sets; the estimate is a valid fraction and
+    abs_err is literally |estimate - exact|."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.analysis import KMVJ_SOURCES
+
+    got = get_queries()["x_kmv_jaccard"](spark, SF_ORACLE).toPandas()
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    docs = docs[docs["source"].isin(KMVJ_SOURCES)]
+
+    def shingles(text):
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 2, 1)
+        return {
+            " ".join(t for t in toks[i : i + 3] if t is not None)
+            for i in range(n)
+        }
+
+    sets = {}
+    for src, grp in docs.groupby("source"):
+        s = set()
+        for t in grp["text"]:
+            s |= shingles(t)
+        sets[src] = s
+    assert len(got) == 10
+    for _, row in got.iterrows():
+        a, b = sets[row["source_a"]], sets[row["source_b"]]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["n_inter"] == len(a & b)
+        assert abs(row["j_exact"] - len(a & b) / len(a | b)) < 1e-4
+        assert 0.0 <= row["kmv_j"] <= 1.0
+        assert abs(row["abs_err"] - abs(row["kmv_j"] - row["j_exact"])) < 2e-4

@@ -552,3 +552,29 @@ def test_source_quota_rank_is_partitioned_and_counts_broadcast(spark):
     plan = _plan(df)
     assert not _window_nodes_without_partition(plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitmap_users_pushes_value_filter_and_no_python(spark):
+    """x_bitmap_users: the value predicate reaches every events scan
+    (PushedFilters), all bit math stays in codegen (no Python eval),
+    and no window exists at any grain."""
+    df = get_queries()["x_bitmap_users"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, plan
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        assert re.search(r"GreaterThan\(value,", ln), ln
+
+
+def test_kmv_jaccard_windows_partitioned_and_sketch_grain(spark):
+    """x_kmv_jaccard: both rank windows are partitioned (per source /
+    per pair) — doc grain never enters an unpartitioned window."""
+    df = get_queries()["x_kmv_jaccard"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan

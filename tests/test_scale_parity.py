@@ -62,6 +62,8 @@ SCALE_SLICE = [
     "x_ks_drift",
     "x_dp_clip",
     "x_source_quota",
+    "x_bitmap_users",
+    "x_kmv_jaccard",
 ]
 
 

@@ -1330,3 +1330,134 @@ def dp_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clipped_spend"),
         )
     )
+
+
+PSI_DECILES = 9  # interior cutpoints → 10 buckets
+
+
+@register(
+    "x_psi_drift",
+    oracle=f"""
+    WITH counts AS (
+      SELECT n_chars AS v,
+             CAST(SUM(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM documents
+      WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, c_a, c_b,
+             SUM(c_a) OVER (ORDER BY v) AS cum_a,
+             SUM(c_a) OVER () AS t_a
+      FROM counts
+    ),
+    bucketed AS (
+      SELECT c_a, c_b,
+             1 + least({PSI_DECILES},
+                       CAST((10 * (cum_a - c_a)) // t_a AS INT)) AS bucket
+      FROM cum
+    ),
+    pb AS (
+      SELECT bucket,
+             CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b,
+             CAST(SUM(SUM(c_a)) OVER () AS DOUBLE) AS t_a,
+             CAST(SUM(SUM(c_b)) OVER () AS DOUBLE) AS t_b
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND(n_a / t_a, 4) AS share_a,
+           ROUND(n_b / t_b, 4) AS share_b,
+           CAST(ROUND(CAST((n_a / t_a - n_b / t_b)
+                           * ln((n_a / t_a) / (n_b / t_b))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS psi_term
+    FROM pb
+    WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the third leg of the drift-monitor
+    family (q_drift_kl: categorical KL; x_ks_drift: continuous
+    supremum; this: the binned industry standard every model-monitoring
+    deployment alerts on at PSI > 0.2): decile buckets are derived from
+    the REFERENCE source's exact distribution, both sources are counted
+    into them, and each bucket contributes (p-q)·ln(p/q); Σ psi_term is
+    the PSI, per-bucket terms localize WHERE the distribution moved.
+
+    The bucket rule needs no cutpoint table at all: the percentile_disc
+    cutpoint cut_d = min{{v : 10·cum(v) ≥ d·total}} satisfies
+    v > cut_d ⟺ 10·cum(v-1) ≥ d·total for integer values, so a value's
+    bucket is 1 + min({PSI_DECILES}, (10·(cum - c)) div total) —
+    computed INLINE from the cumulative, pure integer math, tie-stable
+    across engines.  (Deriving cuts as a separate branch would re-scan
+    the corpus: the counts aggregate feeds two plan branches and Spark
+    recomputes it — the inline rule keeps the whole query ONE chain.)
+
+    Plan: one corpus pass builds the value-grain conditional counts;
+    the cumulative runs on the bounded |distinct values| summary (the
+    deliberate value-grain single-partition window of the q_drift_kl /
+    x_ks_drift pattern); shares come from a ≤10-row aggregate.
+    100 TB: identical — only value-grain and bucket-grain rows exist
+    after the first aggregate."""
+    from data_pipeline_cursor_spark.functions.math_ops import stable_round4
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    counts = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == KS_SRC_A, 1).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("source") == KS_SRC_B, 1).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_a").over(w_all).alias("t_a"),
+    )
+    bucketed = cum.select(
+        "c_a",
+        "c_b",
+        (
+            1
+            + F.least(
+                F.lit(PSI_DECILES),
+                F.expr("(10 * (cum_a - c_a)) div t_a").cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    pb = bucketed.groupBy("bucket").agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    wb = Window.partitionBy()
+    pb = pb.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wb).cast("double").alias("t_a"),
+        F.sum("n_b").over(wb).cast("double").alias("t_b"),
+    )
+    p = F.col("n_a") / F.col("t_a")
+    q = F.col("n_b") / F.col("t_b")
+    return (
+        pb.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(p, 4).alias("share_a"),
+            F.round(q, 4).alias("share_b"),
+            stable_round4((p - q) * F.log(p / q)).alias("psi_term"),
+        )
+    )

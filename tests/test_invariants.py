@@ -1569,3 +1569,53 @@ def test_kmv_jaccard_exact_columns_and_estimator_consistency(spark):
         assert abs(row["j_exact"] - len(a & b) / len(a | b)) < 1e-4
         assert 0.0 <= row["kmv_j"] <= 1.0
         assert abs(row["abs_err"] - abs(row["kmv_j"] - row["j_exact"])) < 2e-4
+
+
+def test_psi_drift_matches_pandas_recompute(spark):
+    """Decile cutpoints, bucket counts and PSI terms must match an
+    independent pandas recompute of the percentile_disc rule."""
+    import numpy as np
+
+    from data_pipeline_cursor_spark.operators.analytics import (
+        KS_SRC_A,
+        KS_SRC_B,
+        PSI_DECILES,
+    )
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = (
+        get_queries()["x_psi_drift"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("bucket")
+    )
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    a = np.sort(docs[docs["source"] == KS_SRC_A]["n_chars"].to_numpy())
+    b = docs[docs["source"] == KS_SRC_B]["n_chars"].to_numpy()
+    t_a = len(a)
+    cuts = []
+    for d in range(1, PSI_DECILES + 1):
+        # smallest v with 10*cum(v) >= d*t_a  == percentile_disc(d/10)
+        idx = int(np.ceil(d * t_a / 10)) - 1
+        cuts.append(a[idx])
+
+    def bucket(v):
+        return 1 + sum(v > c for c in cuts)
+
+    na = {}
+    nb = {}
+    for v in a:
+        na[bucket(v)] = na.get(bucket(v), 0) + 1
+    for v in b:
+        nb[bucket(v)] = nb.get(bucket(v), 0) + 1
+    expect = {
+        k for k in set(na) | set(nb) if na.get(k, 0) > 0 and nb.get(k, 0) > 0
+    }
+    assert set(got.index) == expect
+    tb = len(b)
+    psi = 0.0
+    for k in expect:
+        p, q = na[k] / t_a, nb[k] / tb
+        assert got.loc[k, "n_a"] == na[k] and got.loc[k, "n_b"] == nb[k]
+        assert abs(got.loc[k, "psi_term"] - (p - q) * np.log(p / q)) < 1e-3
+        psi += (p - q) * np.log(p / q)
+    assert abs(got["psi_term"].sum() - psi) < 1e-2

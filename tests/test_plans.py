@@ -578,3 +578,16 @@ def test_kmv_jaccard_windows_partitioned_and_sketch_grain(spark):
     df = get_queries()["x_kmv_jaccard"](spark, SF_SMOKE)
     plan = _plan(df)
     assert not _window_nodes_without_partition(plan), plan
+
+
+def test_psi_drift_windows_bounded_to_summary_grains(spark):
+    """x_psi_drift: unpartitioned windows exist only over the value-grain
+    and bucket-grain summaries (never doc grain); the 9-row cutpoint
+    table joins via broadcast; one corpus scan."""
+    df = get_queries()["x_psi_drift"](spark, SF_SMOKE)
+    plan = _plan(df)
+    bad = _window_nodes_without_partition(plan)
+    assert bad, plan
+    for node in bad:
+        assert "doc_id" not in node and "text" not in node, node
+    assert plan.count("documents.parquet") == 1, plan

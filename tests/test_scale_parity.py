@@ -64,6 +64,7 @@ SCALE_SLICE = [
     "x_source_quota",
     "x_bitmap_users",
     "x_kmv_jaccard",
+    "x_psi_drift",
 ]
 
 

@@ -298,3 +298,67 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ids"),
         F.md5(F.array_join(ordered, ",")).alias("ids_md5"),
     )
+
+
+_FERTILITY_ORACLE = f"""
+    {duck_chain(ROUNDS)},
+    wsyms AS (
+      SELECT w, len(string_split(trim(s), ' ')) AS n_syms
+      FROM s{ROUNDS}
+    ),
+    dt AS (
+      SELECT lang, t.tk AS w
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    )
+    SELECT dt.lang,
+           CAST(COUNT(*) AS BIGINT)          AS n_tokens,
+           CAST(SUM(ws.n_syms) AS BIGINT)    AS n_symbols,
+           CAST(SUM(len(dt.w)) AS BIGINT)    AS n_chars,
+           ROUND(CAST(SUM(ws.n_syms) AS DOUBLE) / COUNT(*), 4)
+             AS fertility,
+           ROUND(CAST(SUM(len(dt.w)) AS DOUBLE) / SUM(ws.n_syms), 4)
+             AS chars_per_symbol
+    FROM dt JOIN wsyms ws ON ws.w = dt.w
+    GROUP BY dt.lang
+"""
+
+
+@register("x_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language — the multilingual-equity table
+    (mT5/XLM-R methodology): symbols emitted per word and characters
+    compressed per symbol, per language, under the trained BPE merges.
+    A language whose fertility is 2x another's pays 2x the context
+    budget for the same text — THE number that decides whether a vocab
+    is fair across languages, read before x_temperature_mix sets
+    sampling rates.
+
+    Plan: the word-type segmentation table (vocabulary-sized) maps each
+    type to its symbol count ONCE; the corpus token stream joins that
+    table (broadcast in practice) and one hash aggregate per language
+    finishes — the corpus is scanned once for the stream and once
+    inside the shared training pass, nothing corpus-sized shuffles at
+    word grain twice.  100 TB: fertility is exactly the x_bpe_apply
+    amortization argument — per-type work at vocab grain, per-token
+    work a single broadcast-join scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    _bests, words = _train(docs)
+    wsyms = words.select(
+        "w", F.size(F.split(F.trim(F.col("s")), " ")).alias("n_syms")
+    )
+    dt = docs.select("lang", F.explode(tokens_col()).alias("w"))
+    return (
+        dt.join(wsyms, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_syms"), 4
+            ).alias("chars_per_symbol"),
+        )
+    )

@@ -1619,3 +1619,28 @@ def test_psi_drift_matches_pandas_recompute(spark):
         assert abs(got.loc[k, "psi_term"] - (p - q) * np.log(p / q)) < 1e-3
         psi += (p - q) * np.log(p / q)
     assert abs(got["psi_term"].sum() - psi) < 1e-2
+
+
+def test_tokenizer_fertility_bounds_and_totals(spark):
+    """Fertility >= 1 (a word is at least one symbol), chars_per_symbol
+    <= mean word length, and the token totals must equal a direct
+    corpus count per language."""
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = (
+        get_queries()["x_tokenizer_fertility"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        toks = [t for txt in grp["text"] for t in txt.lower().split(" ")]
+        assert got.loc[lang, "n_tokens"] == len(toks)
+        assert got.loc[lang, "n_chars"] == sum(len(t) for t in toks)
+        assert got.loc[lang, "fertility"] >= 1.0
+        assert (
+            got.loc[lang, "n_symbols"] >= got.loc[lang, "n_tokens"]
+        )
+        assert got.loc[lang, "chars_per_symbol"] <= (
+            got.loc[lang, "n_chars"] / got.loc[lang, "n_tokens"] + 1e-9
+        )

@@ -591,3 +591,13 @@ def test_psi_drift_windows_bounded_to_summary_grains(spark):
     for node in bad:
         assert "doc_id" not in node and "text" not in node, node
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_tokenizer_fertility_joins_vocab_sized_table(spark):
+    """x_tokenizer_fertility: the corpus token stream joins the word-type
+    symbol counts via broadcast (vocabulary-sized side), never a
+    shuffle of the stream against it."""
+    df = get_queries()["x_tokenizer_fertility"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE so the join strategy is real
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan

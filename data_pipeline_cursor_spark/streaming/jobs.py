@@ -1612,3 +1612,85 @@ def s_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_v / n_s.cast("double"), 4).alias("view_rate"),
         F.round(n_p / n_s.cast("double"), 4).alias("purchase_rate"),
     )
+
+
+SCMS_W = 64  # streaming sketch width — deliberately under the entity
+# cardinality so collisions are exercised
+SCMS_D = 4  # independent hash rows
+SCMS_ENTITY_DIV = 64  # entity key = event_id div 64: a high-cardinality
+# stream key (the landing record shape is reference parity — no user
+# column — so the entity stands in for user/session/device ids)
+
+
+def _scms_duck_pos(r: int) -> str:
+    expr = f"CAST(event_id // {SCMS_ENTITY_DIV} AS VARCHAR)"
+    return (
+        f"CAST(('0x' || substr(md5('scms{r}:' || {expr}), 1, 15))::BIGINT"
+        f" % {SCMS_W} AS INT)"
+    )
+
+
+_SCMS_ORACLE = "\n      UNION ALL\n".join(
+    f"""      SELECT make_timestamp(
+               CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+               AS window_start,
+             {r} AS r,
+             {_scms_duck_pos(r)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM events GROUP BY 1, 3"""
+    for r in range(SCMS_D)
+)
+
+
+@register("s_cms_window", oracle=_SCMS_ORACLE)
+def s_cms_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING COUNT-MIN SKETCH — x_cms_heavy's stateful sibling: per
+    5-minute tumbling window, a DxW integer cell matrix over a
+    high-cardinality entity key (event_id div 64 — the landing record
+    shape is reference parity and carries no user column, so the
+    derived entity stands in for user/session/device), append mode —
+    each window's sketch finalizes when the watermark passes, a
+    continuously-published frequency summary whose state is BOUNDED at
+    D·W counters per open window no matter how many distinct entities
+    the stream carries.  Cells are additive (mergeable across windows /
+    partitions); min-over-rows bounds any entity's count from above,
+    exactly as in the batch twin.
+
+    This is the sketch argument applied to streaming state: a per-entity
+    windowed count holds |entities-per-window| state rows and grows with
+    traffic; the sketch holds D·W regardless — the standard trade for
+    high-cardinality stream monitoring.  The md5 positions are
+    engine-portable, so the drained end state hash-checks against a
+    full DuckDB replay (same shape as every s_* oracle)."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    entity = F.expr(
+        f"CAST(CAST(event_id AS BIGINT) div {SCMS_ENTITY_DIV} AS STRING)"
+    )
+    probes = df.select(
+        "event_time",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (phash(entity, f"scms{r}") % SCMS_W)
+                        .cast("int")
+                        .alias("pos"),
+                    )
+                    for r in range(SCMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_time", F.col("p.r").alias("r"), F.col("p.pos").alias("pos"))
+    agg = (
+        probes.groupBy(
+            F.window("event_time", "5 minutes"), F.col("r"), F.col("pos")
+        )
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .select(
+            F.col("window.start").alias("window_start"), "r", "pos", "cell"
+        )
+    )
+    return run_to_completion(agg, _ckpt("cms_window"))

@@ -228,3 +228,61 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS custkey, c_custkey AS root_key, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, ch.root_key, ch.depth + 1
+      FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(root_key) AS BIGINT) AS sum_root
+    FROM chain GROUP BY depth ORDER BY depth
+    """,
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQL:1999 recursive CTE, Spark 4.0+ SPARK-24497):
+    hierarchy traversal over the decimal-digit customer forest
+    (parent(c) = c div 10, roots c < 10), reporting per-depth membership.
+
+    The reference's Trino endpoint accepts recursive CTEs
+    (/root/reference/README.md:454-482 exposes full Trino SQL); this pins
+    that the rebuilt engine's SQL surface does too, natively — before
+    Spark 4 the same traversal needed a driver-side iterate-and-union loop
+    (the x_dedup_cluster/x_pagerank pattern).
+
+    Guard rails: the seed excludes nothing but the join's `>= 10`
+    child-side predicate makes parent(c) < c strictly, so the recursion
+    is structurally acyclic — custkey 0 (present in the fixture) would
+    otherwise self-loop (0 div 10 = 0) and run forever, in BOTH engines.
+
+    Scale shape: Spark executes each recursion level as one hash
+    equi-join of the full customer scan against the previous FRONTIER
+    (level-k rows only, never the accumulated result), so total work is
+    O(depth × |customer|) with depth = ceil(log10(max key)) ≈ 8 at
+    100 TB — and each level's join key (custkey div 10) is uniform, so
+    no skew.  The final aggregate is one shuffle of depth-grain rows."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS root_key, 0 AS depth
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root_key, ch.depth + 1
+          FROM customer c JOIN chain ch ON c.c_custkey div 10 = ch.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(custkey) AS BIGINT) AS sum_custkey,
+               CAST(SUM(root_key) AS BIGINT) AS sum_root
+        FROM chain GROUP BY depth ORDER BY depth
+        """
+    )

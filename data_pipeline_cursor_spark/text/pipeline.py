@@ -120,3 +120,145 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "x_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    raw_lm AS (
+      SELECT token, CAST(SUM(tf) AS BIGINT) AS c_r FROM tf GROUP BY token
+    ),
+    tgt_lm AS (
+      SELECT tf.token, CAST(SUM(tf.tf) AS BIGINT) AS c_t
+      FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+      WHERE d.lang = 'en'
+      GROUP BY tf.token
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM raw_lm
+    ),
+    tgt_total AS (
+      SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS t_t FROM tgt_lm
+    ),
+    lr AS (
+      SELECT r.token,
+             CAST(ROUND(CAST(
+               ln((COALESCE(g.c_t, 0) + 1.0) / CAST(tt.t_t + t.v AS DOUBLE))
+               - ln((r.c_r + 1.0) / CAST(t.t_r + t.v AS DOUBLE))
+             AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT) AS lr_micro
+      FROM raw_lm r
+      LEFT JOIN tgt_lm g ON r.token = g.token
+      CROSS JOIN totals t CROSS JOIN tgt_total tt
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * lr.lr_micro) AS BIGINT) AS weight_micro
+      FROM tf JOIN lr ON tf.token = lr.token
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.weight_micro,
+             ROW_NUMBER() OVER (ORDER BY s.weight_micro DESC, s.doc_id)
+               AS rn
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(rn AS INTEGER) AS rn, doc_id, lang, weight_micro
+    FROM ranked WHERE rn <= 100 ORDER BY rn
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): rank raw-corpus documents by how target-like they
+    are under a pair of bag-of-words language models.  Target here = the
+    English slice (the usual "looks like my eval distribution" proxy);
+    the importance weight of doc x is
+
+        log w(x) = Σ_w  tf(x, w) · [ log p_target(w) − log p_raw(w) ]
+
+    with add-one smoothing over the RAW vocabulary for both models
+    (target vocab ⊆ raw vocab by construction, so unseen-in-target words
+    get the 1/(T_t+V) floor).  Output: the top-100 most target-like docs.
+
+    Determinism discipline (registry.py rules): the per-WORD log-ratio is
+    quantized once — DECIMAL(28,10) absorbs the ln() engine ulps, then a
+    HALF_UP round to 6 decimals → integer micro-nats — and everything at
+    doc grain is exact BIGINT (tf · lr_micro folds), so the top-100
+    SELECTION order is bit-identical across engines, not merely close:
+    a float fold here could flip ranks between Spark and the oracle.
+
+    Plan shape: one tokenize pass → (doc, token, tf) hash agg; the two
+    LMs are vocabulary-grain aggregates of that table (the target LM
+    re-joins docs only to read `lang` — at 100 TB `lang` rides the token
+    table and that join disappears); totals are one-row broadcasts; the
+    vocab-sized log-ratio table broadcast-joins back onto tf; the doc
+    fold is one hash agg; top-100 is TakeOrderedAndProject (per-partition
+    heaps, driver merges 100×partitions rows) with the rank window run
+    AFTER the limit — 100 rows, so the "global" window is trivially
+    bounded.  Nothing vocabulary- or corpus-sized is ever collected."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.text.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    raw_lm = tf.groupBy("token").agg(F.sum("tf").alias("c_r"))
+    tgt_lm = (
+        tf.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    totals = raw_lm.agg(
+        F.sum("c_r").alias("t_r"), F.count(F.lit(1)).alias("v")
+    )
+    tgt_total = tgt_lm.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t")
+    )
+    d = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+        / (F.col("t_t") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.col("c_r") + F.lit(1.0))
+        / (F.col("t_r") + F.col("v")).cast("double")
+    )
+    lr = (
+        raw_lm.join(F.broadcast(tgt_lm), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "token",
+            (F.round(d.cast("decimal(28,10)"), 6) * 1000000)
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(lr), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("lr_micro")).alias("weight_micro"))
+    )
+    top = scored.orderBy(
+        F.col("weight_micro").desc(), F.col("doc_id")
+    ).limit(100)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rn"),
+        "doc_id",
+        "lang",
+        "weight_micro",
+    ).orderBy("rn")

@@ -65,6 +65,11 @@ SCALE_SLICE = [
     "x_bitmap_users",
     "x_kmv_jaccard",
     "x_psi_drift",
+    # round-8 batch 3: native recursive traversal (frontier joins, depth
+    # grows log10 with keyspace) and the integer-exact DSIR selection
+    # (vocab-grain LM joins — the rank order must hold at any SF)
+    "q_recursive_cte",
+    "x_dsir_weights",
 ]
 
 

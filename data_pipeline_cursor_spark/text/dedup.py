@@ -1771,3 +1771,93 @@ def component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+BFS_MAX_HOPS = 4  # bounded radius: guarantees SQL recursion terminates
+                  # on cyclic graphs in BOTH engines
+
+
+@register(
+    "x_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {duck_wide_verified_pairs()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    roots AS (
+      SELECT DISTINCT doc_a AS node FROM pairs
+      WHERE doc_a NOT IN (SELECT doc_b FROM pairs)
+    ),
+    bfs AS (
+      SELECT node, 0 AS hop FROM roots
+      UNION ALL
+      SELECT e.dst AS node, b.hop + 1 AS hop
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hop < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+      SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+    )
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(node) AS BIGINT) AS sum_doc_id
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius multi-source BFS over the near-dup pair graph —
+    hop distance from each document to its nearest LOCAL-MINIMUM
+    representative (a node with no smaller-id neighbor; since pairs are
+    emitted doc_a < doc_b, that is exactly "never appears as doc_b", and
+    every component's global minimum qualifies, so every component has
+    ≥1 root).  The hop histogram is the transitive-duplication depth
+    profile: hop 1 = direct near-dups of a representative, hop ≥ 2 =
+    chained near-duplication that pairwise Jaccard alone would miss —
+    the signal for whether single-link clustering (x_dedup_cluster) is
+    collapsing chains or just mirroring the pair list.
+
+    Expressed as a native WITH RECURSIVE (Spark 4) over the round-7
+    default pair family (wide-band minhash candidates + exact-Jaccard
+    verify — candidates ~linear in corpus size, round-6 measurement).
+    The {BFS_MAX_HOPS}-hop radius bound is what makes SQL recursion
+    terminate on CYCLIC graphs (q_recursive_cte's forest needed no bound;
+    a near-dup graph has triangles), in both engines identically: nodes
+    farther than the bound from every root are reported as unreached.
+
+    Scale shape: each recursion level is one hash equi-join of the
+    FRONTIER against the edge table (candidate-sized, never corpus²);
+    path multiplicity is bounded by the radius × max degree, then
+    collapsed by the MIN(hop) aggregate.  The pair pipeline itself is
+    localCheckpoint'ed once (the x_pair_table pattern), so the recursion
+    does not re-run signatures per level."""
+    pairs = _verified_pairs_checkpointed(spark, sf_dir)
+    pairs.createOrReplaceTempView("bfs_pairs")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM bfs_pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM bfs_pairs
+        ),
+        roots AS (
+          SELECT DISTINCT doc_a AS node FROM bfs_pairs
+          WHERE doc_a NOT IN (SELECT doc_b FROM bfs_pairs)
+        ),
+        bfs AS (
+          SELECT node, 0 AS hop FROM roots
+          UNION ALL
+          SELECT e.dst AS node, b.hop + 1 AS hop
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.hop < {BFS_MAX_HOPS}
+        ),
+        dist AS (
+          SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+        )
+        SELECT CAST(hop AS INT) AS hop,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(node) AS BIGINT) AS sum_doc_id
+        FROM dist GROUP BY hop ORDER BY hop
+        """
+    )

@@ -70,6 +70,9 @@ SCALE_SLICE = [
     # (vocab-grain LM joins — the rank order must hold at any SF)
     "q_recursive_cte",
     "x_dsir_weights",
+    # bounded-radius BFS rides the same verified-pair family as the
+    # capstones; recursion depth is radius-bounded, not data-bounded
+    "x_graph_bfs",
 ]
 
 

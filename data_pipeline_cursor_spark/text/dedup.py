@@ -1861,3 +1861,144 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dist GROUP BY hop ORDER BY hop
         """
     )
+
+
+WINNOW_WINDOW = 8   # shingle positions per winnowing window
+WINNOW_MAX_DF = 50  # fingerprints in more docs are boilerplate — dropped
+
+
+@register(
+    "x_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+             ) AS shingles
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5('wn:' || shingles[i]), 1, 15))::BIGINT AS h
+      FROM sh, unnest(generate_series(1, len(shingles))) AS t(i)
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM pos
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM win
+      WHERE pos <= greatest(n - {WINNOW_WINDOW} + 1, 1)
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}
+    ),
+    good AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      FROM good GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM good a JOIN good b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           ROUND(p.n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+             AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared >= 2
+    """,
+)
+def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    the MOSS algorithm): per document, hash every 3-word shingle, slide a
+    {WINNOW_WINDOW}-shingle window, keep the window MINIMUM — a LOCAL
+    fingerprint set whose density is ~2/(w+1) of positions, guaranteeing
+    any shared run of ≥ w+2 shingles produces at least one shared
+    fingerprint.  This is the dedup family the global-minhash stack can't
+    cover: MinHash estimates WHOLE-document resemblance, winnowing
+    detects PARTIAL overlap (a paragraph pasted between two otherwise
+    different documents), positionally.
+
+    Pair report: docs sharing ≥2 rare fingerprints, with the overlap
+    coefficient n_shared/min(|fps|) — fingerprints appearing in more
+    than {WINNOW_MAX_DF} docs are boilerplate and dropped BEFORE the
+    pair join (same guard as x_contamination's common-gram drop), which
+    is also what bounds the inverted-index join: each surviving
+    fingerprint fans out to ≤{WINNOW_MAX_DF}² pairs.
+
+    Plan shape: posexplode → one md5 per shingle (the x_fingerprint
+    idiom) → per-doc window min (ONE exchange on doc_id; the frame is
+    ROWS-bounded so state is {WINNOW_WINDOW} values) → distinct → df
+    filter → fingerprint equi-join (shuffle on uniform 60-bit keys, no
+    skew by construction after the df cap) → pair-grain count.  Cost is
+    linear in corpus + candidate pairs; nothing is ever doc×doc."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(tokens_col())).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        phash(F.col("s"), "wn").alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = wdoc.orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
+    win = pos.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("n"),
+    )
+    fps = (
+        win.filter(
+            F.col("pos")
+            <= F.greatest(F.col("n") - WINNOW_WINDOW + 1, F.lit(1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= WINNOW_MAX_DF
+    )
+    good = fps.join(rare.select("fp"), "fp")
+    sizes = good.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = good.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = good.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("nfa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nfb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least("nfa", "nfb").cast("double"),
+                4,
+            ).alias("overlap"),
+        )
+    )

@@ -73,6 +73,9 @@ SCALE_SLICE = [
     # bounded-radius BFS rides the same verified-pair family as the
     # capstones; recursion depth is radius-bounded, not data-bounded
     "x_graph_bfs",
+    # winnowing: local fingerprint density is ~2/(w+1) of shingle
+    # positions — linear corpus cost; the df cap bounds the pair join
+    "x_winnowing",
 ]
 
 

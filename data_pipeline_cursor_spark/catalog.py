@@ -520,3 +520,62 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("db").alias("db_min"),
         F.max("db").alias("db_max"),
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline pipeline observability via the Observation API (Spark 3.3+
+    ``df.observe``): named aggregate metrics are harvested by a
+    CollectMetrics node AS ROWS FLOW THROUGH an existing job — the batch
+    twin of s_query_metrics' listener harvest, and the mechanism for
+    row-count / checksum reconciliation WITHOUT a second scan (an audit
+    query re-reading 100 TB doubles the cost; an observed metric is
+    free).
+
+    The returned one-row table is the observation itself (4 scalars —
+    bounded driver state by construction, same budget as
+    s_query_metrics' counter).  The money metric folds exact integer
+    cents (floor(v·100 + 0.5), the repo's half-away rule) so the
+    observed value is fold-order-free and hash-comparable to the
+    oracle's full-scan aggregate; observe-vs-rescan equality is exactly
+    the reconciliation a deployment checks.
+
+    Scale note: CollectMetrics partials merge on the driver at
+    O(metrics), not O(rows); the observed job here is a plain count()
+    so the whole demonstration is ONE scan."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    observed.count()  # the action that drives rows past CollectMetrics
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                got["n_rows"],
+                got["sum_cents"],
+                got["min_id"],
+                got["max_id"],
+            )
+        ],
+        "n_rows bigint, sum_cents bigint, min_id bigint, max_id bigint",
+    )

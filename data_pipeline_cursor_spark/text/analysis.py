@@ -1849,3 +1849,144 @@ def kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - jx), 4).alias("abs_err"),
         )
     )
+
+
+HLL_M = 64  # registers (2^6); bucket = h mod 64, rank over the top 54 bits
+HLL_SEED = "hll"
+_TWO54 = 1 << 54
+# alpha_m * m^2 * 2^54, computed ONCE in Python and embedded as a single
+# scientific-notation literal: both engines parse exponent-form literals
+# as DOUBLE and repr() round-trips, so the constant is bit-identical.
+# (Spelling the arithmetic inline is NOT portable: Spark parses plain
+# decimal literals as DECIMAL and folds 0.7213/(1+1.079/64) at decimal
+# scale — observed 1e-8 off DuckDB's double fold.)
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / HLL_M) * (HLL_M * HLL_M) * float(_TWO54))
+
+
+@register(
+    "x_hll_distinct",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT lang, s
+      FROM (
+        SELECT lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 1)),
+                 i -> concat_ws(' ', string_split(lower(text),' ')[i],
+                                     string_split(lower(text),' ')[i+1],
+                                     string_split(lower(text),' ')[i+2])
+               )) AS s
+        FROM documents
+      ) t
+    ),
+    cnt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact FROM sh GROUP BY lang
+    ),
+    hashed AS (
+      SELECT lang, {_duck_phash('s', HLL_SEED)} AS h FROM sh
+    ),
+    regs AS (
+      SELECT lang, h % {HLL_M} AS bucket,
+             MAX(55 - length(printf('%b', h // {HLL_M}))) AS m_rank
+      FROM hashed GROUP BY lang, h % {HLL_M}
+    ),
+    sums AS (
+      SELECT lang,
+             CAST(SUM(1::BIGINT << (54 - m_rank)) AS BIGINT)
+               + ({HLL_M} - CAST(COUNT(*) AS BIGINT)) * {_TWO54}::BIGINT
+               AS s_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_set
+      FROM regs GROUP BY lang
+    ),
+    est AS (
+      SELECT c.lang, c.n_exact, s.n_set,
+             CASE WHEN {_HLL_NUM} / s.s_scaled <= {2.5 * HLL_M}
+                       AND s.n_set < {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - s.n_set))
+                  ELSE {_HLL_NUM} / s.s_scaled
+             END AS e
+      FROM cnt c JOIN sums s ON c.lang = s.lang
+    )
+    SELECT lang, n_exact, n_set,
+           CAST(ROUND(CAST(e AS DECIMAL(28,10)), 4) AS DOUBLE) AS hll_est,
+           CAST(ROUND(CAST(abs(e - n_exact) / n_exact AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS rel_err
+    FROM est
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count (Flajolet et al. 2007), replayed
+    bit-exactly: per language, the distinct-3-shingle NDV estimated from
+    {HLL_M} one-byte registers — bucket = h mod {HLL_M}, register =
+    max leading-zero rank of the remaining 54 hash bits — next to the
+    exact NDV (the calibration table, same shape as x_kmv_distinct).
+    Completes the sketch family with THE canonical mergeable NDV sketch:
+    registers merge by element-wise MAX, so 1000 executors each ship
+    {HLL_M} bytes per group, never the shingle sets.
+
+    Determinism: the harmonic-mean denominator Σ 2^(−M[b]) is folded as
+    the SCALED-INTEGER sum Σ 2^(54−M[b]) — a BIGINT, exact under any
+    fold order — then one double division; a direct float sum of
+    2^(−M[b]) terms can need >53 mantissa bits (2^−54 + 1 is not
+    representable) and would be fold-order-sensitive.  The rank itself
+    is string-exact: 55 − length(bin(h div {HLL_M})) in both engines
+    (bin(0) = '0' in both, so the measure agrees even on the
+    probability-2^−54 all-zero slice).  The small-range linear-counting
+    branch (raw ≤ 2.5m and empty registers exist → m·ln(m/V)) goes
+    through the DECIMAL(28,10) stable-round discipline.
+
+    Scale shape: explode → distinct (the only corpus-sized steps, both
+    linear) → one hash agg to {HLL_M} register rows per group → one
+    {HLL_M}-row fold per group.  Nothing vocabulary-sized crosses the
+    wire after the register agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_pipeline_cursor_spark.text.dedup import shingles_col
+
+    sh = docs.select(
+        "lang", F.explode(shingles_col(tokens_col())).alias("s")
+    ).distinct()
+    cnt = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    hashed = sh.select("lang", phash(F.col("s"), HLL_SEED).alias("h"))
+    regs = (
+        hashed.select(
+            "lang",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            (
+                F.lit(55) - F.length(F.bin(F.expr(f"h div {HLL_M}")))
+            ).alias("rank"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    sums = regs.groupBy("lang").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 54 - m_rank)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_TWO54)
+        ).alias("s_scaled"),
+        F.count(F.lit(1)).alias("n_set"),
+    )
+    raw = F.expr(f"{_HLL_NUM} / s_scaled")
+    e = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_set") < HLL_M),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_set"))),
+    ).otherwise(raw)
+    return (
+        cnt.join(sums, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "n_set",
+            F.round(e.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("hll_est"),
+            F.round(
+                (F.abs(e - F.col("n_exact")) / F.col("n_exact")).cast(
+                    "decimal(28,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("rel_err"),
+        )
+    )

@@ -76,6 +76,9 @@ SCALE_SLICE = [
     # winnowing: local fingerprint density is ~2/(w+1) of shingle
     # positions — linear corpus cost; the df cap bounds the pair join
     "x_winnowing",
+    # HLL: register math must stay exact as NDV grows (the scaled-integer
+    # fold is the point); the estimate branches differ by scale
+    "x_hll_distinct",
 ]
 
 

@@ -1694,3 +1694,69 @@ def s_cms_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, _ckpt("cms_window"))
+
+
+SHLL_M = 64  # registers per window; state = m rows/window, cardinality-free
+
+_SHLL_ORACLE = f"""
+    SELECT make_timestamp(
+             CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           CAST(h % {SHLL_M} AS INTEGER) AS bucket,
+           CAST(MAX(55 - length(printf('%b', h // {SHLL_M}))) AS INTEGER)
+             AS m_rank
+    FROM (
+      SELECT ts,
+             ('0x' || substr(md5('shll:' ||
+                CAST(event_id // {SCMS_ENTITY_DIV} AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ) t
+    GROUP BY 1, 2
+"""
+
+
+@register("s_hll_window", oracle=_SHLL_ORACLE)
+def s_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HYPERLOGLOG — x_hll_distinct's stateful sibling and
+    s_cms_window's NDV counterpart: per 5-minute tumbling window, the
+    {SHLL_M}-register HLL table over the derived high-cardinality entity
+    key (event_id div {SCMS_ENTITY_DIV}, the s_cms_window stand-in),
+    append mode.  Register update is MAX — commutative, idempotent,
+    mergeable — so the streaming state is {SHLL_M} single-byte ranks per
+    open window REGARDLESS of how many distinct entities the stream
+    carries, and a restart/replay that double-delivers events cannot
+    corrupt it (MAX absorbs duplicates; contrast a naive distinct-count
+    whose state grows with cardinality AND breaks under replay).
+
+    The emitted rows are the registers themselves — the mergeable
+    summary a fleet of streams ships to a coordinator (element-wise MAX
+    merges sites); the scalar estimate is one {SHLL_M}-row fold away,
+    exactly x_hll_distinct's scaled-integer harmonic mean.  Register
+    ranks are integer md5 math, so the drained end state hash-checks
+    against a full DuckDB replay."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    entity = F.expr(
+        f"CAST(CAST(event_id AS BIGINT) div {SCMS_ENTITY_DIV} AS STRING)"
+    )
+    h = phash(entity, "shll")
+    hashed = df.select(
+        "event_time",
+        h.alias("h"),
+    ).select(
+        "event_time",
+        F.pmod("h", F.lit(SHLL_M)).cast("int").alias("bucket"),
+        (F.lit(55) - F.length(F.bin(F.expr(f"h div {SHLL_M}"))))
+        .cast("int")
+        .alias("rank"),
+    )
+    agg = (
+        hashed.groupBy(F.window("event_time", "5 minutes"), F.col("bucket"))
+        .agg(F.max("rank").alias("m_rank"))
+        .select(
+            F.col("window.start").alias("window_start"), "bucket", "m_rank"
+        )
+    )
+    return run_to_completion(agg, _ckpt("hll_window"))

@@ -2002,3 +2002,81 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@register(
+    "x_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_DUCK_WIDE_CAND_SETS},
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(len(list_intersect(sa.ss, sb.ss))
+                   / CAST(len(list_distinct(list_concat(sa.ss, sb.ss)))
+                          AS DOUBLE), 4) AS jaccard
+      FROM candw c
+      JOIN setsw sa ON sa.doc_id = c.doc_a
+      JOIN setsw sb ON sb.doc_id = c.doc_b
+    )
+    SELECT t.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT s.doc_b) AS BIGINT) AS n_docs_dropped
+    FROM scored s
+    JOIN unnest({SWEEP_THRESHOLDS}::DOUBLE[]) AS t(threshold)
+      ON s.jaccard >= t.threshold
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SWEEP — the decision table read before fixing
+    JACCARD_THRESHOLD (currently {JACCARD_THRESHOLD}): for each candidate
+    threshold, how many verified pairs survive and how many documents the
+    greedy larger-id rule (curation stage 3) would drop.  One extra
+    aggregate over the pipeline the stack already runs; choosing a
+    threshold from measured pair/drop curves instead of folklore is the
+    same calibration discipline as x_minhash_accuracy.
+
+    Honest operating range: candidates come from the wide bands (r=4),
+    whose collision probability at jaccard j is ~1-(1-j^4)^2 — recall is
+    high near the {JACCARD_THRESHOLD}+ regime the bands are tuned for
+    and decays toward 0.5, so LOW-threshold rows count band-reachable
+    pairs, not all pairs (the sweep informs the threshold GIVEN the
+    candidate family; re-tuning bands is x_minhash_accuracy's job).
+
+    Plan shape: candidate generation + exact verify exactly as
+    x_dedup_minhash_verified (band equi-joins, candidate-sized verify);
+    the sweep is candidates × |thresholds| rows through one hash agg —
+    count(distinct doc_b) expands to (threshold, doc_b) grain first,
+    still candidate-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_wide_candidates_df(docs)
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col())).alias("ss"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    ).cast("double")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        scored.select("doc_b", "jaccard", thresholds)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+        .orderBy("threshold")
+    )

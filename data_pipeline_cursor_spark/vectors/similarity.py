@@ -1227,3 +1227,136 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+DRIFT_MIL = 1000  # fixed-point milli-unit quantization for centroid math
+
+
+@register(
+    "x_embed_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_MIL} + 0.5)
+                  AS BIGINT) AS qmil
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(qmil) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY label, pos
+    ),
+    c2 AS (
+      SELECT label, pos,
+             CASE WHEN s >= 0 THEN s // n ELSE -((-s + n - 1) // n) END
+               AS c
+      FROM cent
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS l2sq_mil
+      FROM c2 a JOIN c2 b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    ),
+    sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label_a, p.label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+           p.l2sq_mil,
+           sqrt(CAST(p.l2sq_mil AS DOUBLE)) / {DRIFT_MIL} AS dist
+    FROM pairs p
+    JOIN sizes sa ON sa.label = p.label_a
+    JOIN sizes sb ON sb.label = p.label_b
+    """,
+)
+def embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT matrix: pairwise L2 distance between
+    per-label centroids — the embedding analog of the value-distribution
+    drift family (KL / KS / PSI).  Run between a reference snapshot's
+    groups and today's, a centroid that moved is retraining/upstream
+    drift; here the 10 labels stand in for the group axis.
+
+    Determinism: embeddings quantize to FIXED-POINT milli-units
+    (floor(x·{DRIFT_MIL} + 0.5) — one identical double expression in both
+    engines, no per-vector scale so codes are comparable ACROSS vectors);
+    centroids are integer-division means made negative-safe by a CASE
+    that keeps every division's operands NONNEGATIVE — floor and
+    truncate coincide there, so DuckDB `//` and Spark `div` agree by
+    construction, whatever each dialect does on negative operands; the
+    pairwise distance folds exact BIGINT squares.  The only
+    float is the final IEEE-exact sqrt, shipped unrounded
+    (x_embed_quantize's precedent).
+
+    Plan shape: posexplode to (label, pos) grain → ONE hash agg of
+    |labels|·64 cells → |labels|²·64/2 join rows — everything after the
+    explode is labels-sized, nothing corpus-sized shuffles twice.  At
+    100 TB the per-partition partial sums do the heavy lifting map-side;
+    the centroid table is kilobytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * DRIFT_MIL + F.lit(0.5))
+        .cast("bigint")
+        .alias("qmil"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("qmil").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # Spark `div` on negatives truncates toward zero (like DuckDB //);
+    # make the mean an explicit FLOOR division in both dialects so the
+    # two engines cannot disagree on negative sums.
+    c2 = cent.select(
+        "label",
+        "pos",
+        F.when(
+            F.col("s") >= 0, F.expr("s div n")
+        ).otherwise(-F.expr("(-s + n - 1) div n")).alias("c"),
+    )
+    a = c2.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("c").alias("ca"),
+    )
+    b = c2.select(
+        F.col("label").alias("label_b"),
+        "pos",
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("l2sq_mil")
+        )
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    sa = sizes.select(
+        F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            "l2sq_mil",
+            (F.sqrt(F.col("l2sq_mil").cast("double")) / DRIFT_MIL).alias(
+                "dist"
+            ),
+        )
+    )

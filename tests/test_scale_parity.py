@@ -79,6 +79,10 @@ SCALE_SLICE = [
     # HLL: register math must stay exact as NDV grows (the scaled-integer
     # fold is the point); the estimate branches differ by scale
     "x_hll_distinct",
+    # threshold sweep rides the wide-band candidate family; centroid
+    # drift's (label, pos) grain must stay fixed as the corpus grows
+    "x_dedup_threshold_sweep",
+    "x_embed_drift",
 ]
 
 

@@ -268,7 +268,16 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (level-k rows only, never the accumulated result), so total work is
     O(depth × |customer|) with depth = ceil(log10(max key)) ≈ 8 at
     100 TB — and each level's join key (custkey div 10) is uniform, so
-    no skew.  The final aggregate is one shuffle of depth-grain rows."""
+    no skew.  The final aggregate is one shuffle of depth-grain rows.
+
+    Guard rail, measured: spark.sql.cteRecursionRowLimit defaults to
+    1e6 CUMULATIVE rows across all levels and the sf10 fixture's 1.5 M
+    customers exceed it (RECURSION_ROW_LIMIT_EXCEEDED) — the traversal
+    visits every row once, so the honest setting is ≥ |table|.  Sized
+    here for 100× the sf10 fixture; a 100 TB deployment sizes it to the
+    traversed table's row count (the LEVEL limit, default 100, is the
+    one that guards against runaway recursion and stays default)."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     _views(spark, sf_dir, "customer")
     return spark.sql(
         """

@@ -1760,3 +1760,96 @@ def s_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, _ckpt("hll_window"))
+
+
+_DRIFT_TYPES = ["click", "error", "purchase", "signup", "view"]
+# per-type KL term, spelled with IDENTICAL arithmetic order in both
+# dialects: (n/total) * ln(n*K/total), 0 when the type is absent
+_DRIFT_TERM_SQL = " + ".join(
+    f"""CASE WHEN n_{t} > 0
+         THEN (CAST(n_{t} AS DOUBLE) / CAST(total AS DOUBLE))
+              * ln(CAST(n_{t} AS DOUBLE) * {len(_DRIFT_TYPES)}.0
+                   / CAST(total AS DOUBLE))
+         ELSE 0.0 END"""
+    for t in _DRIFT_TYPES
+)
+
+_SDRIFT_ORACLE = f"""
+    WITH win AS (
+      SELECT make_timestamp(
+               CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+               AS window_start,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+                 for t in _DRIFT_TYPES)},
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events
+      GROUP BY 1
+    )
+    SELECT window_start, {", ".join(f"n_{t}" for t in _DRIFT_TYPES)}, total,
+           CAST(ROUND(CAST({_DRIFT_TERM_SQL} AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS kl_uniform
+    FROM win
+"""
+
+
+@register("s_drift_window", oracle=_SDRIFT_ORACLE)
+def s_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DISTRIBUTION-DRIFT MONITOR — the stateful sibling of
+    q_drift_kl / x_psi_drift: per 5-minute tumbling window, the
+    event-type mix and its KL divergence from the uniform reference
+    (1/{len(_DRIFT_TYPES)} per type), append mode — each window's drift
+    score publishes when the watermark passes, the alarm signal a
+    pipeline watches for upstream mix shifts (a spike means one producer
+    went quiet or chatty).  Against a NON-uniform reference snapshot,
+    broadcast the reference shares onto the stream before the aggregate
+    (s_static_join's mechanism) — the plan shape is unchanged; the
+    uniform reference keeps the job self-contained.
+
+    State: ONE row of {len(_DRIFT_TYPES)} conditional counters per open
+    window (the type axis is folded map-side as conditional sums — no
+    per-type state rows, no second chained aggregate).  The KL
+    expression evaluates on exact integer counts in a FIXED term order
+    spelled identically in the DuckDB replay, then goes through the
+    stable-round discipline, so the drained end state hash-checks.
+
+    The flush sentinel's own type never reaches the output (its window
+    sits past every real event and is never finalized in append mode),
+    so the counters cover exactly the real types."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    counts = [
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"n_{t}")
+        for t in _DRIFT_TYPES
+    ]
+    agg = (
+        df.groupBy(F.window("event_time", "5 minutes"))
+        .agg(*counts, F.count(F.lit(1)).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *[f"n_{t}" for t in _DRIFT_TYPES],
+            "total",
+            stable_round4(
+                sum(
+                    [
+                        F.when(
+                            F.col(f"n_{t}") > 0,
+                            (
+                                F.col(f"n_{t}").cast("double")
+                                / F.col("total").cast("double")
+                            )
+                            * F.log(
+                                F.col(f"n_{t}").cast("double")
+                                * F.lit(float(len(_DRIFT_TYPES)))
+                                / F.col("total").cast("double")
+                            ),
+                        ).otherwise(F.lit(0.0))
+                        for t in _DRIFT_TYPES
+                    ],
+                    F.lit(0.0),
+                )
+            ).alias("kl_uniform"),
+        )
+    )
+    return run_to_completion(agg, _ckpt("drift_window"))

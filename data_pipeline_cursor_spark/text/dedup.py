@@ -2080,3 +2080,58 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "x_cross_source_dup",
+    oracle=f"""
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS},
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_lo,
+             greatest(da.source, db.source) AS source_hi,
+             p.doc_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped
+    FROM tagged
+    GROUP BY source_lo, source_hi
+    """,
+)
+def cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX: verified near-dup pairs rolled up
+    by the (unordered) source pair of their endpoints — the provenance
+    view of the dedup graph.  Diagonal rows (source_lo = source_hi) are
+    within-crawl duplication; OFF-diagonal rows are the signal that two
+    acquisition channels ship the same content — the number that decides
+    which source to drop wholesale before paying per-doc dedup, and the
+    verified-pair complement of x_kmv_jaccard's sketch-level resemblance
+    estimate (sketch says "suspiciously similar sources", this says
+    exactly how many verified pairs and droppable docs that means).
+
+    Plan shape: the pair pipeline as usual (band equi-joins +
+    candidate-sized verify, localCheckpoint'ed); then two broadcastable
+    doc_id→source joins and one |sources|²-grain aggregate.  n_dropped
+    counts DISTINCT larger-id docs per source pair (the greedy rule's
+    actual deletions attributable to that channel pair)."""
+    pairs = _verified_pairs_checkpointed(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "doc_b",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_dropped"),
+        )
+    )

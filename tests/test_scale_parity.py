@@ -83,6 +83,7 @@ SCALE_SLICE = [
     # drift's (label, pos) grain must stay fixed as the corpus grows
     "x_dedup_threshold_sweep",
     "x_embed_drift",
+    "x_cross_source_dup",
 ]
 
 

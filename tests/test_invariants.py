@@ -1644,3 +1644,28 @@ def test_tokenizer_fertility_bounds_and_totals(spark):
         assert got.loc[lang, "chars_per_symbol"] <= (
             got.loc[lang, "n_chars"] / got.loc[lang, "n_tokens"] + 1e-9
         )
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """x_hll_distinct: with m = 64 registers the standard error is
+    1.04/sqrt(64) = 13%; every group's estimate must land within ~3
+    sigma of the exact NDV (a broken register/rank rule blows this up
+    by orders of magnitude while still hash-matching a same-broken
+    oracle — parity can't catch a spec bug, this bound can)."""
+    got = get_queries()["x_hll_distinct"](spark, SF_ORACLE).toPandas()
+    assert len(got) >= 3
+    assert (got["rel_err"] <= 0.40).all(), got
+
+
+def test_dsir_selects_target_enriched_docs(spark):
+    """x_dsir_weights: the top-100 must be ENRICHED in the target slice
+    (lang='en') relative to its corpus base rate — the defining property
+    of importance selection; a sign flip in the log-ratio (selecting the
+    LEAST target-like docs) passes parity but inverts this."""
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_dsir_weights"](spark, SF_ORACLE).toPandas()
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    base = (docs["lang"] == "en").mean()
+    sel = (got["lang"] == "en").mean()
+    assert sel > base * 1.2, (sel, base)

@@ -601,3 +601,53 @@ def test_tokenizer_fertility_joins_vocab_sized_table(spark):
     df.collect()  # finalize AQE so the join strategy is real
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_recursive_cte_runs_as_union_loop(spark):
+    """q_recursive_cte / x_graph_bfs: the recursion must execute as
+    Spark's native UnionLoop (frontier re-joined per level), not fall
+    back to anything materializing the closure at once."""
+    df = get_queries()["q_recursive_cte"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "UnionLoop" in plan, plan
+
+
+def test_dsir_vocab_joins_broadcast_and_rank_after_limit(spark):
+    """x_dsir_weights: the log-ratio table and the one-row totals are
+    vocabulary-/scalar-sized — they must broadcast onto the tf table
+    (the corpus-sized side never re-shuffles for them), and the only
+    window sits above the 100-row TakeOrdered prefix."""
+    df = get_queries()["x_dsir_weights"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winnowing_windows_partitioned_by_doc(spark):
+    """x_winnowing: both window passes (frame min, per-doc count) are
+    doc_id-partitioned — no global single-partition window touches the
+    shingle grain."""
+    import re
+
+    df = get_queries()["x_winnowing"](spark, SF_SMOKE)
+    plan = _plan(df)
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "doc_id" in tail, tail
+
+
+def test_hll_register_agg_is_two_level(spark):
+    """x_hll_distinct: the register table folds through partial
+    HashAggregates (map-side combine before the lang/bucket exchange) —
+    the property that ships 64 register rows per group, not shingles."""
+    df = get_queries()["x_hll_distinct"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_embed_drift_joins_are_label_grain(spark):
+    """x_embed_drift: after the posexplode, everything is (label, pos)
+    grain; the size lookups broadcast."""
+    df = get_queries()["x_embed_drift"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan

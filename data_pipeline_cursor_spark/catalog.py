@@ -579,3 +579,115 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, sum_cents bigint, min_id bigint, max_id bigint",
     )
+
+
+@register(
+    "x_dq_rules",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null_ship,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_disc,
+             CAST(COUNT(*) AS BIGINT)
+               - CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+                      AS BIGINT) AS v_dup
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+      FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      )
+    )
+    SELECT rule, n_violations, n_checked, n_violations = 0 AS pass
+    FROM (
+      SELECT 'shipdate_not_null' AS rule, v_null_ship AS n_violations,
+             n_rows AS n_checked FROM base
+      UNION ALL
+      SELECT 'quantity_in_1_45', v_qty, n_rows FROM base
+      UNION ALL
+      SELECT 'discount_le_0.08', v_disc, n_rows FROM base
+      UNION ALL
+      SELECT 'orderline_unique', v_dup, n_rows FROM base
+      UNION ALL
+      SELECT 'orderkey_fk_orders', fk.v_fk, base.n_rows FROM fk, base
+    ) t
+    ORDER BY rule
+    """,
+)
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-QUALITY RULE TABLE (the Deequ/dbt-tests staple):
+    completeness, two range rules, key uniqueness, and referential
+    integrity over the fact table, each reported as (rule, violations,
+    checked, pass).  Thresholds are set so the fixture exercises BOTH
+    outcomes (3 pass, 2 fail) — a DQ harness whose demo only ever
+    passes is untested.
+
+    Plan shape: rules 1-4 fold in ONE wide aggregate over ONE scan
+    (q_analyze_stats' single-pass discipline; the uniqueness rule rides
+    the same pass as an exact COUNT(DISTINCT composite key)); the FK
+    rule is one LEFT ANTI broadcast join (orders' keys broadcast;
+    violations = surviving rows).  The rule rows are stacked from the
+    1-row aggregate — zero extra scans.  At 100 TB this is the nightly
+    gate before a partition promotes to serving: one scan, one
+    broadcast, O(rules) output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
+        ).alias("v_null_ship"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 45), 1
+            ).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.08, 1).otherwise(0)
+        ).alias("v_disc"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.col("l_orderkey") * 10 + F.col("l_linenumber")
+            )
+        ).alias("v_dup"),
+    )
+    v_fk = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    stacked = base.select(
+        F.expr(
+            "stack(4, "
+            "'shipdate_not_null', v_null_ship, "
+            "'quantity_in_1_45', v_qty, "
+            "'discount_le_0.08', v_disc, "
+            "'orderline_unique', v_dup) AS (rule, n_violations)"
+        ),
+        F.col("n_rows").alias("n_checked"),
+    )
+    fk_row = v_fk.crossJoin(F.broadcast(base.select("n_rows"))).select(
+        F.lit("orderkey_fk_orders").alias("rule"),
+        F.col("v_fk").alias("n_violations"),
+        F.col("n_rows").alias("n_checked"),
+    )
+    return (
+        stacked.unionAll(fk_row)
+        .select(
+            "rule",
+            "n_violations",
+            "n_checked",
+            (F.col("n_violations") == 0).alias("pass"),
+        )
+        .orderBy("rule")
+    )

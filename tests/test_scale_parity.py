@@ -84,6 +84,8 @@ SCALE_SLICE = [
     "x_dedup_threshold_sweep",
     "x_embed_drift",
     "x_cross_source_dup",
+    # the nightly promote gate: one scan + one broadcast at any SF
+    "x_dq_rules",
 ]
 
 

@@ -460,3 +460,135 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_win"),
         F.round(med, 4).alias("rolling_median"),
     )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+             END AS known_cents
+      FROM events
+    ),
+    br AS (
+      SELECT user_id, event_id, known_cents,
+             last_value(known_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pv,
+             last_value(CASE WHEN known_cents IS NOT NULL THEN tus END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pt,
+             first_value(known_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nv,
+             first_value(CASE WHEN known_cents IS NOT NULL THEN tus END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nt,
+             tus
+      FROM r
+    )
+    SELECT user_id, event_id,
+           CASE WHEN known_cents IS NOT NULL THEN 1 ELSE 0 END AS is_known,
+           ROUND(CASE
+             WHEN known_cents IS NOT NULL THEN CAST(known_cents AS DOUBLE)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt = pt
+               THEN CAST(pv AS DOUBLE)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN CAST(pv AS DOUBLE)
+                    + CAST(nv - pv AS DOUBLE)
+                      * (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+             WHEN nv IS NOT NULL THEN CAST(nv AS DOUBLE)
+           END / 100.0, 4) AS interp_value
+    FROM br
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR time-series interpolation (D16/D38's missing third sibling:
+    LOCF carries the last value flat; this draws the line).  The sparse
+    observed series is each user's 'purchase' amounts; every other event
+    of that user gets the value linearly interpolated IN EVENT TIME
+    between the bracketing observations — the standard gap-fill before
+    resampling an irregular series onto a regular grid.  Edge rule:
+    before the first / after the last observation the boundary value
+    extends flat (the pandas `interpolate(limit_direction='both')`
+    convention); a user with no observations stays NULL.
+
+    Determinism: observations are integer CENTS and timestamps integer
+    MICROSECONDS; the only float math is one ratio + one multiply-add on
+    exactly equal inputs in both engines (same IEEE ops in the same
+    order), then ROUND(.,4).  Equal-timestamp brackets (nt = pt) short-
+    circuit to the previous value before the 0/0 division can occur.
+
+    Plan: ONE exchange on user_id + one sort feeds all four IGNORE-NULLS
+    window reads (same frame family, one WindowExec pass for the
+    preceding pair, one for the following pair).  100 TB: the canonical
+    per-key window envelope — per-row state is O(1), no value-grain or
+    corpus-grain joins anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    known = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("bigint"),
+    )
+    r = ev.select(
+        "user_id", "event_id", tus.alias("tus"), known.alias("known_cents")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kt = F.when(F.col("known_cents").isNotNull(), F.col("tus"))
+    br = r.select(
+        "user_id",
+        "event_id",
+        "tus",
+        "known_cents",
+        F.last("known_cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(kt, ignorenulls=True).over(wb).alias("pt"),
+        F.first("known_cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(kt, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("known_cents").isNotNull(), F.col("known_cents").cast("double"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") == F.col("pt")),
+            F.col("pv").cast("double"),
+        )
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv").cast("double")
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (
+                (F.col("tus") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv").cast("double"))
+        .when(F.col("nv").isNotNull(), F.col("nv").cast("double"))
+    )
+    return br.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("known_cents").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_known"),
+        F.round(interp / 100.0, 4).alias("interp_value"),
+    )

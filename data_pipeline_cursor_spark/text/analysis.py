@@ -1990,3 +1990,201 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err"),
         )
     )
+
+
+@register(
+    "x_auc_signal",
+    oracle="""
+    WITH v AS (
+      SELECT n_chars AS s,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p_v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_v
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT s, p_v, n_v,
+             CAST(COALESCE(SUM(n_v) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS neg_lt
+      FROM v
+    )
+    SELECT CAST(SUM(p_v) AS BIGINT) AS n_pos,
+           CAST(SUM(n_v) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * p_v * neg_lt + p_v * n_v) AS BIGINT) AS auc_num2,
+           ROUND(CAST(SUM(2 * p_v * neg_lt + p_v * n_v) AS DOUBLE)
+                 / (2.0 * SUM(p_v) * SUM(n_v)), 6) AS auc
+    FROM c
+    """,
+)
+def auc_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a curation signal (quality-classifier calibration
+    — the number a filtering threshold is chosen FROM).  AUC of the
+    score `n_chars` discriminating the positive class `lang = 'en'`,
+    via the Mann-Whitney U identity
+
+        AUC = P(s_pos > s_neg) + ½·P(s_pos = s_neg)
+            = Σ_v [ p_v·neg_below(v) + ½·p_v·n_v ] / (P·N)
+
+    computed at VALUE grain: per distinct score, the positive/negative
+    counts; a running sum over the ordered values gives neg_below.  The
+    numerator is kept ×2 (`auc_num2`) so ties contribute integers — the
+    whole statistic is exact BIGINT until one final division.
+
+    Plan: one corpus aggregate to value grain, one window over DISTINCT
+    SCORE VALUES (bounded by the score's codomain — here ≤ max doc
+    length, NOT corpus size — the same value-grain discipline as
+    x_ks_drift/x_psi_drift), one 1-row fold.  100 TB: the corpus pass is
+    the only data-sized stage; everything after is |distinct scores|."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    v = docs.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum(pos).alias("p_v"),
+        F.sum(1 - pos).alias("n_v"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "p_v",
+        "n_v",
+        F.coalesce(F.sum("n_v").over(w), F.lit(0)).alias("neg_lt"),
+    )
+    num2 = F.sum(2 * F.col("p_v") * F.col("neg_lt") + F.col("p_v") * F.col("n_v"))
+    return c.agg(
+        F.sum("p_v").alias("n_pos"),
+        F.sum("n_v").alias("n_neg"),
+        num2.alias("auc_num2"),
+        F.round(
+            num2.cast("double")
+            / (F.lit(2.0) * F.sum("p_v") * F.sum("n_v")),
+            6,
+        ).alias("auc"),
+    )
+
+
+PPL_BUCKETS = 3  # head / middle / tail, per CCNet
+
+
+@register(
+    "x_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    tf AS (
+      SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, lang, token
+    ),
+    lm AS (
+      SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+      FROM lm
+    ),
+    lp AS (
+      SELECT lm.token,
+             CAST(ROUND(CAST(
+               -ln((lm.c + 1.0) / CAST(tt.t + tt.v AS DOUBLE))
+             AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT) AS nlp_micro
+      FROM lm CROSS JOIN totals tt
+    ),
+    doc AS (
+      SELECT tf.doc_id, tf.lang,
+             (CAST(SUM(tf.tf * lp.nlp_micro) AS BIGINT)
+              // CAST(SUM(tf.tf) AS BIGINT)) // 1000 AS v
+      FROM tf JOIN lp USING (token)
+      GROUP BY tf.doc_id, tf.lang
+    ),
+    vg AS (
+      SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM doc GROUP BY lang, v
+    ),
+    c AS (
+      SELECT lang, v, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (
+               PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM vg
+    )
+    SELECT lang,
+           CAST(1 + least(2, (3 * cum_before) // n_lang) AS INT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(MIN(v) AS BIGINT) AS min_nll_milli,
+           CAST(MAX(v) AS BIGINT) AS max_nll_milli
+    FROM c
+    GROUP BY lang, 1 + least(2, (3 * cum_before) // n_lang)
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): per language,
+    documents split into head / middle / tail terciles of unigram-LM
+    mean negative log-likelihood — the classic "keep the head, sample
+    the middle, drop the tail" curation gate, and the published artifact
+    IS this table's cutoffs (min/max mean-NLL per bucket).
+
+    Determinism discipline: the per-token NLL is quantized ONCE to
+    integer micro-nats (DECIMAL(28,10) absorbs ln ulps — x_dsir_weights'
+    rule); the per-doc mean uses integer division on POSITIVE operands
+    (NLL, not logprob, so floor ≡ truncate in both engines) and is then
+    coarsened to milli-nats, making the bucket key exact BIGINT.
+    Bucketing uses the PSI inline rank rule — bucket(v) = 1 + min(2,
+    3·cum_before(v) div n_lang) ≡ tercile cutpoints — so docs sharing a
+    quantized value share a bucket and no doc-grain rank window exists.
+
+    Plan: one tokenize pass → tf hash agg; vocab-grain LM + one-row
+    totals broadcast; vocab-sized NLL table broadcast back onto tf; one
+    doc-grain fold; then everything is VALUE grain — the window runs
+    over (lang, milli-nat) rows, bounded by the NLL codomain (~10^4
+    values) regardless of corpus size.  100 TB: two corpus-sized hash
+    aggs and a broadcast join; no global or per-lang doc-grain sort —
+    the exact failure x_curriculum_order's rewrite removed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    totals = lm.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
+    nlp = -F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.col("v")).cast("double"))
+    lp = lm.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (F.round(nlp.cast("decimal(28,10)"), 6) * 1000000)
+        .cast("bigint")
+        .alias("nlp_micro"),
+    )
+    doc = (
+        tf.join(F.broadcast(lp), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "(CAST(SUM(tf * nlp_micro) AS BIGINT) div CAST(SUM(tf) AS BIGINT))"
+                " div 1000"
+            ).alias("v")
+        )
+    )
+    vg = doc.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = vg.select(
+        "lang",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    bucket = (
+        F.lit(1)
+        + F.least(F.lit(2), F.expr("(3 * cum_before) div n_lang"))
+    ).cast("int")
+    return c.groupBy("lang", bucket.alias("bucket")).agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("v").alias("min_nll_milli"),
+        F.max("v").alias("max_nll_milli"),
+    )

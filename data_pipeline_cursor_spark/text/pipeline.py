@@ -122,10 +122,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_dsir_weights",
-    oracle="""
-    WITH tok AS (
+# tok → tf → LMs → integer micro-nat log-ratios → per-doc weight fold:
+# the DSIR scored table, shared by x_dsir_weights (top-100 ranking) and
+# x_dsir_sample (Gumbel-top-k resampling).
+_DUCK_DSIR_SCORED = """tok AS (
       SELECT doc_id, t.tk AS token
       FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
     ),
@@ -165,7 +165,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(tf.tf * lr.lr_micro) AS BIGINT) AS weight_micro
       FROM tf JOIN lr ON tf.token = lr.token
       GROUP BY tf.doc_id
-    ),
+    )"""
+
+
+@register(
+    "x_dsir_weights",
+    oracle=f"""
+    WITH {_DUCK_DSIR_SCORED},
     ranked AS (
       SELECT s.doc_id, d.lang, s.weight_micro,
              ROW_NUMBER() OVER (ORDER BY s.weight_micro DESC, s.doc_id)
@@ -195,6 +201,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc grain is exact BIGINT (tf · lr_micro folds), so the top-100
     SELECTION order is bit-identical across engines, not merely close:
     a float fold here could flip ranks between Spark and the oracle.
+    (The scored table is built by ``_dsir_scored`` — shared with
+    x_dsir_sample, which resamples from these weights.)
 
     Plan shape: one tokenize pass → (doc, token, tf) hash agg; the two
     LMs are vocabulary-grain aggregates of that table (the target LM
@@ -205,6 +213,24 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps, driver merges 100×partitions rows) with the rank window run
     AFTER the limit — 100 rows, so the "global" window is trivially
     bounded.  Nothing vocabulary- or corpus-sized is ever collected."""
+    scored = _dsir_scored(spark, sf_dir)
+    top = scored.orderBy(
+        F.col("weight_micro").desc(), F.col("doc_id")
+    ).limit(100)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rn"),
+        "doc_id",
+        "lang",
+        "weight_micro",
+    ).orderBy("rn")
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR scored table: (doc_id, lang, weight_micro) with the
+    integer micro-nat importance weight (x_dsir_weights docstring)."""
     from data_pipeline_cursor_spark.sources import load_table
     from data_pipeline_cursor_spark.text.dedup import tokens_col
 
@@ -245,20 +271,88 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_micro"),
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(lr), "token")
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("tf") * F.col("lr_micro")).alias("weight_micro"))
     )
-    top = scored.orderBy(
-        F.col("weight_micro").desc(), F.col("doc_id")
-    ).limit(100)
+
+
+DSIR_SAMPLE_K = 50
+_TWO_POW_60 = "1.152921504606846976e18"  # 2^60 exactly, parsed DOUBLE
+
+
+@register(
+    "x_dsir_sample",
+    oracle=f"""
+    WITH {_DUCK_DSIR_SCORED},
+    keyed AS (
+      SELECT s.doc_id, d.lang, s.weight_micro,
+             s.weight_micro + CAST(ROUND(CAST(
+               -ln(-ln((CAST(('0x' || substr(md5('dsir:' || s.doc_id), 1, 15))
+                             ::BIGINT AS DOUBLE) + 0.5) / {_TWO_POW_60}))
+             AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT) AS key_micro
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, weight_micro, key_micro,
+             ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT CAST(rn AS INTEGER) AS rn, doc_id, lang, weight_micro, key_micro
+    FROM ranked WHERE rn <= {DSIR_SAMPLE_K} ORDER BY rn
+    """,
+)
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's RESAMPLING step (Xie et al. 2023 §2): draw K documents
+    WITHOUT replacement with probability ∝ exp(importance weight), via
+    the Gumbel-top-k identity — top-K by (log-weight + Gumbel noise) IS
+    an exact sample from the softmax without ever normalizing:
+    exponentiating micro-nat weights spanning ±10^7 would overflow, the
+    additive key never does.
+
+    Portable determinism: the per-doc uniform is the md5 hash residue
+    ((h + 0.5) / 2^60 ∈ (0,1), never 0 or 1, so the double -ln(-ln(u))
+    is finite); the Gumbel is quantized to integer micro-nats by the
+    same DECIMAL(28,10)-then-round rule as the weights, so the sampling
+    KEY and therefore the SAMPLE ITSELF are exact BIGINT comparisons —
+    re-running on any cluster layout returns the identical K docs (the
+    property a reproducible data recipe needs), and the oracle replays
+    it bit-exactly.  2^60 is embedded in scientific notation (a plain
+    integer literal would fold at DECIMAL scale in Spark — PLANS.md
+    round-8 lesson 1).
+
+    Plan: the shared scored pipeline (corpus tf fold + vocab-grain
+    broadcast joins — x_dsir_weights), one md5 + two ln per doc inside
+    the scan projection, TakeOrderedAndProject for the top-K (per-
+    partition K-heaps, driver merges K×partitions rows), rank window
+    only over the K survivors."""
+    scored = _dsir_scored(spark, sf_dir)
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    u = (
+        phash(F.col("doc_id").cast("string"), "dsir").cast("double")
+        + F.lit(0.5)
+    ) / F.expr(_TWO_POW_60)
+    g_micro = (
+        F.round((-F.log(-F.log(u))).cast("decimal(28,10)"), 6) * 1000000
+    ).cast("bigint")
+    keyed = scored.select(
+        "doc_id",
+        "lang",
+        "weight_micro",
+        (F.col("weight_micro") + g_micro).alias("key_micro"),
+    )
+    top = keyed.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id")
+    ).limit(DSIR_SAMPLE_K)
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("weight_micro").desc(), F.col("doc_id"))
+    w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id"))
     return top.select(
         F.row_number().over(w).cast("int").alias("rn"),
         "doc_id",
         "lang",
         "weight_micro",
+        "key_micro",
     ).orderBy("rn")

@@ -1853,3 +1853,69 @@ def s_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, _ckpt("drift_window"))
+
+
+# --- C26: streaming ANN serving ------------------------------------------
+# The oracle is x_sim_topk's verbatim: the drained serve output over the
+# streamed query slice must equal the batch brute-force top-5.  Importing
+# the similarity module here (before reading _ORACLES) guarantees the
+# registration exists regardless of registry._load_all_modules order.
+from data_pipeline_cursor_spark.vectors.similarity import (  # noqa: E402
+    sim_topk as _sim_topk,
+)
+from data_pipeline_cursor_spark.registry import (  # noqa: E402
+    _ORACLES as _REGISTERED_ORACLES,
+)
+
+
+@register("s_ann_serve", oracle=_REGISTERED_ORACLES["x_sim_topk"])
+def s_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN SERVING (C-surface completion of the E3 similarity
+    stack): query vectors arrive as a stream; each micro-batch is scored
+    against the static corpus and its top-5 neighbours are appended to
+    the serving sink — the online leg of the retrieval pipeline whose
+    offline legs are x_sim_topk / x_sim_lsh / x_sim_ivf.
+
+    The micro-batch IS the query batcher: x_sim_topk's driver-sized
+    query contract (refuse > MAX_QUERY_BATCH) is enforced per batch by
+    maxFilesPerTrigger, not per corpus — an unbounded query stream
+    serves fine because no more than a few files' vectors are ever in
+    flight.  Each query's top-5 depends only on (query, corpus), so
+    per-batch scoring composes to exactly the batch answer and the
+    drained sink hash-matches x_sim_topk's oracle verbatim.
+
+    Plan per micro-batch: the batch's vectors ship in the mapInPandas
+    closure; the corpus parquet is scanned once per batch as a blocked
+    BLAS matmul emitting local top-5s (never shuffled, no pair rows).
+    100 TB: corpus-side cost scales with corpus × batch-rate — cache the
+    corpus DataFrame across batches, or swap the scorer for
+    x_sim_ivf's cell-probed variant (same foreachBatch shell) once the
+    per-batch full scan dominates; state is ZERO (stateless serve,
+    exactly-once via the parquet sink's per-batch commit)."""
+    import uuid
+
+    from data_pipeline_cursor_spark.streaming.sources import (
+        write_query_landing_fixture,
+    )
+
+    landing = write_query_landing_fixture(spark, sf_dir, _work("qlanding"))
+    schema = spark.read.parquet(landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(landing)
+    )
+    out_dir = _work("annserve", uuid.uuid4().hex[:8])
+
+    def _score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        res = _sim_topk(spark, sf_dir, queries=batch_df)
+        res.write.mode("append").parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(_score_batch)
+        .option("checkpointLocation", _ckpt("annserve"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -267,3 +267,31 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "ap
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def write_query_landing_fixture(
+    spark: SparkSession, sf_dir: str, landing_dir: str
+) -> str:
+    """Materialize the ANN QUERY stream fixture: the x_sim_topk query
+    slice (vec_id % 199 = 0) of the embeddings table as a handful of
+    parquet files — parquet, not JSON, because the query VECTORS must
+    round-trip bit-exactly for the scores to hash-match the oracle (a
+    decimal re-print of float32 would not).  Idempotent per (sf_dir,
+    fixture content), same keying discipline as write_landing_fixture."""
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    fingerprint = f"{int(st.st_mtime)}-{st.st_size}"
+    key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
+    out = os.path.join(landing_dir, key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.filter(F.col("vec_id") % 199 == 0)
+        .select("vec_id", "embedding")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out

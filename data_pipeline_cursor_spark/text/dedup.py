@@ -2135,3 +2135,112 @@ def cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_b").alias("n_dropped"),
         )
     )
+
+
+LINE_SEG_TOKENS = 8  # tokens per segment (newline stand-in; fixture has none)
+LINE_DEDUP_MIN_DOCS = 2  # segment present in >= this many docs is removed
+
+
+@register(
+    "x_line_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               tok[(i*{LINE_SEG_TOKENS}+1):(i*{LINE_SEG_TOKENS}+{LINE_SEG_TOKENS})],
+               ' ') AS seg
+      FROM t, unnest(generate_series(
+             0, CAST(ceil(len(tok)/{LINE_SEG_TOKENS}.0) AS INT) - 1)) AS g(i)
+    ),
+    freq AS (
+      SELECT md5(seg) AS h FROM seg
+      GROUP BY md5(seg)
+      HAVING COUNT(DISTINCT doc_id) >= {LINE_DEDUP_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT doc_id, pos, seg FROM seg
+      WHERE md5(seg) NOT IN (SELECT h FROM freq)
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY pos) AS ctext,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.tok)/{LINE_SEG_TOKENS}.0) AS BIGINT) AS n_segs,
+           CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(COALESCE(c.ctext, '')) AS BIGINT) AS cleaned_n_chars,
+           md5(COALESCE(c.ctext, '')) AS cleaned_md5
+    FROM t LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL exact dedup with TEXT RECONSTRUCTION (the RefinedWeb /
+    CCNet paragraph-dedup transform — Penedo et al. 2023 §4.2): any
+    SEGMENT whose exact content appears in >= 2 distinct documents
+    (navigation chrome, license footers, quoted boilerplate) is excised
+    from EVERY document, and the cleaned text is re-assembled in
+    original order.  This differs from every other operator in the
+    dedup family: it produces a TRANSFORMED CORPUS, not a report —
+    x_boilerplate_windows is the detector; this is the scalpel.
+    Segments are fixed 8-token windows (the fixture has no newlines;
+    with real text the tokenizer swaps for split(text, '\\n') and
+    nothing else changes).
+
+    Output per doc: segment counts before/after, cleaned length, and
+    md5 of the cleaned text (the value-hash travels; the text itself
+    would bloat the compare).  Docs whose every segment is boilerplate
+    survive with empty cleaned text — the curation gate that drops them
+    reads n_kept = 0.
+
+    Plan: segmentation is a row-local `transform` over the token array
+    (zero shuffle — Generate only); ONE hash agg finds frequent
+    segment hashes (distinct-doc counted); one LEFT ANTI join drops
+    them (frequent side is tiny — broadcast); one per-doc
+    collect_list(struct(pos, seg)) + sort_array re-assembles (state =
+    one document, the same bound as x_doc_chunk).  100 TB: every stage
+    is segment-grain linear; the frequent table is the only shared
+    state and it shrinks with the df threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("tok"))
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(tok)/{LINE_SEG_TOKENS}.0) as int) - 1),"
+        f" i -> array_join(slice(tok, i*{LINE_SEG_TOKENS}+1, {LINE_SEG_TOKENS}), ' '))"
+    )
+    seg = t.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    freq = (
+        seg.groupBy(F.md5("seg").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= LINE_DEDUP_MIN_DOCS)
+        .select("h")
+    )
+    kept = seg.join(
+        F.broadcast(freq), F.md5(seg["seg"]) == freq["h"], "left_anti"
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("ctext"),
+    )
+    n_segs = F.ceil(F.col("n_tok") / F.lit(float(LINE_SEG_TOKENS))).cast(
+        "bigint"
+    )
+    base = t.select("doc_id", F.size("tok").alias("n_tok"))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        n_segs.alias("n_segs"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.length(F.coalesce("ctext", F.lit(""))).cast("bigint").alias(
+            "cleaned_n_chars"
+        ),
+        F.md5(F.coalesce("ctext", F.lit(""))).alias("cleaned_md5"),
+    )

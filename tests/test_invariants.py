@@ -1669,3 +1669,116 @@ def test_dsir_selects_target_enriched_docs(spark):
     base = (docs["lang"] == "en").mean()
     sel = (got["lang"] == "en").mean()
     assert sel > base * 1.2, (sel, base)
+
+
+def test_interpolate_linear_brackets_and_known_rows(spark):
+    """q_interpolate_linear: observed rows echo their own value; every
+    interpolated value lies BETWEEN its bracketing observations (the
+    defining property of linear interpolation — LOCF would pass parity
+    on flat stretches but violate monotone brackets)."""
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["q_interpolate_linear"](spark, SF_ORACLE).toPandas()
+    ev = load_table(spark, SF_ORACLE, "events").toPandas()
+    m = got.merge(ev[["event_id", "event_type", "value", "ts"]], on="event_id")
+    known = m[m["is_known"] == 1]
+    assert (known["event_type"] == "purchase").all()
+    assert (
+        (known["interp_value"] - known["value"].round(4)).abs() < 5e-5
+    ).all()
+    # between-brackets: for each user, interpolated values within the
+    # observed span must lie in [min, max] of that user's observations
+    for uid, g in m.groupby("user_id"):
+        obs = g[g["is_known"] == 1]["value"]
+        if len(obs) == 0:
+            assert g["interp_value"].isna().all()
+            continue
+        span = g[
+            (g["ts"] >= g[g["is_known"] == 1]["ts"].min())
+            & (g["ts"] <= g[g["is_known"] == 1]["ts"].max())
+        ]
+        lo, hi = obs.min() - 5e-5, obs.max() + 5e-5
+        assert span["interp_value"].between(lo, hi).all(), uid
+
+
+def test_auc_signal_matches_sklearn_free_recompute(spark):
+    """x_auc_signal: the rank-statistic AUC must equal a direct
+    pandas recompute of P(s_pos > s_neg) + half-ties, and sit in [0,1]."""
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_auc_signal"](spark, SF_ORACLE).toPandas().iloc[0]
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    pos = docs[docs["lang"] == "en"]["n_chars"].to_numpy()
+    neg = docs[docs["lang"] != "en"]["n_chars"].to_numpy()
+    import numpy as np
+
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    num2 = 2 * int(wins) + int(ties)
+    assert int(got["auc_num2"]) == num2
+    assert int(got["n_pos"]) == len(pos) and int(got["n_neg"]) == len(neg)
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_perplexity_buckets_partition_each_lang(spark):
+    """x_perplexity_buckets: per language the buckets PARTITION the docs
+    (counts sum to the lang total), value ranges are disjoint and
+    ordered head < middle < tail, and no bucket exceeds ~a tercile plus
+    the largest quantized-value tie block."""
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_perplexity_buckets"](spark, SF_ORACLE).toPandas()
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    for lang, g in got.groupby("lang"):
+        n_lang = (docs["lang"] == lang).sum()
+        assert g["n_docs"].sum() == n_lang, lang
+        g = g.sort_values("bucket")
+        assert list(g["bucket"]) == list(range(1, len(g) + 1))
+        # ordered, disjoint NLL ranges
+        prev_max = -1
+        for _, row in g.iterrows():
+            assert row["min_nll_milli"] > prev_max, (lang, row)
+            prev_max = row["max_nll_milli"]
+
+
+def test_dsir_sample_is_weight_biased_and_exactly_k(spark):
+    """x_dsir_sample: exactly K rows, rn = 1..K, no duplicate docs, and
+    the sample's mean importance weight exceeds the corpus mean — the
+    softmax bias a sign error in the Gumbel key would invert."""
+    from data_pipeline_cursor_spark.text.pipeline import (
+        DSIR_SAMPLE_K,
+        _dsir_scored,
+    )
+
+    got = get_queries()["x_dsir_sample"](spark, SF_ORACLE).toPandas()
+    assert len(got) == DSIR_SAMPLE_K
+    assert list(got["rn"]) == list(range(1, DSIR_SAMPLE_K + 1))
+    assert got["doc_id"].nunique() == DSIR_SAMPLE_K
+    scored = _dsir_scored(spark, SF_ORACLE).toPandas()
+    assert got["weight_micro"].mean() > scored["weight_micro"].mean()
+
+
+def test_line_dedup_counts_and_reconstruction(spark):
+    """x_line_dedup: kept <= total segments everywhere; cleaned text is
+    empty iff zero segments survive; a fully-kept doc reconstructs its
+    normalized text verbatim (md5 equality) — the reassembly-order bug
+    trap."""
+    import hashlib
+
+    from data_pipeline_cursor_spark.sources import load_table
+
+    got = get_queries()["x_line_dedup"](spark, SF_ORACLE).toPandas()
+    assert (got["n_kept"] <= got["n_segs"]).all()
+    empty = got["cleaned_n_chars"] == 0
+    assert ((got["n_kept"] == 0) == empty).all()
+    docs = load_table(spark, SF_ORACLE, "documents").toPandas()
+    m = got.merge(docs[["doc_id", "text"]], on="doc_id")
+    full = m[m["n_kept"] == m["n_segs"]]
+    assert len(full) > 0  # fixture has unique docs
+    for _, row in full.head(20).iterrows():
+        norm = row["text"].lower()
+        assert (
+            hashlib.md5(norm.encode()).hexdigest() == row["cleaned_md5"]
+        ), row["doc_id"]

@@ -651,3 +651,66 @@ def test_embed_drift_joins_are_label_grain(spark):
     df = get_queries()["x_embed_drift"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interpolate_linear_single_user_exchange(spark):
+    """q_interpolate_linear: all four IGNORE-NULLS window reads run
+    partitioned by user_id — no unpartitioned window, no join anywhere
+    (the whole query is one keyed window pass)."""
+    df = get_queries()["q_interpolate_linear"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan
+    assert "Join" not in plan, plan
+
+
+def test_auc_signal_window_bounded_to_value_grain(spark):
+    """x_auc_signal: the cumulative-negatives window is the deliberate
+    bounded pass over |distinct n_chars| rows — it must reference only
+    value-grain columns, and the corpus is scanned once."""
+    df = get_queries()["x_auc_signal"](spark, SF_SMOKE)
+    plan = _plan(df)
+    bad = _window_nodes_without_partition(plan)
+    assert bad, plan  # the value-grain pass must exist
+    for node in bad:
+        assert "doc_id" not in node and "text" not in node, node
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_perplexity_buckets_no_doc_grain_window(spark):
+    """x_perplexity_buckets: the tercile windows partition by lang and
+    run over the (lang, milli-nat) VALUE summary — never over doc_id or
+    text — and the NLL table arrives at the tf join via broadcast."""
+    df = get_queries()["x_perplexity_buckets"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # the order-less n_lang total renders as `Window [funcs], [lang]` (2
+    # groups) which the 3-group heuristic miscounts — check the spec
+    # itself: every window node must carry the lang partition column
+    for node in _window_nodes_without_partition(plan):
+        assert "lang#" in node, node
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" not in line and "text" not in line, line
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_sample_rank_after_limit(spark):
+    """x_dsir_sample: the Gumbel-key top-K runs as TakeOrderedAndProject
+    (per-partition K-heaps); the only unpartitioned window ranks the K
+    survivors AFTER the limit; vocab joins broadcast."""
+    df = get_queries()["x_dsir_sample"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_frequent_segments_broadcast_anti(spark):
+    """x_line_dedup: the frequent-segment drop is a BROADCAST left-anti
+    join (the frequent table shrinks with the df threshold), and
+    segmentation generates rows without any pre-join shuffle of the
+    segment table (no SortMergeJoin anywhere)."""
+    df = get_queries()["x_line_dedup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+    assert "SortMergeJoin" not in plan, plan

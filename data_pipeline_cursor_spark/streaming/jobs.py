@@ -1919,3 +1919,83 @@ def s_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "s_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 4) AS purchase_value,
+           ROUND(d.value, 4) AS click_value,
+           strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
+    FROM events p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def s_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL TABLE JOIN (Flink `FOR SYSTEM_TIME AS OF` twin; C-surface
+    completion of the SCD2 family): each streamed purchase is enriched
+    with the dimension VERSION that was valid at its event time — the
+    user's click attributes as half-open validity intervals built by
+    q_scd2_intervals' lead() derivation.  The classic feature-store /
+    point-in-time-correct lookup: joining today's dimension row instead
+    would leak future attribute values into past facts.
+
+    The interval chain makes the match unique by construction (intervals
+    per key partition the timeline; a duplicate-ts chain link is an
+    empty [t, t) interval that can never match), so the drained output
+    is exactly the batch interval join and fully hash-oracled.
+    Purchases before a user's first click have no valid version and drop
+    (inner join) — the flush sentinel drops with them for free.
+
+    Plan per micro-batch: the dimension is static and BROADCAST; the
+    stream side never shuffles; zero streaming state (stateless enrich).
+    100 TB: dimension versions usually fit broadcast (keys × versions);
+    when they don't, pre-bucket both sides on the key and let the range
+    predicate run inside the per-key sorted merge — same plan family as
+    q_join_range."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wdim = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("d_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wdim).alias("valid_to"),
+        )
+    )
+    # the reference record shape carries no user_id — recover it with the
+    # C13 stream-static enrichment join on event_id (s_funnel's pattern)
+    users = ev.select("event_id", "user_id")
+    purchases = (
+        _stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(users, "event_id")
+    )
+    joined = purchases.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("event_time") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("event_time") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("d_value", 4).alias("click_value"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "version_from"
+        ),
+    )
+    return run_to_completion(joined, _ckpt("scd2-lookup"))

@@ -86,6 +86,16 @@ SCALE_SLICE = [
     "x_cross_source_dup",
     # the nightly promote gate: one scan + one broadcast at any SF
     "x_dq_rules",
+    # round-8 session 3: per-key interpolation (window envelope), the
+    # value-grain AUC (codomain-bounded window must hold as docs grow),
+    # CCNet terciles (vocab-grain LM + value-grain bucketing), the
+    # Gumbel-top-k sample (selection ORDER must be scale-invariant),
+    # and the corpus-rewriting line dedup (reassembly at any doc count)
+    "q_interpolate_linear",
+    "x_auc_signal",
+    "x_perplexity_buckets",
+    "x_dsir_sample",
+    "x_line_dedup",
 ]
 
 

@@ -619,3 +619,75 @@ def bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jaccard"),
     )
+
+
+@register(
+    "q_pit_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(p.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS purchase_cents,
+           CAST(SUM(CAST(round(d.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS click_cents_at_purchase
+    FROM events p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    """,
+)
+def pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH point-in-time join (feature-store BACKFILL; s_scd2_lookup is
+    the online leg of this exact plan): every historical purchase joined
+    to the click-dimension version valid AT ITS OWN event time, then
+    rolled up per user — the offline training-set construction where
+    joining today's dimension row would leak future features into past
+    labels.  Interval chains (q_scd2_intervals' lead() derivation) make
+    each fact match exactly one version; integer-cents folds keep the
+    per-user sums hash-exact.
+
+    Plan: the dimension is versions-sized (keys × changes) and
+    BROADCAST; the fact side never shuffles before its per-user
+    aggregate.  100 TB: when versions outgrow broadcast, bucket both
+    sides on the key — the range predicate then runs inside the per-key
+    sorted merge (q_join_range's family); the asof-join formulation
+    (q_join_asof) is the same semantics when only the latest-before
+    version matters."""
+    ev = load_table(spark, sf_dir, "events")
+    wdim = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("d_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wdim).alias("valid_to"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("bigint")  # noqa: E731
+    return (
+        p.join(
+            F.broadcast(dim),
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("ts") < F.col("valid_to"))
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(cents("value")).alias("purchase_cents"),
+            F.sum(cents("d_value")).alias("click_cents_at_purchase"),
+        )
+    )

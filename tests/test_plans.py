@@ -714,3 +714,12 @@ def test_line_dedup_frequent_segments_broadcast_anti(spark):
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pit_join_broadcasts_versions(spark):
+    """q_pit_join: the interval-versioned dimension arrives via
+    BroadcastExchange (versions-sized); the fact side never sort-merges."""
+    df = get_queries()["q_pit_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -96,6 +96,9 @@ SCALE_SLICE = [
     "x_perplexity_buckets",
     "x_dsir_sample",
     "x_line_dedup",
+    # PIT backfill: versions-sized broadcast + interval match must stay
+    # unique as the event log grows
+    "q_pit_join",
 ]
 
 

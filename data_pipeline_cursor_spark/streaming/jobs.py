@@ -1999,3 +1999,72 @@ def s_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_completion(joined, _ckpt("scd2-lookup"))
+
+
+DQ_RANGE_MAX_CENTS = 40_000  # value <= 400.00 passes the range rule
+DQ_MIN_ROWS = 5  # windows thinner than this fail the volume rule
+
+
+@register(
+    "s_quality_gate",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           CAST(SUM(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                              > {DQ_RANGE_MAX_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_range,
+           (SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0)
+             AS completeness_pass,
+           (SUM(CASE WHEN CAST(round(value * 100, 0) AS BIGINT)
+                          > {DQ_RANGE_MAX_CENTS} THEN 1 ELSE 0 END) = 0)
+             AS range_pass,
+           (COUNT(*) >= {DQ_MIN_ROWS}) AS volume_pass
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DATA-QUALITY GATE (x_dq_rules' stateful sibling; the
+    Deequ-on-a-stream pattern): per finalized 5-minute window, the rule
+    counters a landing pipeline alerts on — null-rate (completeness),
+    out-of-range count (validity, integer-cents compare), and row volume
+    — each with its boolean verdict.  The fixture exercises both
+    outcomes: thin windows fail the volume rule, windows containing a
+    >400.00 reading fail the range rule, and completeness passes
+    everywhere (the conditional counter still guards the contract the
+    error-tolerant source could break).
+
+    All three rules are CONDITIONAL COUNTERS inside the one windowed
+    aggregate — the s_drift_window discipline: no per-rule state rows,
+    no chained aggregation, state = one row per open window regardless
+    of event rate.  Verdicts are derived FROM the counters post-agg, so
+    the sink carries the evidence, not just the boolean.  100 TB: the
+    same single watermarked window aggregate as s_tumble; alert routing
+    belongs in the sink (foreachBatch on `NOT pass` rows)."""
+    df = _with_fixture_watermark(_stream(spark, sf_dir))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    agg = (
+        df.groupBy(F.window("event_time", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value").isNull(), 1).otherwise(0)
+            ).alias("n_null_value"),
+            F.sum(
+                F.when(cents > DQ_RANGE_MAX_CENTS, 1).otherwise(0)
+            ).alias("n_out_of_range"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "n_null_value",
+            "n_out_of_range",
+            (F.col("n_null_value") == 0).alias("completeness_pass"),
+            (F.col("n_out_of_range") == 0).alias("range_pass"),
+            (F.col("n_events") >= DQ_MIN_ROWS).alias("volume_pass"),
+        )
+    )
+    return run_to_completion(agg, _ckpt("quality-gate"))

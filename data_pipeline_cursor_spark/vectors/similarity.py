@@ -1360,3 +1360,238 @@ def embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MMR_K = 3  # diverse picks per query (greedy unroll depth)
+
+
+def _pair_cos_udf():
+    """Pandas UDF: ROUND(cos(a, b), 4) in the exact numpy normalized-dot
+    form every cosine in this module uses (x_sim_topk's local_topk) —
+    the 4-decimal quantization is what makes it engine-portable against
+    DuckDB's list_cosine_similarity."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos4(a, b):
+        A = np.stack([np.asarray(v, np.float64) for v in a])
+        B = np.stack([np.asarray(v, np.float64) for v in b])
+        A = A / np.linalg.norm(A, axis=1)[:, None]
+        B = B / np.linalg.norm(B, axis=1)[:, None]
+        return pd.Series(np.round((A * B).sum(axis=1), 4))
+
+    # real type OBJECTS, not strings: `from __future__ import annotations`
+    # stringifies inline hints, which the pandas_udf inference can't eval
+    cos4.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(cos4, "double")
+
+
+def _mmr_tt(col: Column) -> Column:
+    """4-decimal score → exact BIGINT ten-thousandths for argmax compares."""
+    return F.round(col * 10000, 0).cast("bigint")
+
+
+_MMR_ORACLE_TT = "CAST(round({c} * 10000, 0) AS BIGINT)"
+
+
+@register(
+    "x_mmr_topk",
+    oracle=f"""
+    WITH cand AS ({{topk}}),
+    pair AS (
+      SELECT c1.query_id, c1.vec_id AS a_id, c2.vec_id AS b_id,
+             ROUND(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+      FROM cand c1
+      JOIN cand c2 ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+      JOIN embeddings ea ON ea.vec_id = c1.vec_id
+      JOIN embeddings eb ON eb.vec_id = c2.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, score FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_MMR_ORACLE_TT.format(c='score')} DESC, vec_id) rn
+        FROM cand) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT c.query_id, c.vec_id, c.score, p.sim AS pen
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id
+      JOIN pair p ON p.query_id = c.query_id
+                 AND p.a_id = c.vec_id AND p.b_id = s1.vec_id
+    ),
+    s2 AS (
+      SELECT query_id, vec_id, score, pen FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_MMR_ORACLE_TT.format(c='score')}
+                        - {_MMR_ORACLE_TT.format(c='pen')} DESC, vec_id) rn
+        FROM r2) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT c.query_id, c.vec_id, c.score,
+             greatest(p1.sim, p2.sim) AS pen
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id
+      JOIN s2 ON s2.query_id = c.query_id AND c.vec_id <> s2.vec_id
+      JOIN pair p1 ON p1.query_id = c.query_id
+                  AND p1.a_id = c.vec_id AND p1.b_id = s1.vec_id
+      JOIN pair p2 ON p2.query_id = c.query_id
+                  AND p2.a_id = c.vec_id AND p2.b_id = s2.vec_id
+    ),
+    s3 AS (
+      SELECT query_id, vec_id, score, pen FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_MMR_ORACLE_TT.format(c='score')}
+                        - {_MMR_ORACLE_TT.format(c='pen')} DESC, vec_id) rn
+        FROM r3) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS INT) AS sel_rank, vec_id,
+           score AS rel, 0.0 AS penalty FROM s1
+    UNION ALL SELECT query_id, CAST(2 AS INT), vec_id, score, pen FROM s2
+    UNION ALL SELECT query_id, CAST(3 AS INT), vec_id, score, pen FROM s3
+    """.format(topk=_REGISTERED_ORACLES["x_sim_topk"]),
+)
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diverse top-k (Carbonell & Goldstein
+    1998) — the retrieval/curation staple that keeps a result set from
+    being k near-copies of the same document: greedily pick, per query,
+    the candidate maximizing  λ·rel − (1−λ)·max_sim_to_already_picked.
+    λ = ½, whose argmax is identical to (rel − max_sim) — the monotone
+    form computed here; `penalty` carries the diversity term at
+    selection time so the trade-off is auditable.
+
+    The greedy loop is UNROLLED to MMR_K = 3 chained stages (select →
+    re-penalize → select) instead of a recursive CTE: Spark's recursion
+    disallows the per-level aggregation MMR needs, and a constant-depth
+    unroll keeps every stage a plain hash join the optimizer can see
+    through.  Determinism: relevance and pairwise sims are 4-decimal
+    quantized (the module's cosine contract), argmax compares their
+    exact BIGINT ten-thousandths with vec_id tie-break — selection order
+    is bit-identical across engines by construction.
+
+    Plan: candidates = x_sim_topk's scan-once scatter-gather (top-5 per
+    query); the pairwise-sim table is |queries|·20 rows (candidate pairs
+    only — never corpus pairs) with vectors fetched by two broadcast
+    joins; each greedy stage is a queries-sized window + join.  100 TB:
+    corpus cost is exactly one x_sim_topk pass; everything after is
+    candidate-grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = sim_topk(spark, sf_dir).cache()
+    cos4 = _pair_cos_udf()
+    ea = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    c1 = cand.select("query_id", F.col("vec_id").alias("a_id"))
+    c2 = cand.select(
+        F.col("query_id").alias("q2"), F.col("vec_id").alias("b_id")
+    )
+    pair = (
+        c1.join(c2, (F.col("query_id") == F.col("q2")) & (F.col("a_id") != F.col("b_id")))
+        .join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            cos4(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+        .cache()
+    )
+
+    def _argmax(df: DataFrame, order: Column) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            order.desc(), F.col("vec_id")
+        )
+        return df.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+
+    s1 = _argmax(cand, _mmr_tt(F.col("score")))
+    s1sel = s1.select("query_id", F.col("vec_id").alias("s1_id"))
+    # every derived table gets disjoint column names before re-joining
+    # cand/pair lineage (Spark's ambiguous-self-join guard)
+    p1 = pair.select(
+        F.col("query_id").alias("pq1"),
+        F.col("a_id").alias("pa1"),
+        F.col("b_id").alias("pb1"),
+        F.col("sim").alias("sim1"),
+    )
+    p2 = pair.select(
+        F.col("query_id").alias("pq2"),
+        F.col("a_id").alias("pa2"),
+        F.col("b_id").alias("pb2"),
+        F.col("sim").alias("sim2"),
+    )
+    r2 = (
+        cand.join(s1sel, "query_id")
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .join(
+            p1,
+            (F.col("pq1") == F.col("query_id"))
+            & (F.col("pa1") == F.col("vec_id"))
+            & (F.col("pb1") == F.col("s1_id")),
+        )
+        .select("query_id", "vec_id", "score", F.col("sim1").alias("pen"))
+    )
+    s2 = _argmax(r2, _mmr_tt(F.col("score")) - _mmr_tt(F.col("pen")))
+    s2sel = s2.select(
+        F.col("query_id").alias("q_s2"), F.col("vec_id").alias("s2_id")
+    )
+    r3 = (
+        cand.join(s1sel, "query_id")
+        .join(s2sel, F.col("query_id") == F.col("q_s2"))
+        .filter(
+            (F.col("vec_id") != F.col("s1_id"))
+            & (F.col("vec_id") != F.col("s2_id"))
+        )
+        .join(
+            p1,
+            (F.col("pq1") == F.col("query_id"))
+            & (F.col("pa1") == F.col("vec_id"))
+            & (F.col("pb1") == F.col("s1_id")),
+        )
+        .join(
+            p2,
+            (F.col("pq2") == F.col("query_id"))
+            & (F.col("pa2") == F.col("vec_id"))
+            & (F.col("pb2") == F.col("s2_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "score",
+            F.greatest("sim1", "sim2").alias("pen"),
+        )
+    )
+    s3 = _argmax(r3, _mmr_tt(F.col("score")) - _mmr_tt(F.col("pen")))
+    out1 = s1.select(
+        "query_id",
+        F.lit(1).cast("int").alias("sel_rank"),
+        "vec_id",
+        F.col("score").alias("rel"),
+        F.lit(0.0).alias("penalty"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.lit(2).cast("int").alias("sel_rank"),
+        "vec_id",
+        F.col("score").alias("rel"),
+        F.col("pen").alias("penalty"),
+    )
+    out3 = s3.select(
+        "query_id",
+        F.lit(3).cast("int").alias("sel_rank"),
+        "vec_id",
+        F.col("score").alias("rel"),
+        F.col("pen").alias("penalty"),
+    )
+    return out1.unionAll(out2).unionAll(out3)

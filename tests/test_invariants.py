@@ -1782,3 +1782,48 @@ def test_line_dedup_counts_and_reconstruction(spark):
         assert (
             hashlib.md5(norm.encode()).hexdigest() == row["cleaned_md5"]
         ), row["doc_id"]
+
+
+def test_quality_gate_rules_exercise_both_outcomes(spark):
+    """s_quality_gate: counters match verdicts everywhere, and the
+    fixture exercises BOTH outcomes of the volume and range rules (a
+    gate that can only pass is vacuous)."""
+    got = get_queries()["s_quality_gate"](spark, SF_ORACLE).toPandas()
+    assert ((got["n_null_value"] == 0) == got["completeness_pass"]).all()
+    assert ((got["n_out_of_range"] == 0) == got["range_pass"]).all()
+    assert ((got["n_events"] >= 5) == got["volume_pass"]).all()
+    assert got["volume_pass"].any() and (~got["volume_pass"]).any()
+    assert (~got["range_pass"]).any()
+
+
+def test_mmr_topk_is_diverse_and_greedy_consistent(spark):
+    """x_mmr_topk: per query exactly 3 distinct picks drawn from the
+    top-5 candidate set; rank-1 is the pure relevance argmax; every
+    later pick's MMR objective (rel - penalty) is >= every unpicked
+    candidate's at its selection step is implied by parity — here we
+    assert the observable consequences: penalties are valid cosines
+    (rank-1's is exactly 0 by construction; later ones may be NEGATIVE —
+    anti-similar candidates earn a bonus, which is correct MMR) and the
+    selection DIVERGES from pure top-3 relevance somewhere (the
+    diversity term does real work on this fixture)."""
+    mmr = get_queries()["x_mmr_topk"](spark, SF_ORACLE).toPandas()
+    top = get_queries()["x_sim_topk"](spark, SF_ORACLE).toPandas()
+    assert mmr["penalty"].between(-1.0, 1.0).all()
+    assert (mmr[mmr["sel_rank"] == 1]["penalty"] == 0).all()
+    diverged = 0
+    for q, g in mmr.groupby("query_id"):
+        assert len(g) == 3 and g["vec_id"].nunique() == 3
+        cands = top[top["query_id"] == q]
+        assert set(g["vec_id"]) <= set(cands["vec_id"])
+        best = cands.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).iloc[0]
+        r1 = g[g["sel_rank"] == 1].iloc[0]
+        assert r1["vec_id"] == best["vec_id"]
+        top3 = set(
+            cands.sort_values(["score", "vec_id"], ascending=[False, True])
+            .head(3)["vec_id"]
+        )
+        if set(g["vec_id"]) != top3:
+            diverged += 1
+    assert diverged > 0

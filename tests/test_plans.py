@@ -723,3 +723,14 @@ def test_pit_join_broadcasts_versions(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mmr_topk_pairs_are_candidate_grain(spark):
+    """x_mmr_topk: the pairwise-sim table joins CANDIDATES to vectors —
+    the corpus must appear only in x_sim_topk's scan-once scorer, never
+    in a corpus×corpus join; greedy stages are candidate-grain windows
+    partitioned by query_id."""
+    df = get_queries()["x_mmr_topk"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert not _window_nodes_without_partition(plan), plan
+    assert "CartesianProduct" not in plan, plan

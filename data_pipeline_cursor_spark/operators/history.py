@@ -691,3 +691,72 @@ def pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("d_value")).alias("click_cents_at_purchase"),
         )
     )
+
+
+MV_CUTOFF = "2024-01-16 00:00:00"  # the "last refresh" watermark
+
+
+@register(
+    "q_mv_incremental",
+    oracle="""
+    -- the FULL recompute: what the incremental merge must equal
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           ROUND(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100.0, 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (the delta-refresh
+    identity every aggregate-MV engine rests on): the stored per-key
+    aggregate state as of the last refresh is MERGED with the aggregate
+    of only the rows that arrived since — never rescanning history.
+    The registered ORACLE is the FULL recompute over all events, so the
+    hash match IS the maintenance-correctness proof: merge(old, delta)
+    ≡ recompute(all), key by key, to the cent.
+
+    Here the "stored" MV is derived from the same table filtered to
+    ts < cutoff (the fixture has no external store); in production that
+    branch is a read of the MV's own parquet/Delta state and the scan
+    below touches ONLY the delta partition — the 100 TB point: refresh
+    cost scales with the DELTA, not the history.  COUNT and SUM merge
+    by addition (both are semigroup folds); AVG is re-derived from the
+    merged pair — the standard decomposition (never merge averages).
+    FULL OUTER on the key with zero-coalesce handles keys new since the
+    refresh and keys with no new rows.
+
+    Plan: two scans (MV branch + delta branch — in production: MV read
+    + delta scan), each with the time predicate PUSHED to the parquet
+    scan, one per-key merge join at |keys| grain."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cut = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def agg(df: DataFrame, pre: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{pre}_n"),
+            F.sum(cents).alias(f"{pre}_cents"),
+        )
+
+    old = agg(ev.filter(F.col("ts") < cut), "old")  # the stored MV state
+    delta = agg(ev.filter(F.col("ts") >= cut), "new")  # rows since refresh
+    z = F.lit(0).cast("bigint")
+    merged = old.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("old_n", z) + F.coalesce("new_n", z)).alias("n_events"),
+        (F.coalesce("old_cents", z) + F.coalesce("new_cents", z)).alias(
+            "sum_cents"
+        ),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "sum_cents",
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_events") / 100.0, 4
+        ).alias("avg_value"),
+    )

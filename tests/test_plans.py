@@ -734,3 +734,22 @@ def test_mmr_topk_pairs_are_candidate_grain(spark):
     plan = _plan(df)
     assert not _window_nodes_without_partition(plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mv_incremental_pushes_cutoff_to_both_scans(spark):
+    """q_mv_incremental: the refresh watermark reaches BOTH branch scans
+    as PushedFilters on ts — the delta branch scanning history is
+    exactly the failure incremental maintenance exists to avoid."""
+    df = get_queries()["q_mv_incremental"](spark, SF_SMOKE)
+    plan = _plan(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "DataFilters: [" in line
+    ]
+    bounded = [
+        line
+        for line in scans
+        if "(ts#" in line.split("DataFilters: [", 1)[1]
+    ]
+    assert len(bounded) >= 2, plan

@@ -25,8 +25,16 @@ from tests.oracle_harness import compare_query
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 # one per state shape: windowed agg, applyInPandasWithState resequencing,
-# transformWithState-family order-exact funnel
-ROCKSDB_SLICE = ["s_tumble", "s_ewma_state", "s_funnel"]
+# transformWithState-family order-exact funnel, plus the round-8
+# bounded-register window sketches and the conditional-counter DQ gate
+# (their per-window state rows must survive the provider swap too)
+ROCKSDB_SLICE = [
+    "s_tumble",
+    "s_ewma_state",
+    "s_funnel",
+    "s_hll_window",
+    "s_quality_gate",
+]
 
 
 @pytest.mark.parametrize("name", ROCKSDB_SLICE)

@@ -507,7 +507,7 @@ def jaccard_pairs_df(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "x_dedup_jaccard",
+    "x_dedup_jaccard_prefix",
     oracle=f"""
     WITH d AS ({_DUCK_JACCARD_D})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -516,22 +516,83 @@ def jaccard_pairs_df(docs: DataFrame) -> DataFrame:
     WHERE {_DUCK_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
     """,
 )
-def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (E2 variant) with prefix blocking:
-    only pairs sharing (lang, first token) are compared — an equi-join, so
-    the candidate set is O(block²) per block, not O(n²) over the corpus.
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs with PREFIX BLOCKING: only pairs
+    sharing (lang, first token) are compared — an equi-join, so the
+    candidate set is O(block²) per block, not O(n²) over the corpus.
 
-    FIXTURE-SCALE CANDIDATE FAMILY (round-7 demotion): the round-6 sf10
-    run measured this blocking going quadratic on a low-entropy corpus
-    (x_dedup_cluster over these pairs: 3,143 s; x_canonical_pick: OOM at
-    16 AND 48 GiB driver).  Every downstream graph consumer
-    (x_pair_table, x_dedup_cluster, x_pagerank, x_canonical_pick,
-    x_triangles, x_split_leakage) now defaults to
-    x_dedup_minhash_verified's wide-band verified pairs; this scorer
-    stays registered as the blocking-strategy contrast (and because
-    "blocking key choice is the scale lever" is best demonstrated by
-    shipping both)."""
+    FIXTURE-SCALE CANDIDATE FAMILY (renamed `_prefix` in round 8,
+    completing the round-7 demotion — the same discipline that renamed
+    x_dedup_minhash_narrow): the round-6 sf10 run measured this blocking
+    going quadratic on a low-entropy corpus (x_dedup_cluster over these
+    pairs: 3,143 s; x_canonical_pick: OOM at 16 AND 48 GiB driver), and
+    the round-8 sf10 run measured THIS scorer itself at 1,806.6 s where
+    the wide-band default family runs in seconds.  `x_dedup_jaccard`
+    (unsuffixed) now scores the same token-set Jaccard over the
+    wide-band candidate family; this stays registered as the measured
+    blocking-strategy contrast."""
     return jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+# the wide-band signature CTE chain with its leading WITH stripped, so it
+# can be spliced after other CTEs (same idiom as _DUCK_WIDE_CAND_SETS)
+_DUCK_MINHASH_WIDE_INLINE = _DUCK_MINHASH_WIDE.replace(
+    "WITH sh AS", "sh AS", 1
+).lstrip()
+
+
+@register(
+    "x_dedup_jaccard",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_WIDE_INLINE},
+    candw AS ({_duck_band_union(WIDE_BANDS)}),
+    tokd AS MATERIALIZED (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(ta.toks, tb.toks))
+                 / CAST(len(list_distinct(list_concat(ta.toks, tb.toks)))
+                        AS DOUBLE), 4) AS jaccard
+    FROM candw c
+    JOIN tokd ta ON ta.doc_id = c.doc_a
+    JOIN tokd tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.toks, tb.toks))
+          / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-SET Jaccard near-dup pairs (E2's n-gram-Jaccard variant) over
+    the WIDE-BAND minhash candidate family — the scale-safe default as of
+    round 8 (the prefix-blocked original is registered as
+    x_dedup_jaccard_prefix, the measured 1,806 s-at-sf10 contrast).
+    Distinct from x_dedup_minhash_verified, which verifies SHINGLE-set
+    resemblance: token-set scores rank near-dups by vocabulary overlap
+    (robust to local reordering), shingle scores by phrase overlap —
+    curation pipelines read both.
+
+    Plan: one signature pass (8 md5 minhashes/doc), per-band equi-joins
+    unioned for candidates (~linear in corpus — the round-6/7 measured
+    family), two |candidates|-sized joins to fetch token sets, one
+    array-intersect score per candidate.  Nothing is ever corpus×corpus;
+    100 TB cost = signature scan + candidate-grain work."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_wide_candidates_df(docs)
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col()).alias("toks")
+    ).cache()
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    jac = inter / union.cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 # (doc_a, doc_b, jaccard) CTE chain for the WIDE-BAND VERIFIED pairs — the
@@ -1431,7 +1492,7 @@ def dedup_cluster_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-strategy contrast is an artifact worth re-running whenever
     the corpus statistics change.  Same CC loop (pointer jumping, width
     sized to edges) — only the candidate family differs."""
-    pairs = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b").cache()
     try:
         return dedup_cluster(spark, sf_dir, pairs=pairs)
     finally:
@@ -1451,7 +1512,7 @@ def canonical_pick_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint) while the wide-band default runs in 6.8 s — memory
     cannot buy back a quadratic candidate set."""
     pairs = (
-        dedup_jaccard(spark, sf_dir)
+        dedup_jaccard_prefix(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

@@ -22,6 +22,33 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def run_with_recursion_row_limit(
+    spark: SparkSession, rows: int, build
+) -> DataFrame:
+    """Execute ``build()`` (a recursive-CTE statement) with
+    spark.sql.cteRecursionRowLimit raised to ``rows``, restoring the prior
+    value afterwards.
+
+    The conf is read at EXECUTION time, so a lazy return + finally-restore
+    would run the recursion under the restored (default 1e6) limit and
+    fail at scale; instead the statement executes EAGERLY into a
+    localCheckpoint inside the raised-limit window.  Callers are
+    aggregate-tail recursions whose results are tiny (depth/hop grain), so
+    the eager materialization is rows-cheap, and the session keeps its
+    runaway-recursion backstop for every later query (round-8 ADVICE
+    item 1).  Shared by q_recursive_cte and x_graph_bfs."""
+    conf = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, str(rows))
+    try:
+        return build().localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
 @register(
     "q_scalar_subquery",
     oracle="""
@@ -276,11 +303,18 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     visits every row once, so the honest setting is ≥ |table|.  Sized
     here for 100× the sf10 fixture; a 100 TB deployment sizes it to the
     traversed table's row count (the LEVEL limit, default 100, is the
-    one that guards against runaway recursion and stays default)."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    one that guards against runaway recursion and stays default).
+    The raised limit is SCOPED to this statement: the recursion executes
+    eagerly (the depth-grain result is ~10 rows) and the prior conf is
+    restored in a finally — a session-wide 200M leak silently disabled
+    the runaway-recursion backstop for every later query (round-8
+    ADVICE item 1)."""
     _views(spark, sf_dir, "customer")
-    return spark.sql(
-        """
+    return run_with_recursion_row_limit(
+        spark,
+        200_000_000,
+        lambda: spark.sql(
+            """
         WITH RECURSIVE chain AS (
           SELECT c_custkey AS custkey, c_custkey AS root_key, 0 AS depth
           FROM customer WHERE c_custkey < 10
@@ -294,4 +328,5 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(root_key) AS BIGINT) AS sum_root
         FROM chain GROUP BY depth ORDER BY depth
         """
+        ),
     )

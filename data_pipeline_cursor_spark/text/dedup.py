@@ -579,9 +579,12 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB cost = signature scan + candidate-grain work."""
     docs = load_table(spark, sf_dir, "documents")
     cand = minhash_wide_candidates_df(docs)
+    # no cache: ta/tb both read inside ONE job, and an unreleased cache
+    # here accumulated executor memory across a 285-query bench session
+    # (round-8 ADVICE item 2)
     toks = docs.select(
         "doc_id", F.array_distinct(tokens_col()).alias("toks")
-    ).cache()
+    )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
@@ -1893,10 +1896,24 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed by the MIN(hop) aggregate.  The pair pipeline itself is
     localCheckpoint'ed once (the x_pair_table pattern), so the recursion
     does not re-run signatures per level."""
+    from data_pipeline_cursor_spark.operators.subqueries import (
+        run_with_recursion_row_limit,
+    )
+
     pairs = _verified_pairs_checkpointed(spark, sf_dir)
     pairs.createOrReplaceTempView("bfs_pairs")
-    return spark.sql(
-        f"""
+    # cumulative-row budget for the bounded traversal, sized to THIS
+    # graph: ≤ roots + |frontier paths| ≤ (hops+1) · 2|pairs| · max-deg
+    # slack; scoped via run_with_recursion_row_limit so the session's
+    # 1e6 backstop survives (q_recursive_cte previously leaked a 200M
+    # session-wide limit that this query silently depended on — round-8
+    # ADVICE item 1)
+    row_budget = max(1_000_000, 200 * (BFS_MAX_HOPS + 1) * pairs.count())
+    return run_with_recursion_row_limit(
+        spark,
+        row_budget,
+        lambda: spark.sql(
+            f"""
         WITH RECURSIVE edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM bfs_pairs
           UNION ALL
@@ -1921,6 +1938,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(node) AS BIGINT) AS sum_doc_id
         FROM dist GROUP BY hop ORDER BY hop
         """
+        ),
     )
 
 

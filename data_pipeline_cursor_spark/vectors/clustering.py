@@ -42,6 +42,7 @@ from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.vectors.similarity import (
     DIM,
     DUCK_QV_CTE,
+    _round4,
     quantized_codes,
 )
 
@@ -322,7 +323,7 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack([np.asarray(v, np.float64) for v in pdf["u"]])
         uq = np.asarray(pdf["u_q"].iloc[0], np.float64)
-        sc = np.round(V @ uq, 4)
+        sc = _round4(V @ uq)
         ids = pdf["vec_id"].to_numpy()
         pick = np.lexsort((ids, -sc))[:5]
         return pd.DataFrame(

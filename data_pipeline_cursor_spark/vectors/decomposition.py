@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_cursor_spark.registry import register
-from data_pipeline_cursor_spark.vectors.similarity import DIM, quantized_codes
+from data_pipeline_cursor_spark.vectors.similarity import (
+    DIM,
+    _round4,
+    quantized_codes,
+)
 
 N_COMPONENTS = 4
 
@@ -133,7 +137,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            P = np.round((Q - mu) @ comps.T, 4)
+            P = _round4((Q - mu) @ comps.T)
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for i, c in enumerate(cols):
                 out[c] = P[:, i]

@@ -53,6 +53,25 @@ N_PLANES = 4
 MAX_QUERY_BATCH = 10_000
 
 
+def _q4int(a):
+    """Quantize scores to exact int64 ten-thousandths with ROUND-HALF-AWAY
+    -from-zero — the law DuckDB's ROUND(x, 4) and Spark's F.round apply —
+    instead of numpy's default round-half-to-even (round-8 ADVICE item 4:
+    np.round was the only asymmetric rounding in an otherwise
+    integer-exact parity design).  copysign(floor(|x|·1e4 + 0.5), x) is
+    the sign-safe half-away construction; ±0 maps to 0."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e4 + 0.5), a).astype(np.int64)
+
+
+def _round4(a):
+    """ROUND(x, 4) with half-away-from-zero ties, matching every oracle's
+    ROUND(..., 4) — use this for ALL numpy-side score rounding (see
+    _q4int)."""
+    return _q4int(a) / 1e4
+
+
 def _unit(col: Column) -> Column:
     """Cast float32 array → float64 and scale to unit norm (one pass/row)."""
     d = F.transform(col, lambda x: x.cast("double"))
@@ -222,12 +241,12 @@ def _all_pairs_by_block(
                 S = Xi @ X[j0:j1].T
                 if i0 == j0:  # diagonal chunk: unique pairs above diagonal
                     iu, ju = np.triu_indices(i1 - i0, k=1)
-                    sc = np.round(S[iu, ju], 4)
+                    sc = _round4(S[iu, ju])
                     m = sc >= threshold
                     va.append(ids[i0:i1][iu[m]])
                     vb.append(ids[j0:j1][ju[m]])
                 else:  # off-diagonal: every cross pair is unique and ordered
-                    sc = np.round(S, 4)
+                    sc = _round4(S)
                     m = sc >= threshold
                     ii, jj = np.nonzero(m)
                     va.append(ids[i0:i1][ii])
@@ -315,7 +334,7 @@ def sim_topk(
             E = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
             U = E / np.linalg.norm(E, axis=1)[:, None]
             ids = pdf["vec_id"].to_numpy()
-            S = np.round(U @ Qu.T, 4)  # (corpus_part, queries)
+            S = _round4(U @ Qu.T)  # (corpus_part, queries)
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(qids):
                 sc = S[:, j]
@@ -530,7 +549,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack([np.asarray(v, np.float64) for v in pdf["u"]])
         uq = np.asarray(pdf["u_q"].iloc[0], np.float64)
-        sc = np.round(V @ uq, 4)
+        sc = _round4(V @ uq)
         ids = pdf["vec_id"].to_numpy()
         pick = np.lexsort((ids, -sc))[:5]
         return pd.DataFrame(
@@ -1017,7 +1036,7 @@ def _block_topk(
             best_dst = np.zeros((i1 - i0, kk), np.int64)
             for j0 in range(0, n, chunk_rows):
                 j1 = min(j0 + chunk_rows, n)
-                si = np.round(X[i0:i1] @ X[j0:j1].T * 1e4).astype(np.int64)
+                si = _q4int(X[i0:i1] @ X[j0:j1].T)
                 key = (si << 40) - ids[j0:j1][None, :]
                 # mask self-pairs where global row index == global col index
                 diag_i = np.arange(i0, i1)[:, None] == np.arange(j0, j1)[None, :]
@@ -1100,7 +1119,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard graph for density-based dedup clustering."""
     emb = load_table(spark, sf_dir, "embeddings")
     bk = _prep_unit_bucket(emb)
-    directed = _block_topk(bk, "bucket", KNN_K)
+    # n·k rows, eagerly materialized: the mutuality self-join below reads
+    # the per-bucket BLAS scorer's output twice (directed + rev) — without
+    # the checkpoint the scorer ran twice per query (round-8 ADVICE
+    # item 5; the x_pair_table pattern)
+    directed = _block_topk(bk, "bucket", KNN_K).localCheckpoint(eager=True)
     rev = directed.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
@@ -1192,7 +1215,7 @@ def hard_negatives(
             U = E / np.linalg.norm(E, axis=1)[:, None]
             ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
-            S = np.round(U @ Qu.T, 4)
+            S = _round4(U @ Qu.T)
             oq, oql, ov, ovl, os_ = [], [], [], [], []
             for j, qid in enumerate(qids):
                 mask = labels != qlabels[j]
@@ -1379,7 +1402,7 @@ def _pair_cos_udf():
         B = np.stack([np.asarray(v, np.float64) for v in b])
         A = A / np.linalg.norm(A, axis=1)[:, None]
         B = B / np.linalg.norm(B, axis=1)[:, None]
-        return pd.Series(np.round((A * B).sum(axis=1), 4))
+        return pd.Series(_round4((A * B).sum(axis=1)))
 
     # real type OBJECTS, not strings: `from __future__ import annotations`
     # stringifies inline hints, which the pandas_udf inference can't eval
@@ -1482,7 +1505,12 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cost is exactly one x_sim_topk pass; everything after is
     candidate-grain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = sim_topk(spark, sf_dir).cache()
+    # eager localCheckpoint, NOT cache(): the greedy stages reference the
+    # candidate/pair tables many times, both are queries-grain tiny, and a
+    # cache() here leaked cached partitions for the session lifetime
+    # (round-8 ADVICE item 3) — checkpoint materializes once, truncates
+    # lineage, and frees with the session's block manager GC.
+    cand = sim_topk(spark, sf_dir).localCheckpoint(eager=True)
     cos4 = _pair_cos_udf()
     ea = emb.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
@@ -1504,7 +1532,7 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             cos4(F.col("a_emb"), F.col("b_emb")).alias("sim"),
         )
-        .cache()
+        .localCheckpoint(eager=True)  # |queries|·20 rows — see cand note
     )
 
     def _argmax(df: DataFrame, order: Column) -> DataFrame:

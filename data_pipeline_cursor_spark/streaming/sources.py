@@ -272,24 +272,30 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "ap
 def write_query_landing_fixture(
     spark: SparkSession, sf_dir: str, landing_dir: str
 ) -> str:
-    """Materialize the ANN QUERY stream fixture: the x_sim_topk query
-    slice (vec_id % 199 = 0) of the embeddings table as a handful of
+    """Materialize the ANN QUERY stream fixture: the x_sim_topk default
+    query set (the fixed-K md5-order draw, similarity.ann_query_draw —
+    round-8 VERDICT item 2) of the embeddings table as a handful of
     parquet files — parquet, not JSON, because the query VECTORS must
     round-trip bit-exactly for the scores to hash-match the oracle (a
     decimal re-print of float32 would not).  Idempotent per (sf_dir,
     fixture content), same keying discipline as write_landing_fixture."""
     from data_pipeline_cursor_spark.sources.tables import table_path
+    from data_pipeline_cursor_spark.vectors.similarity import ann_query_draw
+
+    from data_pipeline_cursor_spark.vectors.similarity import ANN_QUERY_K
 
     st = os.stat(table_path(sf_dir, "embeddings"))
-    fingerprint = f"{int(st.st_mtime)}-{st.st_size}"
+    # the draw rule is part of the key: a cached %199-era fixture must not
+    # satisfy a md5-draw run (content would silently diverge from the
+    # oracle's query set)
+    fingerprint = f"{int(st.st_mtime)}-{st.st_size}-qk{ANN_QUERY_K}"
     key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
     out = os.path.join(landing_dir, key)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     emb = load_table(spark, sf_dir, "embeddings")
     (
-        emb.filter(F.col("vec_id") % 199 == 0)
-        .select("vec_id", "embedding")
+        ann_query_draw(emb)
         .repartition(4)
         .write.mode("overwrite")
         .parquet(out)

@@ -40,9 +40,12 @@ from pyspark.sql.window import Window
 
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.vectors.similarity import (
+    ANN_QUERY_K,
     DIM,
     DUCK_QV_CTE,
     _round4,
+    ann_query_draw,
+    duck_query_draw,
     quantized_codes,
 )
 
@@ -224,7 +227,8 @@ _IVF_TRAINED_ORACLE = f"""
     qp AS (
       SELECT vec_id AS query_id, cid AS cell
       FROM ({_duck_assign('h', 'c2', rn='<= 2',
-                          where='WHERE h.vec_id % 199 = 0')})
+                          where="WHERE h.vec_id IN (SELECT vec_id FROM ("
+                          + duck_query_draw(cols='vec_id') + '))')})
     )
     SELECT query_id, vec_id, cell, score FROM (
       SELECT qp.query_id, av.vec_id, av.cell,
@@ -313,7 +317,7 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assigned = d.mapInPandas(assign, "vec_id bigint, u array<double>, cell bigint")
-    probes = d.filter(F.col("vec_id") % 199 == 0).mapInPandas(
+    probes = ann_query_draw(d, cols=tuple(d.columns)).mapInPandas(
         probe, "query_id bigint, u_q array<double>, cell bigint"
     )
     cand = assigned.join(F.broadcast(probes), "cell").filter(
@@ -463,12 +467,14 @@ PQ_TOPK = 5
 
 
 def _bounded_query_batch(codes: DataFrame):
-    """The %199 query subset, collected under x_sim_topk's bounded-batch
-    contract: refuse past MAX_QUERY_BATCH instead of silently OOMing the
-    driver — larger query sets belong on the distributed paths."""
+    """The fixed-K md5-order query draw (similarity.ann_query_draw —
+    constant-size at any corpus, round-8 VERDICT item 2), collected under
+    x_sim_topk's bounded-batch contract: refuse past MAX_QUERY_BATCH
+    instead of silently OOMing the driver — larger query sets belong on
+    the distributed paths."""
     from data_pipeline_cursor_spark.vectors.similarity import MAX_QUERY_BATCH
 
-    q = codes.filter(F.col("vec_id") % 199 == 0)
+    q = ann_query_draw(codes, cols=tuple(codes.columns))
     rows = q.limit(MAX_QUERY_BATCH + 1).collect()
     if len(rows) > MAX_QUERY_BATCH:
         raise ValueError(
@@ -567,7 +573,8 @@ _PQ_ORACLE = (
     f"WITH {DUCK_QV_CTE},\n"
     + ",".join(_duck_sub(m) for m in range(M_SUB))
     + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
-    " WHERE vec_id % 199 = 0),"
+    " ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id"
+    f" LIMIT {ANN_QUERY_K}),"
     + ",".join(_duck_lut(m) for m in range(M_SUB))
     + f"""
     SELECT query_id, rnk, vec_id, adist FROM (
@@ -750,7 +757,8 @@ _PQ_RECALL_ORACLE = (
     f"WITH {DUCK_QV_CTE},\n"
     + ",".join(_duck_sub(m) for m in range(M_SUB))
     + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
-    " WHERE vec_id % 199 = 0),"
+    " ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id"
+    f" LIMIT {ANN_QUERY_K}),"
     + ",".join(_duck_lut(m) for m in range(M_SUB))
     + f""",
     pq AS (
@@ -810,7 +818,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_topk(codes: DataFrame, topk: int) -> DataFrame:
     """EXACT full-dimension integer-L2 top-k over (vec_id, qv) codes for
-    the %199 query batch — the ground-truth side of the recall tables.
+    the fixed-K query draw — the ground-truth side of the recall tables.
     One mapInPandas scan-once pass; per-partition candidates cut in the
     (dist, vec_id) total order; tiny window merge."""
     import numpy as np
@@ -937,7 +945,8 @@ _PQ_STRUCTURED_ORACLE = (
     f"WITH {_ST_Q_CTE},\n"
     + ",".join(_duck_sub(m, sub=ST_SUB, k_pq=ST_K) for m in range(ST_M))
     + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
-    " WHERE vec_id % 199 = 0),"
+    " ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id"
+    f" LIMIT {ANN_QUERY_K}),"
     + ",".join(_duck_lut(m, sub=ST_SUB) for m in range(ST_M))
     + f""",
     pq AS (

@@ -69,7 +69,17 @@ def test_sim_topk_matches_independent_recomputation(spark):
     ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
     X = np.stack([np.asarray(r["embedding"], np.float64) for r in emb])
     U = X / np.linalg.norm(X, axis=1)[:, None]
-    queries = ids[ids % 199 == 0]
+    # replicate the fixed-K md5-order query draw with hashlib — a third
+    # implementation, independent of both Spark's F.md5 and DuckDB's md5
+    import hashlib
+
+    from data_pipeline_cursor_spark.vectors.similarity import ANN_QUERY_K
+
+    drawn = sorted(
+        ids.tolist(),
+        key=lambda i: (hashlib.md5(f"q:{i}".encode()).hexdigest(), i),
+    )[:ANN_QUERY_K]
+    queries = np.array(drawn, dtype=np.int64)
     assert set(pdf["query_id"]) == set(queries)
     for qid, grp in pdf.groupby("query_id"):
         assert (grp["vec_id"] != qid).all()

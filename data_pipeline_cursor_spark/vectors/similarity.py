@@ -47,6 +47,39 @@ DIM = 64
 # derive from the same n_planes argument, so a retuned width stays
 # oracle-verifiable (see test_lsh_width_shrinks_buckets).
 N_PLANES = 4
+# CORPUS-DERIVED LSH width (round-8 VERDICT item 1): a FIXED 2^N_PLANES
+# bucket count makes expected bucket size grow ∝ corpus and within-bucket
+# scoring quadratic (x_knn_graph measured 12.8×/10× sf1→sf10).  The
+# scale-safe rule derives the width from one cheap COUNT so expected
+# bucket size stays ≤ LSH_TARGET_ROWS:
+#     p = clamp(ceil(log2(n / LSH_TARGET_ROWS)), p_min, LSH_MAX_PLANES)
+# Total within-bucket pair work is then O(n · LSH_TARGET_ROWS) — linear.
+# The SAME rule replays in every oracle (derived_n_planes ↔ the np CTE of
+# duck_derived_bucket: COUNT(*) is available to both engines, log2/ceil
+# are IEEE-exact in both), and bucket bits are width-stable — plane p
+# contributes bit p whatever the width — so the oracle computes the
+# LSH_MAX_PLANES bucket once and keeps the low p bits via % (1 << p).
+# LSH_MAX_PLANES=20 caps the derivation at ~1M buckets (covers corpora to
+# ~10⁹ rows at the default target; raise it with the cluster, it is only
+# the length of the generated oracle expression).
+LSH_TARGET_ROWS = 1024
+LSH_MAX_PLANES = 20
+
+
+def derived_n_planes(
+    n: int,
+    target: int = LSH_TARGET_ROWS,
+    p_min: int = N_PLANES,
+    p_max: int = LSH_MAX_PLANES,
+) -> int:
+    """clamp(ceil(log2(n / target)), p_min, p_max) — see LSH_TARGET_ROWS.
+    Bit-for-bit the np CTE of duck_derived_bucket (same IEEE double ops
+    on the same integer count)."""
+    import math
+
+    if n <= 0:
+        return p_min
+    return min(p_max, max(p_min, math.ceil(math.log2(n / target))))
 # x_sim_topk ships its query batch in the task closure; at DIM=64 float64
 # this caps the broadcast at ~5 MB and the driver collect at the same —
 # larger query sets belong on the distributed paths (x_sim_lsh, x_sim_ivf).
@@ -153,7 +186,9 @@ def _plane_weight(p: int, d: int) -> float:
 
 
 
-def _prep_unit_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def _prep_unit_bucket(
+    emb: DataFrame, n_planes: int = N_PLANES, carry: dict[str, str] | None = None
+) -> DataFrame:
     """vec_id + unit-norm float64 vector + LSH bucket in ONE vectorized
     numpy pass (mapInPandas).
 
@@ -162,13 +197,22 @@ def _prep_unit_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     compile on first run — longer than scoring the whole fixture.
     Here the planes are a (N_PLANES × DIM) constant matrix and bucketing is
     one matmul; sign-boundary divergence vs the oracle's left-to-right sum
-    needs |proj| ≲ 1e-13, vanishingly rare for unit-scale data."""
+    needs |proj| ≲ 1e-13, vanishingly rare for unit-scale data.
+
+    ``carry``: extra passthrough columns as {name: spark_type} (e.g. the
+    label x_split_leakage_embed blocks on) — copied per row, so no join
+    is needed to recover them after the projection pass."""
     import numpy as np
     import pandas as pd
 
+    carry = carry or {}
+
+    # reshape keeps the (0, DIM) shape when the derived width clamps to 0
+    # planes (tiny corpus → one bucket) — np.array([]) would be 1-D
     planes = np.array(
-        [[_plane_weight(p, d) for d in range(1, DIM + 1)] for p in range(n_planes)]
-    )
+        [[_plane_weight(p, d) for d in range(1, DIM + 1)] for p in range(n_planes)],
+        dtype=np.float64,
+    ).reshape(n_planes, DIM)
     weights = 1 << np.arange(n_planes)
 
     def gen(batches):
@@ -180,15 +224,19 @@ def _prep_unit_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
             )
             U = E / np.linalg.norm(E, axis=1)[:, None]
             bucket = ((E @ planes.T) >= 0).astype(np.int64) @ weights
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "u": list(U),
-                    "bucket": bucket.astype(np.int32),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "u": list(U),
+                "bucket": np.asarray(bucket, dtype=np.int64).astype(np.int32),
+            }
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(gen, "vec_id bigint, u array<double>, bucket int")
+    schema = "vec_id bigint, u array<double>, bucket int" + "".join(
+        f", {c} {t}" for c, t in carry.items()
+    )
+    return emb.mapInPandas(gen, schema)
 
 
 def _bucket_duck(expr: str, n_planes: int = N_PLANES) -> str:
@@ -199,6 +247,23 @@ def _bucket_duck(expr: str, n_planes: int = N_PLANES) -> str:
         )
         parts.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(parts)
+
+
+def duck_np_cte(p_min: int = N_PLANES, p_max: int = LSH_MAX_PLANES) -> str:
+    """``np`` CTE: the corpus-derived plane count (derived_n_planes'
+    SQL twin — splice before duck_derived_bucket and CROSS JOIN ``np``)."""
+    return (
+        f"np AS (SELECT CAST(LEAST({p_max}, GREATEST({p_min}, "
+        f"CEIL(LOG2(COUNT(*) / {LSH_TARGET_ROWS}.0)))) AS INT) AS p "
+        "FROM embeddings)"
+    )
+
+
+def duck_derived_bucket(expr: str = "embedding", p_max: int = LSH_MAX_PLANES) -> str:
+    """Bucket at the derived width: the full {p_max}-plane bucket's low
+    ``np.p`` bits (bit p is plane p at any width, so % (1 << p) IS the
+    p-plane bucket).  Requires duck_np_cte in scope and ``np`` joined."""
+    return f"CAST(({_bucket_duck(expr, p_max)}) % (1 << np.p) AS INT)"
 
 
 _DUCK_COS = (
@@ -256,7 +321,7 @@ BLOCK_CHUNK_ROWS = 4096
 
 def _all_pairs_by_block(
     d: DataFrame,
-    block_col: str,
+    block_col: str | list[str],
     threshold: float,
     schema: str,
     chunk_rows: int = BLOCK_CHUNK_ROWS,
@@ -280,6 +345,7 @@ def _all_pairs_by_block(
     import numpy as np
     import pandas as pd
 
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col)
     out_cols = [c.strip().split()[0] for c in schema.split(",")]
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -317,11 +383,12 @@ def _all_pairs_by_block(
             "vec_b": np.concatenate(vb),
             "score": np.concatenate(scs),
         }
-        if block_col in out_cols:
-            out[block_col] = np.full(len(out["vec_a"]), pdf[block_col].iloc[0])
+        for b in blocks:
+            if b in out_cols:
+                out[b] = np.full(len(out["vec_a"]), pdf[b].iloc[0])
         return pd.DataFrame(out)[out_cols]
 
-    return d.groupBy(block_col).applyInPandas(score_block, schema)
+    return d.groupBy(*blocks).applyInPandas(score_block, schema)
 
 
 @register(
@@ -458,10 +525,11 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_sim_lsh",
     oracle=f"""
-    WITH bk AS (
+    WITH {duck_np_cte()},
+    bk AS (
       SELECT vec_id, embedding,
-             {_bucket_duck('embedding')} AS bucket
-      FROM embeddings
+             {duck_derived_bucket('embedding')} AS bucket
+      FROM embeddings, np
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
            {_DUCK_COS} AS score
@@ -470,20 +538,26 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_lsh(
-    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
-    """Random-hyperplane LSH ANN (E3 scale path): ``n_planes`` sign bits →
+    """Random-hyperplane LSH ANN (E3 scale path): sign bits →
     2^n_planes buckets; exact cosine only within a bucket.
 
     100 TB: bucketing is a single projection pass; one shuffle co-locates
     each bucket; scoring is vectorized BLAS inside the bucket (module
-    docstring).  ``n_planes`` is THE scale knob (see N_PLANES note): raise
-    it until a bucket fits a task — each +1 plane halves expected bucket
-    size, quartering within-bucket pairs, verified by
+    docstring).  The width is CORPUS-DERIVED by default (round-8 VERDICT
+    item 1): derived_n_planes(count) keeps expected bucket size ≤
+    {LSH_TARGET_ROWS}, so within-bucket pair work stays O(n·target) —
+    linear — instead of O(n²/2^const); each +1 plane halves expected
+    bucket size, quartering within-bucket pairs, verified by
     test_lsh_width_shrinks_buckets.  The hyperplanes are md5-derived
     constants indexed only by (plane, dim), so any width is reproducible
-    run-to-run and oracle-checkable via _bucket_duck(expr, n_planes)."""
+    run-to-run, and the oracle replays the SAME width from COUNT(*)
+    (duck_np_cte / duck_derived_bucket).  Pass ``n_planes`` to pin a
+    width explicitly."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = derived_n_planes(emb.count())
     bk = _prep_unit_bucket(emb, n_planes)
     return _all_pairs_by_block(
         bk, "bucket", 0.2, "vec_a bigint, vec_b bigint, bucket int, score double"
@@ -974,10 +1048,17 @@ EMBED_LEAK_THRESHOLD = 0.2  # recall-leaning: leakage audits prefer recall
 @register(
     "x_split_leakage_embed",
     oracle=f"""
-    WITH p AS (
+    WITH {duck_np_cte(p_min=0)},
+    bkl AS (
+      SELECT vec_id, embedding, label,
+             {duck_derived_bucket('embedding')} AS bucket
+      FROM embeddings, np
+    ),
+    p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS score
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bkl a JOIN bkl b
+        ON a.label = b.label AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
       WHERE {_DUCK_COS} >= {EMBED_LEAK_THRESHOLD}
     ),
     e AS (
@@ -1005,23 +1086,30 @@ def split_leakage_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label train neighbour at cosine >= 0.2, with partner count and
     the worst (highest) cosine.
 
-    Plan: the same-label blocked BLAS scorer (x_dedup_embed's shape —
-    one shuffle to co-locate blocks, per-block matmul, no vec x vec),
-    symmetrized, then two joins against the zero-shuffle md5 split
-    projection (the x_split_assign rule applied to vec_id; vec_id ==
-    doc_id in the fixtures).  100 TB: candidate generation is the whole
-    cost and it is the dedup stack's, amortized; for unlabeled corpora
-    block by x_sim_lsh buckets or x_sim_ivf cells instead of label —
-    identical downstream."""
+    Plan: the blocked BLAS scorer (x_dedup_embed's shape — one shuffle
+    to co-locate blocks, per-block matmul, no vec x vec), symmetrized,
+    then two joins against the zero-shuffle md5 split projection (the
+    x_split_assign rule applied to vec_id; vec_id == doc_id in the
+    fixtures).  Blocks are (label, derived LSH bucket) with p_min = 0
+    (round-8 VERDICT item 1: label-only blocks grew ∝ corpus and the
+    within-block quadratic measured 14.1×/10× sf1→sf10): at or below
+    {LSH_TARGET_ROWS} rows the derived width clamps to 0 planes — one
+    bucket, EXACT same-label audit, identical to the pre-derivation
+    semantics — and past it the audit becomes bucket-local like
+    x_knn_graph, holding block work at O(n·target).  The oracle
+    re-derives the same width from COUNT(*).  100 TB: candidate
+    generation is the whole cost and it is the dedup stack's, amortized;
+    for unlabeled corpora drop the label key — identical downstream."""
     from data_pipeline_cursor_spark.text.packing import split_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.filter(F.col("label").isNotNull()).select(
-        "vec_id", "label", _unit(F.col("embedding")).alias("u")
+    p = derived_n_planes(emb.count(), p_min=0)
+    d = _prep_unit_bucket(
+        emb.filter(F.col("label").isNotNull()), p, carry={"label": "int"}
     )
     pairs = _all_pairs_by_block(
         d,
-        "label",
+        ["label", "bucket"],
         EMBED_LEAK_THRESHOLD,
         "vec_a bigint, vec_b bigint, score double",
     ).select("vec_a", "vec_b", "score")
@@ -1137,9 +1225,10 @@ def _block_topk(
     )
 
 
-_DUCK_KNN_DIRECTED = f"""bk AS (
-      SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
-      FROM embeddings
+_DUCK_KNN_DIRECTED = f"""{duck_np_cte()},
+    bk AS (
+      SELECT vec_id, embedding, {duck_derived_bucket('embedding')} AS bucket
+      FROM embeddings, np
     ),
     dp AS (
       SELECT a.vec_id AS src, b.vec_id AS dst, {_DUCK_COS} AS score,
@@ -1177,12 +1266,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer (the all-pairs table — 480M rows for one 31k bucket — is
     never materialized).  The mutuality check is an equi-join of two
     k·n-row tables on (src, dst) — AQE-sized, never quadratic.  Bucket
-    width is the same knob as x_sim_lsh: raise n_planes until a bucket
-    fits a task.  Mutuality prunes asymmetric hub edges (a problem
-    k-cutoffs have in high dimensions), which is why mutual-kNN is the
-    standard graph for density-based dedup clustering."""
+    width is CORPUS-DERIVED (round-8 VERDICT item 1: the fixed 16-bucket
+    width measured 12.8×/10× sf1→sf10 because bucket size grew ∝ n):
+    derived_n_planes(count) holds expected bucket size ≤
+    {LSH_TARGET_ROWS}, making total within-bucket work O(n·target), and
+    the oracle re-derives the same width from COUNT(*).  Mutuality
+    prunes asymmetric hub edges (a problem k-cutoffs have in high
+    dimensions), which is why mutual-kNN is the standard graph for
+    density-based dedup clustering."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bk = _prep_unit_bucket(emb)
+    bk = _prep_unit_bucket(emb, derived_n_planes(emb.count()))
     # n·k rows, eagerly materialized: the mutuality self-join below reads
     # the per-bucket BLAS scorer's output twice (directed + rev) — without
     # the checkpoint the scorer ran twice per query (round-8 ADVICE

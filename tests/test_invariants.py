@@ -1837,3 +1837,35 @@ def test_mmr_topk_is_diverse_and_greedy_consistent(spark):
         if set(g["vec_id"]) != top3:
             diverged += 1
     assert diverged > 0
+
+
+def test_derived_n_planes_matches_sql_rule():
+    """The corpus-derived LSH width (round-9): the Python derivation and
+    the generated DuckDB np-CTE expression agree on every count across
+    the clamp boundaries, power-of-two edges, and fixture/scale sizes —
+    so the Spark plan and the oracle can never bucket at different
+    widths."""
+    import duckdb
+
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        LSH_TARGET_ROWS,
+        derived_n_planes,
+        duck_np_cte,
+    )
+
+    for p_min in (0, 4):
+        for n in (1, 437, 500, 1023, 1024, 1025, 2000, 16384, 20000,
+                  200_000, 2_000_000, 10**9, 10**12):
+            sql = (
+                duck_np_cte(p_min=p_min)
+                .replace("np AS (", "")
+                .replace("COUNT(*)", str(n))
+                .replace("FROM embeddings)", "")
+            )
+            got = duckdb.sql(sql).fetchone()[0]
+            assert got == derived_n_planes(n, p_min=p_min), (p_min, n, got)
+    # the scale fixtures actually ENGAGE the derivation (the whole point:
+    # sf1/sf10 widen past the fixture-era constant width)
+    assert derived_n_planes(20_000) == 5  # sf1: 32 buckets, ~625/bucket
+    assert derived_n_planes(200_000) == 8  # sf10: 256 buckets, ~781/bucket
+    assert derived_n_planes(LSH_TARGET_ROWS, p_min=0) == 0

@@ -478,12 +478,27 @@ def test_bloom_prefilter_never_shuffles_the_fact(spark):
 
 def test_knn_graph_mutual_check_is_equi_join(spark):
     """x_knn_graph: neighbours come from the per-bucket pandas scorer
-    (one FlatMapGroupsInPandas), and the mutuality check is a hash
-    equi-join of the k·n directed survivors — never a nested-loop or
+    (one FlatMapGroupsInPandas — asserted on the pre-checkpoint scorer
+    plan, since the round-9 eager localCheckpoint truncates it out of
+    the final lineage), and the mutuality check is a hash equi-join of
+    the k·n checkpointed directed survivors — never a nested-loop or
     cartesian product."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        KNN_K,
+        _block_topk,
+        _prep_unit_bucket,
+        derived_n_planes,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    scorer = _block_topk(
+        _prep_unit_bucket(emb, derived_n_planes(emb.count())), "bucket", KNN_K
+    )
+    assert "FlatMapGroupsInPandas" in _plan(scorer), _plan(scorer)
+
     df = get_queries()["x_knn_graph"](spark, SF_SMOKE)
     plan = _plan(df)
-    assert "FlatMapGroupsInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 

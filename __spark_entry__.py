@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_pipeline_cursor_spark.registry import get_oracles, get_queries  # noqa: E402
+from data_pipeline_cursor_spark.registry import (  # noqa: E402
+    get_foils,
+    get_oracles,
+    get_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,3 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return get_oracles()
+
+
+def foil_queries() -> set[str]:
+    """Names in ``queries()`` registered as deliberate scale-calibration
+    foils (measured-to-die-at-sf10 contrast plans, kept as recorded
+    evidence): correctness-checked like everything else at sf0.01, but
+    wholesale sized-run consumers should exclude them — see
+    registry.register(foil=...)."""
+    return get_foils()

@@ -54,6 +54,20 @@ def main() -> None:
         wanted = {s.strip() for s in subset.split(",") if s.strip()}
         queries = {k: v for k, v in queries.items() if k in wanted}
 
+    # BENCH_SKIP_FOILS=1 excludes the registry's foil=True entries (the
+    # deliberately-kept quadratic calibration contrasts) via the flag,
+    # not a hand list — the sized sf10 runs use this so one foil's
+    # 1,800 s / OOM cannot poison the whole-suite session (round-8
+    # VERDICT item 3).  Excluded names are recorded in the payload: a
+    # silent cap would read as "covered everything".
+    from data_pipeline_cursor_spark.registry import get_foils
+
+    skipped_foils: list[str] = []
+    if os.environ.get("BENCH_SKIP_FOILS") == "1":
+        foils = get_foils()
+        skipped_foils = sorted(k for k in queries if k in foils)
+        queries = {k: v for k, v in queries.items() if k not in foils}
+
     # Warm the JVM + parquet footer cache once so per-query times measure the
     # query, not session start-up.
     from data_pipeline_cursor_spark.sources.tables import TABLE_NAMES, load_table
@@ -151,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "skipped_foils": skipped_foils,
         "n_queries": len(timings),
         "worst_vs_prev": worst_ratio,
         "worst_query": worst_q,

@@ -31,15 +31,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_FOILS: set[str] = set()
 
 
-def register(name: str, oracle: Optional[str] = None):
+def register(name: str, oracle: Optional[str] = None, foil: bool = False):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
 
     ``oracle`` is the equivalent DuckDB-ANSI SQL (tables pre-registered as
     views: region nation customer supplier part orders lineitem events
     documents embeddings).  Omit it for nondeterministic / non-SQL ops →
     the driver records a rows-only check.
+
+    ``foil`` marks a DELIBERATELY-KEPT scale-calibration contrast — an
+    operator retained because its measured blow-up at sf10 (quadratic
+    prefix-block candidates, narrow-band collisions) is recorded evidence
+    for why the default family is shaped differently.  Foils stay fully
+    registered, runnable, and oracled at fixture SFs, but wholesale
+    consumers (sized suite runs, cost-bounded benches) can exclude them
+    via get_foils() instead of a hand list — the sf10 session-poisoning
+    incident in BASELINE.md is the motivating case (round-8 VERDICT
+    item 3).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -48,6 +59,8 @@ def register(name: str, oracle: Optional[str] = None):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle.strip()
+        if foil:
+            _FOILS.add(name)
         return fn
 
     return deco
@@ -100,3 +113,11 @@ def get_queries() -> dict[str, QueryFn]:
 def get_oracles() -> dict[str, str]:
     _load_all_modules()
     return dict(_ORACLES)
+
+
+def get_foils() -> set[str]:
+    """Names registered with foil=True — the measured-to-die-at-scale
+    calibration contrasts a wholesale consumer may exclude (see
+    register)."""
+    _load_all_modules()
+    return set(_FOILS)

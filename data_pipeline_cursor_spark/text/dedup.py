@@ -256,6 +256,7 @@ def _duck_band_union(
 
 @register(
     "x_dedup_minhash_narrow",
+    foil=True,
     # per-band equi-joins + UNION, not an OR-of-conjunctions join: the OR
     # form has no extractable equi-keys, so BOTH engines degrade to a
     # nested-loop self-join — observed in DuckDB at sf10 (500 k sigs →
@@ -508,6 +509,7 @@ def jaccard_pairs_df(docs: DataFrame) -> DataFrame:
 
 @register(
     "x_dedup_jaccard_prefix",
+    foil=True,
     oracle=f"""
     WITH d AS ({_DUCK_JACCARD_D})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1467,6 +1469,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_cluster_prefix",
+    foil=True,
     oracle=f"""
     WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
     edges AS (
@@ -1502,7 +1505,9 @@ def dedup_cluster_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unpersist()
 
 
-@register("x_canonical_pick_prefix", oracle=_CANONICAL_PREFIX_ORACLE)
+@register(
+    "x_canonical_pick_prefix", oracle=_CANONICAL_PREFIX_ORACLE, foil=True
+)
 def canonical_pick_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x_canonical_pick's capstone (CC labels + fixed-point PageRank +
     per-cluster argmax) on the LEGACY prefix-block candidate family —

@@ -642,12 +642,64 @@ def duck_wide_verified_pairs(src: str = "documents") -> str:
     return _DUCK_WIDE_VERIFIED_PAIRS.replace("FROM documents", f"FROM {src}")
 
 
+# ---------------------------------------------------------------------------
+# Opt-in SHARED pair pipeline (round-8 VERDICT item 5): eight operators
+# (x_dedup_cluster, x_canonical_pick, x_pagerank, x_triangles,
+# x_component_stats, x_graph_bfs, x_cross_source_dup,
+# x_dedup_threshold_sweep) consume the same wide-band signature →
+# candidate → exact-Jaccard pipeline (~30-60 s each at sf10).  With
+# sharing enabled (bench suite runs), the UNTHRESHOLDED scored candidate
+# table (doc_a, doc_b, jraw) is computed once per (session, sf_dir) and
+# localCheckpoint'ed; every consumer then derives its exact current
+# expression from the materialized column — the verified family filters
+# raw >= JACCARD_THRESHOLD, the sweep rounds then compares — so hashes
+# are unchanged by construction.  Default OFF: per-query standalone
+# paths (including their plan shapes under test) are untouched.
+_PAIR_SHARING = False
+_SCORED_CACHE: dict[str, tuple] = {}
+
+
+def enable_pair_sharing(on: bool = True) -> None:
+    """Turn the per-(session, sf_dir) scored-candidate memo on/off.
+    Turning it off drops the memo (the checkpoint blocks are freed by the
+    session's ContextCleaner once unreferenced)."""
+    global _PAIR_SHARING
+    _PAIR_SHARING = on
+    if not on:
+        _SCORED_CACHE.clear()
+
+
+def shared_scored_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The memoized scored candidate table when sharing is enabled (None
+    otherwise).  Keyed by sf_dir and bound to the owning SparkSession —
+    a different session recomputes rather than touching another
+    session's checkpoint blocks."""
+    if not _PAIR_SHARING:
+        return None
+    hit = _SCORED_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = load_table(spark, sf_dir, "documents")
+    sc = scored_candidates_df(docs).localCheckpoint(eager=True)
+    _SCORED_CACHE[sf_dir] = (spark, sc)
+    return sc
+
+
 def _verified_pairs_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default (doc_a, doc_b) edge source for the dedup-graph stack:
     x_dedup_minhash_verified's wide-band + exact-Jaccard-verified pairs,
     eagerly localCheckpoint'ed (materialized AND lineage-truncated) so
     iterative consumers don't re-run the signature/verify pipeline per
-    reference."""
+    reference.  Under enable_pair_sharing the pairs are a cheap filter
+    over the session's shared scored-candidate checkpoint instead of a
+    per-consumer pipeline run."""
+    sc = shared_scored_candidates(spark, sf_dir)
+    if sc is not None:
+        return sc.filter(F.col("jraw") >= JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
     return (
         dedup_minhash_verified(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -749,7 +801,11 @@ def dedup_cluster(
     (x_canonical_pick passes one so cluster + PageRank share a single
     Jaccard computation — the x_pair_table pattern); default recomputes."""
     owns_pairs = pairs is None
-    if owns_pairs:
+    if owns_pairs and shared_scored_candidates(spark, sf_dir) is not None:
+        # suite-run sharing: the checkpointed scored table already
+        # materialized the data-heavy stage once for the whole session
+        pairs = _verified_pairs_checkpointed(spark, sf_dir)
+    elif owns_pairs:
         # materialize the candidate pairs at FULL shuffle width before
         # narrowing it for the label loop: the signature + verify pipeline
         # is the data-heavy stage and feeds both union branches of the
@@ -896,7 +952,9 @@ def pagerank(
     ``pairs``: an already-materialized (doc_a, doc_b) candidate table
     (x_canonical_pick shares one across cluster + PageRank); default
     recomputes and caches its own."""
-    if pairs is None:
+    if pairs is None and shared_scored_candidates(spark, sf_dir) is not None:
+        pairs = _verified_pairs_checkpointed(spark, sf_dir)  # suite sharing
+    elif pairs is None:
         pairs = (
             dedup_minhash_verified(spark, sf_dir)
             .select("doc_a", "doc_b")
@@ -1366,21 +1424,30 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: two equi-joins on 4-hash band tuples + a candidate-sized
     shingle-set join; no stage is quadratic in the corpus."""
+    sc = shared_scored_candidates(spark, sf_dir)
+    if sc is not None:
+        return sc.filter(F.col("jraw") >= JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b", F.round("jraw", 4).alias("jaccard")
+        )
     return minhash_verified_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_verified_pairs_df(docs: DataFrame) -> DataFrame:
-    """Wide-band candidates + exact shingle-set Jaccard verification over
-    ANY docs DataFrame with (doc_id, text) — the reusable core of
-    x_dedup_minhash_verified (the round-7 default pair source for the
-    whole dedup-graph stack)."""
+def scored_candidates_df(docs: DataFrame, cache_sets: bool = False) -> DataFrame:
+    """Wide-band candidates with their UNTHRESHOLDED exact shingle-set
+    Jaccard as ``jraw`` — the shared data-heavy prefix of the verified
+    family AND the threshold sweep (which needs sub-threshold scores).
+    Every consumer applies its own filter/round to the materialized
+    column, so sharing cannot move a boundary case (filtering raw then
+    rounding equals the historical inline expressions exactly)."""
     cand = minhash_wide_candidates_df(docs)
     # shingle SETS for exact verification — same construction the
     # signatures hash, so candidates and verification share a universe
     sets = docs.select(
         "doc_id",
         F.array_distinct(shingles_col(tokens_col())).alias("ss"),
-    ).cache()
+    )
+    if cache_sets:
+        sets = sets.cache()
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -1389,8 +1456,19 @@ def minhash_verified_pairs_df(docs: DataFrame) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jraw"))
+    )
+
+
+def minhash_verified_pairs_df(docs: DataFrame) -> DataFrame:
+    """Wide-band candidates + exact shingle-set Jaccard verification over
+    ANY docs DataFrame with (doc_id, text) — the reusable core of
+    x_dedup_minhash_verified (the round-7 default pair source for the
+    whole dedup-graph stack)."""
+    return (
+        scored_candidates_df(docs, cache_sets=True)
+        .filter(F.col("jraw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jraw", 4).alias("jaccard"))
     )
 
 
@@ -2135,21 +2213,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep is candidates × |thresholds| rows through one hash agg —
     count(distinct doc_b) expands to (threshold, doc_b) grain first,
     still candidate-bounded."""
-    docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_wide_candidates_df(docs)
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(shingles_col(tokens_col())).alias("ss"),
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
-        F.array_union("sa", "sb")
-    ).cast("double")
-    scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    scored_src = shared_scored_candidates(spark, sf_dir)
+    if scored_src is None:
+        scored_src = scored_candidates_df(
+            load_table(spark, sf_dir, "documents")
+        )
+    scored = scored_src.select(
+        "doc_a", "doc_b", F.round("jraw", 4).alias("jaccard")
     )
     thresholds = F.explode(
         F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])

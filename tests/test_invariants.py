@@ -1869,3 +1869,38 @@ def test_derived_n_planes_matches_sql_rule():
     assert derived_n_planes(20_000) == 5  # sf1: 32 buckets, ~625/bucket
     assert derived_n_planes(200_000) == 8  # sf10: 256 buckets, ~781/bucket
     assert derived_n_planes(LSH_TARGET_ROWS, p_min=0) == 0
+
+
+def test_pair_sharing_preserves_hashes(spark):
+    """enable_pair_sharing (the round-9 suite-run amortization): every
+    consumer of the shared scored-candidate checkpoint must hash-match
+    its DuckDB oracle EXACTLY as in standalone mode — the shared table
+    carries the unthresholded raw score and each consumer applies its
+    historical filter/round, so sharing must be invisible in results.
+    Also pins that the memo actually engages (one entry per sf_dir) and
+    clears on disable."""
+    from data_pipeline_cursor_spark.registry import get_oracles
+    from data_pipeline_cursor_spark.text import dedup
+    from tests.oracle_harness import compare_query
+
+    consumers = [
+        "x_dedup_minhash_verified",
+        "x_dedup_cluster",
+        "x_pagerank",
+        "x_canonical_pick",
+        "x_triangles",
+        "x_component_stats",
+        "x_graph_bfs",
+        "x_cross_source_dup",
+        "x_dedup_threshold_sweep",
+    ]
+    oracles = get_oracles()
+    qs = get_queries()
+    dedup.enable_pair_sharing(True)
+    try:
+        for name in consumers:
+            compare_query(spark, name, qs[name], oracles[name], SF_ORACLE)
+        assert SF_ORACLE in dedup._SCORED_CACHE  # memo engaged
+    finally:
+        dedup.enable_pair_sharing(False)
+    assert not dedup._SCORED_CACHE  # disable clears the memo

@@ -311,10 +311,17 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE item 1)."""
     _views(spark, sf_dir, "customer")
     return run_with_recursion_row_limit(
-        spark,
-        200_000_000,
-        lambda: spark.sql(
-            """
+        spark, 200_000_000, lambda: recursive_chain_statement(spark)
+    )
+
+
+def recursive_chain_statement(spark: SparkSession) -> DataFrame:
+    """The LAZY recursive statement (customer view must be registered) —
+    exposed so plan tests can assert the UnionLoop execution shape, which
+    the eager checkpoint in q_recursive_cte truncates out of the returned
+    lineage."""
+    return spark.sql(
+        """
         WITH RECURSIVE chain AS (
           SELECT c_custkey AS custkey, c_custkey AS root_key, 0 AS depth
           FROM customer WHERE c_custkey < 10
@@ -328,5 +335,4 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(root_key) AS BIGINT) AS sum_root
         FROM chain GROUP BY depth ORDER BY depth
         """
-        ),
     )

@@ -621,9 +621,17 @@ def test_tokenizer_fertility_joins_vocab_sized_table(spark):
 def test_recursive_cte_runs_as_union_loop(spark):
     """q_recursive_cte / x_graph_bfs: the recursion must execute as
     Spark's native UnionLoop (frontier re-joined per level), not fall
-    back to anything materializing the closure at once."""
-    df = get_queries()["q_recursive_cte"](spark, SF_SMOKE)
-    plan = _plan(df)
+    back to anything materializing the closure at once.  Asserted on the
+    LAZY statement — the round-9 scoped-recursion-limit fix executes the
+    registered query eagerly into a checkpoint, truncating the loop out
+    of the returned lineage."""
+    from data_pipeline_cursor_spark.operators.subqueries import (
+        _views,
+        recursive_chain_statement,
+    )
+
+    _views(spark, SF_SMOKE, "customer")
+    plan = _plan(recursive_chain_statement(spark))
     assert "UnionLoop" in plan, plan
 
 

@@ -68,6 +68,17 @@ def main() -> None:
         skipped_foils = sorted(k for k in queries if k in foils)
         queries = {k: v for k, v in queries.items() if k not in foils}
 
+    # BENCH_EXCLUDE_STREAMING=1 drops the s_* streaming jobs — sized
+    # batch runs measure streaming separately under the RocksDB provider
+    # (scripts/stream_scale_run.py), the provider a real deployment
+    # runs, so the noop-sink bench numbers stay a batch story.  Excluded
+    # names are recorded in the payload, same no-silent-caps rule as the
+    # foil flag.
+    skipped_streaming: list[str] = []
+    if os.environ.get("BENCH_EXCLUDE_STREAMING") == "1":
+        skipped_streaming = sorted(k for k in queries if k.startswith("s_"))
+        queries = {k: v for k, v in queries.items() if not k.startswith("s_")}
+
     # Suite-run pair sharing (BENCH_SHARE_PAIRS, default on): the eight
     # dedup-graph consumers derive their pair set from ONE checkpointed
     # scored-candidate table per session instead of re-running the
@@ -177,6 +188,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "skipped_foils": skipped_foils,
+        "skipped_streaming": skipped_streaming,
         "share_pairs": share_pairs,
         "n_queries": len(timings),
         "worst_vs_prev": worst_ratio,

@@ -110,6 +110,27 @@ def _ckpt(name: str) -> str:
     return _work("ckpt", name + "-" + uuid.uuid4().hex[:8])
 
 
+# events-fixture size past which s_ewma_state drains as ONE availableNow
+# batch instead of the 4-file multi-batch replay — see its docstring's
+# micro-batch-sizing note (state-echo volume measurement, round 9)
+_EWMA_SINGLE_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def _tree_bytes(path: str) -> int:
+    """Total bytes under a file or directory — the cheap corpus statistic
+    the micro-batch sizing rule derives from (parquet footprint ∝ rows)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 4
 ) -> DataFrame:
@@ -1409,47 +1430,89 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of exact resequencing.  At 100 TB the buffer is bounded by the
     WATERMARK horizon (emit-and-evict rows older than the watermark,
     folding them permanently into the carried e); the fixture drain
-    keeps the whole horizon because the flush sentinel arrives last."""
+    keeps the whole horizon because the flush sentinel arrives last.
+
+    STATE LAYOUT (round-9): the buffer is ONE packed int64 binary blob
+    ([ts... | id... | cents...] via numpy tobytes), not three
+    array<long> columns.  The array-typed encoder boxes per element and
+    the sf10 drain measured its failure mode: three executor threads
+    pinned in Unsafe.freeMemory direct-buffer churn for 45+ minutes on
+    2M-element state rows (jstack evidence, BASELINE.md round-9
+    streaming notes).  A binary column is one bulk copy each way —
+    state I/O per batch is proportional to bytes, not element count.
+
+    MICRO-BATCH SIZING (round-9, derived like every other scale knob):
+    multi-batch replay is the fixture's realism knob, but the
+    applyInPandasWithState Arrow channel re-echoes each group's state
+    alongside its data chunks, so channel volume per batch is
+    O(data + chunks·state_bytes) — measured at sf10 (205 MB events,
+    ~16 MB/key whole-history buffers): 45+ min multi-batch vs 17.8 s as
+    ONE availableNow batch, with executors pinned in the direct-buffer
+    grow/serialize path.  The rule below keeps the 4-file replay while
+    the events fixture is small enough that per-key buffers stay in the
+    single-MB range (sf1 = 20 MB drains multi-batch in 9.2 s) and drops
+    to a single batch past _EWMA_SINGLE_BATCH_BYTES (64 MB) — exact
+    resequencing over UNBOUNDED disorder keeps O(stream) state by
+    contract, so at scale the honest trade is fewer state echoes, not a
+    smaller buffer.  (A real deployment bounds disorder with the
+    watermark horizon instead; this fixture's copy-interleaved arrival
+    order is deliberately unbounded.)"""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.window import Window
 
     from data_pipeline_cursor_spark.functions.math_ops import cents_half_away
+    from data_pipeline_cursor_spark.sources.tables import table_path
 
-    df = _stream(spark, sf_dir).filter(F.col("event_type") != FLUSH_TYPE)
+    ev_bytes = _tree_bytes(table_path(sf_dir, "events"))
+    mft = 4 if ev_bytes <= _EWMA_SINGLE_BATCH_BYTES else None
+    df = _stream(spark, sf_dir, mft).filter(F.col("event_type") != FLUSH_TYPE)
 
     def update(key, pdfs, state):
         if state.exists:
-            ts_b, id_b, v_b, seq = state.get
-            ts_b, id_b, v_b = list(ts_b), list(id_b), list(v_b)
+            raw, seq = state.get
+            arr = np.frombuffer(raw, dtype=np.int64)
+            n0 = arr.size // 3
+            ts_b, id_b, v_b = arr[:n0], arr[n0 : 2 * n0], arr[2 * n0 :]
         else:
-            ts_b, id_b, v_b, seq = [], [], [], 0
+            ts_b = id_b = v_b = np.empty(0, dtype=np.int64)
+            seq = 0
+        new_ts, new_id, new_v = [ts_b], [id_b], [v_b]
         for pdf in pdfs:
             pdf = pdf.dropna(subset=["event_id", "event_time", "value"])
-            ts_b.extend(
-                int(t.value // 1_000_000) for t in pdf["event_time"]
-            )  # epoch ms; landing ts are second-precision, so this is a
-            #    monotone rendering of the oracle's second-truncated order
-            id_b.extend(int(i) for i in pdf["event_id"])
+            # epoch ms; landing ts are second-precision, so this is a
+            # monotone rendering of the oracle's second-truncated order
+            new_ts.append(
+                pdf["event_time"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .view("int64")
+                // 1_000_000
+            )
+            new_id.append(pdf["event_id"].to_numpy().astype(np.int64))
             # half-away cents, NOT pandas Series.round (banker's) — see
             # cents_half_away's docstring for the desync this prevents.
-            v_b.extend(
-                int(v) for v in cents_half_away(pdf["value"].to_numpy())
+            new_v.append(
+                cents_half_away(pdf["value"].to_numpy()).astype(np.int64)
             )
+        ts_a = np.concatenate(new_ts)
+        id_a = np.concatenate(new_id)
+        v_a = np.concatenate(new_v)
         seq += 1
-        state.update((ts_b, id_b, v_b, seq))
-        if not v_b:
+        packed = np.concatenate([ts_a, id_a, v_a]).tobytes()
+        state.update((packed, seq))
+        if v_a.size == 0:
             return
-        order = np.lexsort((np.array(id_b), np.array(ts_b)))
-        v = np.array(v_b, dtype=np.int64)[order]
+        order = np.lexsort((id_a, ts_a))
+        v = v_a[order]
         e = int(v[0])
         for x in v[1:]:
             e = (int(x) + e) // 2
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
-                "n_obs": [len(v)],
+                "n_obs": [int(v.size)],
                 "ewma_cents": [e],
                 "batch_seq": [seq],
             }
@@ -1458,7 +1521,7 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = df.groupBy("event_type").applyInPandasWithState(
         update,
         "event_type string, n_obs long, ewma_cents long, batch_seq long",
-        "ts_b array<long>, id_b array<long>, v_b array<long>, seq long",
+        "buf binary, seq long",
         "update",
         GroupStateTimeout.NoTimeout,
     )

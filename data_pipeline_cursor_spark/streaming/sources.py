@@ -280,15 +280,21 @@ def write_query_landing_fixture(
     decimal re-print of float32 would not).  Idempotent per (sf_dir,
     fixture content), same keying discipline as write_landing_fixture."""
     from data_pipeline_cursor_spark.sources.tables import table_path
-    from data_pipeline_cursor_spark.vectors.similarity import ann_query_draw
-
-    from data_pipeline_cursor_spark.vectors.similarity import ANN_QUERY_K
+    from data_pipeline_cursor_spark.vectors.similarity import (
+        ANN_QUERY_K,
+        ANN_QUERY_SALT,
+        ann_query_draw,
+    )
 
     st = os.stat(table_path(sf_dir, "embeddings"))
-    # the draw rule is part of the key: a cached %199-era fixture must not
-    # satisfy a md5-draw run (content would silently diverge from the
+    # the WHOLE draw rule is part of the key — K, the md5 salt, and the
+    # rule name: a cached %199-era fixture must not satisfy a md5-draw
+    # run, and a future change to the salt/ordering at the same K must
+    # not reuse this one (content would silently diverge from the
     # oracle's query set)
-    fingerprint = f"{int(st.st_mtime)}-{st.st_size}-qk{ANN_QUERY_K}"
+    fingerprint = (
+        f"{int(st.st_mtime)}-{st.st_size}-md5order-{ANN_QUERY_SALT}-qk{ANN_QUERY_K}"
+    )
     key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
     out = os.path.join(landing_dir, key)
     if os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -656,7 +656,7 @@ def duck_wide_verified_pairs(src: str = "documents") -> str:
 # are unchanged by construction.  Default OFF: per-query standalone
 # paths (including their plan shapes under test) are untouched.
 _PAIR_SHARING = False
-_SCORED_CACHE: dict[str, tuple] = {}
+_SCORED_CACHE: dict[tuple, tuple] = {}
 
 
 def enable_pair_sharing(on: bool = True) -> None:
@@ -673,17 +673,26 @@ def shared_scored_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame | None:
     """The memoized scored candidate table when sharing is enabled (None
-    otherwise).  Keyed by sf_dir and bound to the owning SparkSession —
-    a different session recomputes rather than touching another
-    session's checkpoint blocks."""
+    otherwise).  Keyed by (sf_dir, documents mtime+size) and bound to the
+    owning SparkSession — a different session recomputes rather than
+    touching another session's checkpoint blocks, and a REGENERATED
+    documents fixture at the same path invalidates naturally (the same
+    mtime+size discipline as write_landing_fixture; without it a
+    long-lived session would silently serve pre-rewrite pairs)."""
     if not _PAIR_SHARING:
         return None
-    hit = _SCORED_CACHE.get(sf_dir)
+    import os as _os
+
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    st = _os.stat(table_path(sf_dir, "documents"))
+    key = (sf_dir, int(st.st_mtime), st.st_size)
+    hit = _SCORED_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
     docs = load_table(spark, sf_dir, "documents")
     sc = scored_candidates_df(docs).localCheckpoint(eager=True)
-    _SCORED_CACHE[sf_dir] = (spark, sc)
+    _SCORED_CACHE[key] = (spark, sc)
     return sc
 
 
@@ -1985,13 +1994,35 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _verified_pairs_checkpointed(spark, sf_dir)
     pairs.createOrReplaceTempView("bfs_pairs")
-    # cumulative-row budget for the bounded traversal, sized to THIS
-    # graph: ≤ roots + |frontier paths| ≤ (hops+1) · 2|pairs| · max-deg
-    # slack; scoped via run_with_recursion_row_limit so the session's
-    # 1e6 backstop survives (q_recursive_cte previously leaked a 200M
-    # session-wide limit that this query silently depended on — round-8
-    # ADVICE item 1)
-    row_budget = max(1_000_000, 200 * (BFS_MAX_HOPS + 1) * pairs.count())
+    # Cumulative-row budget for the bounded traversal, sized to THIS
+    # graph from its true worst case: the recursion accumulates WALKS
+    # (MIN(hop) dedups only after it), and walks of length h are bounded
+    # by 2|pairs| · maxdeg^(h-1) — multiplicative in degree, so a flat
+    # "slack × pairs" budget undercounts on dense cliques (round-9
+    # review: a ~60-doc clique walks ≥ deg⁴ ≈ 1.3e7 from one root, which
+    # a 200×pairs budget would abort; the pre-round-8 code only survived
+    # that by leaking a 200M session-wide limit).  maxdeg costs one
+    # candidate-grain agg over the checkpointed pairs; the budget is
+    # capped at int32 (the conf's domain) — past that the recursion IS
+    # runaway territory for a single driver, which is what the backstop
+    # is for.  Scoped via run_with_recursion_row_limit so the session's
+    # 1e6 default survives (round-8 ADVICE item 1).
+    n_pairs = pairs.count()
+    maxdeg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+        or 1
+    )
+    walks = 2 * n_pairs  # roots ≤ nodes ≤ 2|pairs|
+    per_len = 2 * n_pairs  # walks of length 1 ≤ directed edges
+    for _ in range(BFS_MAX_HOPS):
+        walks += per_len
+        per_len *= maxdeg  # walks of length h+1 ≤ walks_h · maxdeg
+    row_budget = max(1_000_000, min(walks, 2_000_000_000))
     return run_with_recursion_row_limit(
         spark,
         row_budget,

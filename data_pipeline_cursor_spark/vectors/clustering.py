@@ -43,10 +43,10 @@ from data_pipeline_cursor_spark.vectors.similarity import (
     ANN_QUERY_K,
     DIM,
     DUCK_QV_CTE,
-    _round4,
     ann_query_draw,
     duck_query_draw,
     quantized_codes,
+    round4,
 )
 
 K = 8  # codebook size; fixture-sized (≈ sqrt-ish of 6k vectors / cell ~800)
@@ -327,7 +327,7 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack([np.asarray(v, np.float64) for v in pdf["u"]])
         uq = np.asarray(pdf["u_q"].iloc[0], np.float64)
-        sc = _round4(V @ uq)
+        sc = round4(V @ uq)
         ids = pdf["vec_id"].to_numpy()
         pick = np.lexsort((ids, -sc))[:5]
         return pd.DataFrame(

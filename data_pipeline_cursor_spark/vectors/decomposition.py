@@ -34,8 +34,8 @@ from pyspark.sql import functions as F
 from data_pipeline_cursor_spark.registry import register
 from data_pipeline_cursor_spark.vectors.similarity import (
     DIM,
-    _round4,
     quantized_codes,
+    round4,
 )
 
 N_COMPONENTS = 4
@@ -137,7 +137,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            P = _round4((Q - mu) @ comps.T)
+            P = round4((Q - mu) @ comps.T)
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for i, c in enumerate(cols):
                 out[c] = P[:, i]

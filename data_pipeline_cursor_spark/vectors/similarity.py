@@ -94,6 +94,9 @@ MAX_QUERY_BATCH = 10_000
 # top-K by md5('q:' || vec_id) — one O(n) scan, K-sized result, and the
 # identical ORDER BY md5(...) LIMIT K replays in the DuckDB oracle.
 ANN_QUERY_K = 32
+# the md5 key salt of the default draw — exported so fixture caches can
+# fingerprint the WHOLE rule (rule name + salt + K), not just K
+ANN_QUERY_SALT = "q"
 # x_sim_ivf codebook size: ceil(sqrt(n)) lists (the standard IVF sizing —
 # cell size and list count both ~sqrt(n)), clamped to a driver-collect
 # cap; 65536 lists × 64 float64 ≈ 33 MB, the deliberate ceiling for the
@@ -104,7 +107,7 @@ IVF_MIN_LISTS = 4
 
 def ann_query_draw(
     emb: DataFrame, cols: tuple[str, ...] = ("vec_id", "embedding"),
-    k: int = ANN_QUERY_K, salt: str = "q",
+    k: int = ANN_QUERY_K, salt: str = ANN_QUERY_SALT,
 ) -> DataFrame:
     """Deterministic fixed-``k`` query draw: the ``k`` smallest
     md5('<salt>:' || vec_id) rows (vec_id tie-break).  Distributed
@@ -116,7 +119,7 @@ def ann_query_draw(
 
 def duck_query_draw(
     cols: str = "vec_id, embedding", where: str = "",
-    k: int = ANN_QUERY_K, salt: str = "q", src: str = "embeddings",
+    k: int = ANN_QUERY_K, salt: str = ANN_QUERY_SALT, src: str = "embeddings",
 ) -> str:
     """DuckDB twin of ann_query_draw (same md5 hex ordering — both
     engines emit lowercase hex over the identical '<salt>:<id>' key)."""
@@ -146,23 +149,42 @@ DUCK_N_LISTS = (
 )
 
 
-def _q4int(a):
+def q4int(a):
     """Quantize scores to exact int64 ten-thousandths with ROUND-HALF-AWAY
-    -from-zero — the law DuckDB's ROUND(x, 4) and Spark's F.round apply —
-    instead of numpy's default round-half-to-even (round-8 ADVICE item 4:
-    np.round was the only asymmetric rounding in an otherwise
+    -from-zero — the tie law DuckDB's ROUND(x, 4) and Spark's F.round
+    apply — instead of numpy's default round-half-to-even (round-8 ADVICE
+    item 4: np.round was the only asymmetric rounding in an otherwise
     integer-exact parity design).  copysign(floor(|x|·1e4 + 0.5), x) is
-    the sign-safe half-away construction; ±0 maps to 0."""
+    the sign-safe half-away construction; ±0 maps to 0.
+
+    Honesty note on the residual window (round-9 review): floor(|x|·1e4
+    + 0.5) can differ from an engine's ROUND for inputs within 1 ulp
+    BELOW a tie (e.g. x = 4.9999999999999996e-05: |x|·1e4 + 0.5 rounds
+    up to exactly 1.0 in double, so this helper yields 1 where DuckDB
+    yields 0).  This window is strictly narrower than the cross-engine
+    divergence the 4-decimal rounding already absorbs — the scores being
+    rounded come from DIFFERENT float summation orders (numpy BLAS dot
+    vs DuckDB list_cosine_similarity), whose last-ulp disagreement
+    dominates any tie-law edge — so the parity design treats both as the
+    same accepted ~2⁻⁵² class (see _prep_unit_bucket's sign-boundary
+    note), rather than claiming bit-exactness at ties."""
     import numpy as np
 
     return np.copysign(np.floor(np.abs(a) * 1e4 + 0.5), a).astype(np.int64)
 
 
-def _round4(a):
+def round4(a):
     """ROUND(x, 4) with half-away-from-zero ties, matching every oracle's
-    ROUND(..., 4) — use this for ALL numpy-side score rounding (see
-    _q4int)."""
-    return _q4int(a) / 1e4
+    ROUND(..., 4) up to the tie window documented in q4int — use this for
+    ALL numpy-side score rounding."""
+    return q4int(a) / 1e4
+
+
+# historical internal names (public since the round-9 review: clustering
+# and decomposition import these across module boundaries, so they are
+# de-facto shared API)
+_q4int = q4int
+_round4 = round4
 
 
 def _unit(col: Column) -> Column:

@@ -61,10 +61,12 @@ def check_one(spark, name, query_fn, oracle):
 
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "04"
-    from data_pipeline_cursor_spark.registry import get_oracles, get_queries
+    from data_pipeline_cursor_spark.registry import (
+        get_foils,
+        get_oracles,
+        get_queries,
+    )
     from data_pipeline_cursor_spark.session import get_spark
-
-    from data_pipeline_cursor_spark.registry import get_foils
 
     spark = get_spark("selfcheck")
     queries, oracles = get_queries(), get_oracles()

@@ -1900,7 +1900,9 @@ def test_pair_sharing_preserves_hashes(spark):
     try:
         for name in consumers:
             compare_query(spark, name, qs[name], oracles[name], SF_ORACLE)
-        assert SF_ORACLE in dedup._SCORED_CACHE  # memo engaged
+        # memo engaged — keyed by (sf_dir, documents mtime, size) since
+        # the round-9 staleness fix
+        assert any(k[0] == SF_ORACLE for k in dedup._SCORED_CACHE)
     finally:
         dedup.enable_pair_sharing(False)
     assert not dedup._SCORED_CACHE  # disable clears the memo

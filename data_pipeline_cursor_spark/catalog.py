@@ -195,12 +195,13 @@ _BUCKETED_CURRENT: tuple | None = None
 
 
 def _bucketed_key(spark: SparkSession, sf_dir: str, buckets: int) -> tuple:
-    from data_pipeline_cursor_spark.sources.tables import table_path
+    from data_pipeline_cursor_spark.sources.tables import table_path, tree_fingerprint
 
     prints = []
     for name in ("lineitem", "orders"):  # BOTH sides: either may regenerate
-        st = os.stat(table_path(sf_dir, name))
-        prints.append(f"{st.st_mtime_ns}-{st.st_size}")
+        # data-file fingerprint — robust for part-file DIRECTORY fixtures
+        # (sf1/sf10), where the dir inode stat misses in-place overwrites
+        prints.append(tree_fingerprint(table_path(sf_dir, name)))
     return (
         spark.conf.get("spark.sql.warehouse.dir"),
         sf_dir,

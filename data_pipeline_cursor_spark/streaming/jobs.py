@@ -118,7 +118,15 @@ _EWMA_SINGLE_BATCH_BYTES = 64 * 1024 * 1024
 
 def _tree_bytes(path: str) -> int:
     """Total bytes under a file or directory — the cheap corpus statistic
-    the micro-batch sizing rule derives from (parquet footprint ∝ rows)."""
+    the micro-batch sizing rule derives from (parquet footprint ∝ rows).
+
+    A MISSING path is an error, not an empty fixture: os.walk on a
+    nonexistent dir yields nothing, which would silently select the
+    small-fixture multi-batch path for a mistyped sf_dir (round-9 ADVICE
+    item 3) — the downstream read would fail anyway, but with a less
+    readable error."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"events table path does not exist: {path}")
     if os.path.isfile(path):
         return os.path.getsize(path)
     total = 0
@@ -1482,12 +1490,17 @@ def s_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             pdf = pdf.dropna(subset=["event_id", "event_time", "value"])
             # epoch ms; landing ts are second-precision, so this is a
-            # monotone rendering of the oracle's second-truncated order
+            # monotone rendering of the oracle's second-truncated order.
+            # tz_localize(None) first: pandas>=2 raises TypeError casting a
+            # tz-AWARE series to datetime64[ns] (round-9 ADVICE item 4) —
+            # the verified config delivers tz-naive, but the Arrow channel
+            # contract doesn't promise that; a wall-time reinterpretation
+            # is harmless here because only the ORDER is consumed.
+            ets = pd.to_datetime(pdf["event_time"])
+            if getattr(ets.dt, "tz", None) is not None:
+                ets = ets.dt.tz_localize(None)
             new_ts.append(
-                pdf["event_time"]
-                .to_numpy()
-                .astype("datetime64[ns]")
-                .view("int64")
+                ets.to_numpy().astype("datetime64[ns]").view("int64")
                 // 1_000_000
             )
             new_id.append(pdf["event_id"].to_numpy().astype(np.int64))

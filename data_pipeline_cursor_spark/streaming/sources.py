@@ -63,10 +63,12 @@ def write_landing_fixture(spark: SparkSession, sf_dir: str, landing_dir: str) ->
     import json as _json
     import time
 
-    from data_pipeline_cursor_spark.sources.tables import table_path
+    from data_pipeline_cursor_spark.sources.tables import table_path, tree_fingerprint
 
-    st = os.stat(table_path(sf_dir, "events"))
-    fingerprint = f"{int(st.st_mtime)}-{st.st_size}"
+    # data-file fingerprint (not dir inode stat) — the sf1/sf10 fixtures
+    # are part-file DIRECTORIES, where an in-place overwrite leaves the
+    # dir mtime+size unchanged (round-9 ADVICE)
+    fingerprint = tree_fingerprint(table_path(sf_dir, "events"))
     key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
     out = os.path.join(landing_dir, key)
     flush_path = os.path.join(out, "zz_flush.json")
@@ -279,21 +281,22 @@ def write_query_landing_fixture(
     round-trip bit-exactly for the scores to hash-match the oracle (a
     decimal re-print of float32 would not).  Idempotent per (sf_dir,
     fixture content), same keying discipline as write_landing_fixture."""
-    from data_pipeline_cursor_spark.sources.tables import table_path
+    from data_pipeline_cursor_spark.sources.tables import table_path, tree_fingerprint
     from data_pipeline_cursor_spark.vectors.similarity import (
         ANN_QUERY_K,
         ANN_QUERY_SALT,
         ann_query_draw,
     )
-
-    st = os.stat(table_path(sf_dir, "embeddings"))
     # the WHOLE draw rule is part of the key — K, the md5 salt, and the
     # rule name: a cached %199-era fixture must not satisfy a md5-draw
     # run, and a future change to the salt/ordering at the same K must
     # not reuse this one (content would silently diverge from the
     # oracle's query set)
+    # tree fingerprint, not dir inode stat — same rationale as
+    # write_landing_fixture's key
     fingerprint = (
-        f"{int(st.st_mtime)}-{st.st_size}-md5order-{ANN_QUERY_SALT}-qk{ANN_QUERY_K}"
+        f"{tree_fingerprint(table_path(sf_dir, 'embeddings'))}"
+        f"-md5order-{ANN_QUERY_SALT}-qk{ANN_QUERY_K}"
     )
     key = f"{sf_dir.rstrip('/').replace('/', '_')}-{fingerprint}"
     out = os.path.join(landing_dir, key)

@@ -681,15 +681,25 @@ def shared_scored_candidates(
     long-lived session would silently serve pre-rewrite pairs)."""
     if not _PAIR_SHARING:
         return None
-    import os as _os
+    from data_pipeline_cursor_spark.sources.tables import table_path, tree_fingerprint
 
-    from data_pipeline_cursor_spark.sources.tables import table_path
-
-    st = _os.stat(table_path(sf_dir, "documents"))
-    key = (sf_dir, int(st.st_mtime), st.st_size)
+    # Data-file fingerprint, not the table's own inode stat: an in-place
+    # part-file overwrite leaves a DIRECTORY's mtime+size unchanged
+    # (round-9 ADVICE item 2 — the sf1/sf10 fixtures are directories).
+    key = (sf_dir, tree_fingerprint(table_path(sf_dir, "documents")))
     hit = _SCORED_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # Evict superseded entries before inserting (round-9 ADVICE item 1):
+    # a regenerated fixture at the same sf_dir, or a dead SparkSession,
+    # would otherwise keep pinning its localCheckpoint blocks for the
+    # rest of the process.
+    for k in [
+        k
+        for k, (owner, _df) in _SCORED_CACHE.items()
+        if k[0] == sf_dir or owner is not spark
+    ]:
+        del _SCORED_CACHE[k]
     docs = load_table(spark, sf_dir, "documents")
     sc = scored_candidates_df(docs).localCheckpoint(eager=True)
     _SCORED_CACHE[key] = (spark, sc)
@@ -2007,16 +2017,20 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runaway territory for a single driver, which is what the backstop
     # is for.  Scoped via run_with_recursion_row_limit so the session's
     # 1e6 default survives (round-8 ADVICE item 1).
-    n_pairs = pairs.count()
-    maxdeg = (
+    # ONE aggregation pass (round-9 ADVICE item 5): the doubled union has
+    # exactly 2·|pairs| rows, so SUM(d) recovers the pair count and
+    # MAX(d) the degree bound from the same per-node count table — one
+    # collect, one job, instead of a separate count() round trip.
+    deg_stats = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.max("d"))
-        .collect()[0][0]
-        or 1
+        .agg(F.max("d").alias("maxdeg"), F.sum("d").alias("twice_pairs"))
+        .collect()[0]
     )
+    maxdeg = deg_stats["maxdeg"] or 1
+    n_pairs = int(deg_stats["twice_pairs"] or 0) // 2
     walks = 2 * n_pairs  # roots ≤ nodes ≤ 2|pairs|
     per_len = 2 * n_pairs  # walks of length 1 ≤ directed edges
     for _ in range(BFS_MAX_HOPS):

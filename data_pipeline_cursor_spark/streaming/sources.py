@@ -109,6 +109,86 @@ def write_landing_fixture(spark: SparkSession, sf_dir: str, landing_dir: str) ->
     return out
 
 
+def write_ordered_landing_fixture(
+    spark: SparkSession, sf_dir: str, landing_dir: str, n_files: int = 32
+) -> str:
+    """The TIME-ORDERED landing fixture: events range-partitioned by ts
+    into n_files contiguous slices, file mtimes increasing with the slice
+    index, flush sentinel last — a faithful replay of an (approximately
+    ordered) production topic, where the watermark ADVANCES THROUGH the
+    corpus as micro-batches progress instead of trailing the whole span.
+
+    Why it exists (round-9 VERDICT items 1/3): the default unordered
+    fixture forces FIXTURE_WATERMARK = corpus span, so watermark-horizon
+    state eviction — the mechanism that bounds keyed-state growth at
+    100 TB — can never trigger in a drain.  Jobs that implement horizon
+    folding (s_funnel, s_ewma_state's eviction variant) replay THIS
+    fixture with a small delay: every micro-batch advances the watermark
+    past the previous slice and the in-horizon buffer stays bounded by
+    (batch span + delay), independent of stream length.
+
+    No late drops by construction: repartitionByRange puts equal keys in
+    one partition, so min(ts of file k+1) ≥ max(ts of file k); the file
+    source schedules files in mtime order, so after batch k the watermark
+    is max(batch k) − delay < min(batch k+1) for ANY positive delay.
+    Spark's range sampling is seeded per-partition but the SLICE CONTENTS
+    feed order-insensitive folds downstream, and the fixture key includes
+    n_files so a width change regenerates.
+
+    File-index ↔ range-order assumption: range partition i writes
+    part-0000i, so lexicographic part order IS time order — mtimes are
+    stamped from the sorted part list."""
+    from data_pipeline_cursor_spark.sources.tables import table_path, tree_fingerprint
+
+    import json as _json
+    import time
+
+    fingerprint = tree_fingerprint(table_path(sf_dir, "events"))
+    key = (
+        f"{sf_dir.rstrip('/').replace('/', '_')}-ordered{n_files}-{fingerprint}"
+    )
+    out = os.path.join(landing_dir, key)
+    flush_path = os.path.join(out, "zz_flush.json")
+    if os.path.exists(flush_path):
+        return out
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+        .repartitionByRange(n_files, F.col("ts"), F.col("event_id"))
+        .write.mode("overwrite")
+        .json(out)
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = (max_ts + __import__("datetime").timedelta(days=40)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    with open(flush_path, "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": "-1", "event_type": FLUSH_TYPE, "value": "0", "ts": flush_ts}
+            )
+        )
+    # mtimes strictly increasing with part index (= time-slice order); all
+    # in the past (the file source excludes future-stamped files); the
+    # sentinel strictly last.
+    parts = sorted(
+        n
+        for n in os.listdir(out)
+        if n.endswith(".json") and n != os.path.basename(flush_path)
+    )
+    now = time.time()
+    base = now - 60 - 2 * len(parts)
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(out, name), (base + 2 * i, base + 2 * i))
+    os.utime(flush_path, (now - 30, now - 30))
+    return out
+
+
 def read_event_stream(
     spark: SparkSession, landing: str, max_files_per_trigger: int | None = 4
 ) -> DataFrame:

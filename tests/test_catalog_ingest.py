@@ -141,3 +141,44 @@ def test_avro_gate_refuses_without_module(spark):
     else:
         with pytest.raises(NotImplementedError, match="spark-avro"):
             avro_roundtrip(spark, SF_SMOKE)
+
+
+def test_snapshot_time_travel_isolation(spark, tmp_path):
+    """The two snapshot-contract properties the oracle can't pin alone:
+    (1) old manifests are byte-immutable across later commits; (2) a read
+    AS OF an old version returns the identical row set before and after
+    a late append — Iceberg v2 snapshot isolation, replayed on the
+    manifest-versioned layout."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    tdir = str(tmp_path / "snap")
+    for k in range(3):
+        snapshot_commit(spark, tdir, ev.filter(F.col("event_id") % 3 == k))
+    assert snapshot_versions(tdir) == [1, 2, 3]
+
+    manifest2 = open(os.path.join(tdir, "manifest-2.json"), "rb").read()
+    before = sorted(r["event_id"] for r in snapshot_read(spark, tdir, 2).collect())
+
+    # late append (commit 4): duplicate slice — would corrupt v2 if leaked
+    snapshot_commit(spark, tdir, ev.filter(F.col("event_id") % 3 == 0))
+    assert snapshot_versions(tdir) == [1, 2, 3, 4]
+    assert open(os.path.join(tdir, "manifest-2.json"), "rb").read() == manifest2
+    after = sorted(r["event_id"] for r in snapshot_read(spark, tdir, 2).collect())
+    assert after == before
+
+    # latest read = cumulative union (commit 4 duplicates residue 0)
+    n_ev = ev.count()
+    n0 = ev.filter(F.col("event_id") % 3 == 0).count()
+    assert snapshot_read(spark, tdir).count() == n_ev + n0
+    # explicit v3 = the full table exactly once
+    assert snapshot_read(spark, tdir, 3).count() == n_ev
+
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_read(spark, tdir, 9)

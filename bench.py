@@ -99,7 +99,33 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    ordered = sorted(queries)
+    # Once the LAST shared-pair consumer has run, release the session's
+    # scored-candidate checkpoint: the pinned blocks otherwise stay
+    # resident for the rest of the suite and tax unrelated late queries
+    # (x_lang_ngram_profile 38 s → 111 s at sf10, round-9 VERDICT item 7).
+    from data_pipeline_cursor_spark.text.dedup import (
+        PAIR_SHARING_CONSUMERS,
+        release_shared_pairs,
+    )
+
+    # Run the consumers as one CONTIGUOUS block (at the position of the
+    # first one): alphabetical order interleaves non-consumers between
+    # them (x_lang_ngram_profile sorts mid-block), which would leave the
+    # checkpoint pinned across exactly the queries the release protects.
+    consumers_sorted = [n for n in ordered if n in PAIR_SHARING_CONSUMERS]
+    if consumers_sorted:
+        first = consumers_sorted[0]
+        ordered = [
+            n
+            for n in ordered
+            if n == first or n not in PAIR_SHARING_CONSUMERS
+        ]
+        i = ordered.index(first)
+        ordered[i : i + 1] = consumers_sorted
+    remaining_consumers = set(consumers_sorted)
+    share_pairs_released = False
+    for name in ordered:
         fn = queries[name]
         best = None
         for _ in range(repeats):
@@ -115,6 +141,10 @@ def main() -> None:
                 # when EVERY attempt failed
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
         timings[name] = -1.0 if best is None else best
+        remaining_consumers.discard(name)
+        if share_pairs and not share_pairs_released and not remaining_consumers:
+            release_shared_pairs(spark)
+            share_pairs_released = True
 
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -166,14 +196,33 @@ def main() -> None:
                 "DISABLED for this run",
                 file=sys.stderr,
             )
-    worst_q, worst_ratio = None, 0.0
-    for q, t in timings.items():
-        b = base.get(q, -1.0)
-        # floor sub-0.1 s baselines at 0.1 instead of skipping them: a
-        # fast-baseline query that regresses to seconds must still surface
-        # in the verdict, while two sub-noise-floor times never flag.
-        if t >= 0.1 and b > 0 and t / max(b, 0.1) > worst_ratio:
-            worst_q, worst_ratio = q, round(t / max(b, 0.1), 2)
+    # Per-FAMILY worst movers (round-9 VERDICT item 5): streaming drains
+    # carry a trigger/state-commit floor that is load-sensitive in a way
+    # batch plans aren't — two rounds running, every >2x flag was a drain
+    # while the batch suite got faster at size.  Comparing batch-vs-batch
+    # and drains-vs-drains keeps a real batch regression from hiding
+    # behind drain noise (and vice versa).
+    def _worst(names):
+        wq, wr = None, 0.0
+        for q in names:
+            t = timings[q]
+            b = base.get(q, -1.0)
+            # floor sub-0.1 s baselines at 0.1 instead of skipping them: a
+            # fast-baseline query that regresses to seconds must still
+            # surface, while two sub-noise-floor times never flag.
+            if t >= 0.1 and b > 0 and t / max(b, 0.1) > wr:
+                wq, wr = q, round(t / max(b, 0.1), 2)
+        return wq, wr
+
+    stream_names = [q for q in timings if q.startswith("s_")]
+    batch_names = [q for q in timings if not q.startswith("s_")]
+    worst_q, worst_ratio = _worst(timings)
+    worst_batch_q, worst_batch_ratio = _worst(batch_names)
+    worst_stream_q, worst_stream_ratio = _worst(stream_names)
+    batch_total = round(sum(timings[q] for q in batch_names if timings[q] >= 0), 3)
+    stream_total = round(
+        sum(timings[q] for q in stream_names if timings[q] >= 0), 3
+    )
 
     payload = {
         "metric": (
@@ -193,6 +242,13 @@ def main() -> None:
         "n_queries": len(timings),
         "worst_vs_prev": worst_ratio,
         "worst_query": worst_q,
+        "batch_sec": batch_total,
+        "streaming_sec": stream_total,
+        "worst_vs_prev_batch": worst_batch_ratio,
+        "worst_batch_query": worst_batch_q,
+        "worst_vs_prev_streaming": worst_stream_ratio,
+        "worst_streaming_query": worst_stream_q,
+        "pairs_released_after_last_consumer": share_pairs_released,
         "baseline": base_src,
     }
     # Persist the COMPLETE payload to a file (BENCH_OUT) — the committed

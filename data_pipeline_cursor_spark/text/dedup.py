@@ -669,6 +669,41 @@ def enable_pair_sharing(on: bool = True) -> None:
         _SCORED_CACHE.clear()
 
 
+# Registered queries that read the shared scored-candidate memo when
+# sharing is on (directly or through dedup_cluster/dedup_minhash_verified).
+# Suite runners use this to RELEASE the checkpoint once the block is done:
+# at sf10 the pinned blocks inflated an unrelated query that ran late in
+# the session 38 s → 111 s via block-manager residency (round-9 VERDICT
+# item 7).
+PAIR_SHARING_CONSUMERS = frozenset(
+    {
+        "x_canonical_pick",
+        "x_component_stats",
+        "x_cross_source_dup",
+        "x_dedup_cluster",
+        "x_dedup_minhash_verified",
+        "x_dedup_threshold_sweep",
+        "x_graph_bfs",
+        "x_pagerank",
+        "x_pair_table",
+        "x_triangles",
+    }
+)
+
+
+def release_shared_pairs(spark=None) -> None:
+    """Drop the scored-candidate memo while leaving sharing ENABLED (a
+    later consumer would recompute).  Freeing the localCheckpoint blocks
+    is the ContextCleaner's job once the JVM references die — a driver
+    GC nudge makes that prompt instead of eventual."""
+    _SCORED_CACHE.clear()
+    if spark is not None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # cleanup is best-effort; the cleaner will get there
+
+
 def shared_scored_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame | None:

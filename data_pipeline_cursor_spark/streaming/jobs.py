@@ -1791,6 +1791,13 @@ _FUNNEL_STREAM_ORACLE = """
 # second, far below int64 overflow under min().
 _FUNNEL_NONE = 1 << 62
 
+# State-key width for the funnel: users hash into this many buckets and
+# each bucket's state holds its users' scalar/buffer tables.  Sized so a
+# micro-batch invokes O(buckets) Python calls (the ~0.4 ms/key Arrow
+# runner cost), while each call stays a few thousand rows of vectorized
+# numpy; at 100 TB scale it up with the state-store partition count.
+FUNNEL_STATE_BUCKETS = 64
+
 
 def funnel_emitted_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-batch emission log of the streaming funnel (drained) —
@@ -1803,132 +1810,192 @@ def funnel_emitted_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     STAGES = ("signup", "view", "purchase")
-    users = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # CACHE the enrichment side: a stream-static join re-executes the
+    # static plan EVERY micro-batch, and the ordered replay runs ~8
+    # batches where the unordered one ran 2-3 — without the cache that
+    # is 8 parquet scans of the fact table per drain (measured 56 s at
+    # sf1).  The cached projection is 2×int64 per event; unpersisted in
+    # s_funnel after the drain.
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .cache()
+    )
     enriched = (
         _with_fixture_watermark(
             _stream_ordered(spark, sf_dir), ORDERED_WATERMARK
         )
         .filter(F.col("event_type").isin(*STAGES))
         .join(users, "event_id")  # flush sentinel has no user row → dropped
-        .select("user_id", "event_type", "event_time")
+        .select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(FUNNEL_STATE_BUCKETS)).alias("ub"),
+            "event_type",
+            "event_time",
+        )
     )
     NONE = _FUNNEL_NONE
 
+    # STATE KEY IS A USER BUCKET, NOT THE USER (round-10): the Arrow
+    # state runner invokes the Python function once per PRESENT KEY per
+    # batch at ~0.4 ms each — per-user keying measured 3.9 M invocations
+    # for an sf10 drain (26 batches × 150 k users ≈ 26 min of pure FFI).
+    # Bucketing users 64-ways turns that into ~1.7 k invocations whose
+    # bodies are vectorized numpy over the bucket's per-user tables; the
+    # per-user FOLD SEMANTICS are unchanged (same three scalar stage
+    # mins, same finality argument), just computed with segment-min
+    # (np.minimum.reduceat) over uid-sorted buffers instead of one call
+    # per user.
+
+    def _seg_min(uid_sorted, vals, table_uids, init):
+        """Per-uid min of ``vals`` (uid-sorted, NONE = masked out),
+        merged into ``init`` (aligned to table_uids).  Returns a copy."""
+        out = init.copy()
+        if uid_sorted.size:
+            starts = np.flatnonzero(
+                np.r_[True, uid_sorted[1:] != uid_sorted[:-1]]
+            )
+            mins = np.minimum.reduceat(vals, starts)
+            pos = np.searchsorted(table_uids, uid_sorted[starts])
+            out[pos] = np.minimum(out[pos], mins)
+        return out
+
     def update(key, pdfs, state):
-        # state blob layout (all int64): [s_min, vq_min, pq_min, n_s, n_v,
-        # s_buf…, v_buf…, p_buf…] — one binary column, not array<long>
-        # (the round-9 Arrow state-channel lesson: arrays box per element)
+        # state blob (all int64):
+        # [n_users, n_s, n_v, n_p,
+        #  uids…, s_min…, vq_min…, pq_min…,      (scalar table, uid-sorted)
+        #  s_uid…, s_sec…, v_uid…, v_sec…, p_uid…, p_sec…]  (uid-sorted)
         if state.exists:
             raw, seq = state.get
             arr = np.frombuffer(raw, dtype=np.int64)
-            s_min, vq_min, pq_min = int(arr[0]), int(arr[1]), int(arr[2])
-            n_s, n_v = int(arr[3]), int(arr[4])
-            rest = arr[5:]
-            s_buf = rest[:n_s]
-            v_buf = rest[n_s : n_s + n_v]
-            p_buf = rest[n_s + n_v :]
+            nu, ns, nv, npu = (int(x) for x in arr[:4])
+            o = 4
+            uids = arr[o : o + nu]; o += nu
+            s_min = arr[o : o + nu].copy(); o += nu
+            vq_min = arr[o : o + nu].copy(); o += nu
+            pq_min = arr[o : o + nu].copy(); o += nu
+            s_uid = arr[o : o + ns]; o += ns
+            s_sec = arr[o : o + ns]; o += ns
+            v_uid = arr[o : o + nv]; o += nv
+            v_sec = arr[o : o + nv]; o += nv
+            p_uid = arr[o : o + npu]; o += npu
+            p_sec = arr[o : o + npu]
         else:
-            s_min = vq_min = pq_min = NONE
-            s_buf = v_buf = p_buf = np.empty(0, dtype=np.int64)
+            uids = s_min = vq_min = pq_min = np.empty(0, dtype=np.int64)
+            s_uid = s_sec = v_uid = v_sec = np.empty(0, dtype=np.int64)
+            p_uid = p_sec = np.empty(0, dtype=np.int64)
             seq = 0
-        new_s, new_v, new_p = [s_buf], [v_buf], [p_buf]
+        new_uid, new_kind, new_sec = [], [], []
         for pdf in pdfs:
-            pdf = pdf.dropna(subset=["event_type", "event_time"])
+            pdf = pdf.dropna(subset=["user_id", "event_type", "event_time"])
             ets = pd.to_datetime(pdf["event_time"])
             if getattr(ets.dt, "tz", None) is not None:
                 ets = ets.dt.tz_localize(None)
-            secs = (
+            new_sec.append(
                 ets.to_numpy().astype("datetime64[ns]").view("int64")
                 // 1_000_000_000
             )
+            new_uid.append(pdf["user_id"].to_numpy().astype(np.int64))
             types = pdf["event_type"].to_numpy()
-            new_s.append(secs[types == "signup"])
-            new_v.append(secs[types == "view"])
-            new_p.append(secs[types == "purchase"])
-        s_buf = np.concatenate(new_s)
-        v_buf = np.concatenate(new_v)
-        p_buf = np.concatenate(new_p)
+            k = np.full(len(pdf), 2, dtype=np.int64)
+            k[types == "signup"] = 0
+            k[types == "view"] = 1
+            new_kind.append(k)
+        b_uid = np.concatenate(new_uid) if new_uid else np.empty(0, np.int64)
+        b_kind = np.concatenate(new_kind) if new_kind else np.empty(0, np.int64)
+        b_sec = np.concatenate(new_sec) if new_sec else np.empty(0, np.int64)
         seq += 1
+        present = np.unique(b_uid)
+        # extend the scalar table with first-seen users
+        fresh = np.setdiff1d(present, uids, assume_unique=False)
+        if fresh.size:
+            uids2 = np.concatenate([uids, fresh])
+            order = np.argsort(uids2, kind="stable")
+            def _ext(a):
+                return np.concatenate(
+                    [a, np.full(fresh.size, NONE, dtype=np.int64)]
+                )[order]
+            uids, s_min, vq_min, pq_min = (
+                uids2[order], _ext(s_min), _ext(vq_min), _ext(pq_min),
+            )
 
-        def _nmin(scalar, arr_):
-            m = scalar
-            if arr_.size:
-                m = min(m, int(arr_.min()))
-            return m
+        def _merge(old_u, old_s, mask):
+            u = np.concatenate([old_u, b_uid[mask]])
+            s = np.concatenate([old_s, b_sec[mask]])
+            order = np.argsort(u, kind="stable")
+            return u[order], s[order]
 
-        all_s_min = _nmin(s_min, s_buf)
-        # WATERMARK-HORIZON FOLD: Spark drops arriving rows with
-        # event_time < watermark before this operator, so every event
-        # strictly below wm is already in hand and each buffered time
-        # below wm has a FINAL funnel disposition (its qualifying
-        # predecessors are all strictly earlier, hence also below wm).
-        # Fold those into the three scalar stage mins and drop them —
-        # state becomes O(in-horizon events per user).  Monotone-safety:
-        # a folded view/purchase was qualified against a stage min that
-        # only ever DECREASES, so it stays qualified forever.
+        s_uid, s_sec = _merge(s_uid, s_sec, b_kind == 0)
+        v_uid, v_sec = _merge(v_uid, v_sec, b_kind == 1)
+        p_uid, p_sec = _merge(p_uid, p_sec, b_kind == 2)
+
+        # per-user min signup over EVERYTHING known (scalar + buffer)
+        all_s = _seg_min(s_uid, s_sec, uids, s_min)
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0:
-            # whole-second horizon, floored: folding s < wm implies every
-            # strictly-earlier second is below the ms watermark too
+            # WATERMARK-HORIZON FOLD — same finality argument as the
+            # per-user form: arrivals are ≥ wm, qualifying predecessors
+            # are strictly earlier, stage mins only decrease.
             wm = wm_ms // 1000
-            old_s = s_buf[s_buf < wm]
-            if old_s.size:
-                s_min = min(s_min, int(old_s.min()))
-            s_buf = s_buf[s_buf >= wm]
-            old_v = v_buf[v_buf < wm]
-            if old_v.size:
-                if all_s_min < NONE:
-                    qual = old_v[old_v > all_s_min]
-                    if qual.size:
-                        vq_min = min(vq_min, int(qual.min()))
-                v_buf = v_buf[v_buf >= wm]
-            # current first-qualified-view over ALL known views (folded
-            # scalar + every buffered view later than the known signup min)
-            tv_known = vq_min
-            if all_s_min < NONE and v_buf.size:
-                later = v_buf[v_buf > all_s_min]
-                if later.size:
-                    tv_known = min(tv_known, int(later.min()))
-            old_p = p_buf[p_buf < wm]
-            if old_p.size:
-                if tv_known < NONE:
-                    qualp = old_p[old_p > tv_known]
-                    if qualp.size:
-                        pq_min = min(pq_min, int(qualp.min()))
-                p_buf = p_buf[p_buf >= wm]
-        header = np.array(
-            [s_min, vq_min, pq_min, s_buf.size, v_buf.size], dtype=np.int64
+            old = s_sec < wm
+            s_min = _seg_min(s_uid[old], s_sec[old], uids, s_min)
+            s_uid, s_sec = s_uid[~old], s_sec[~old]
+            old = v_sec < wm
+            qual = np.where(
+                v_sec > all_s[np.searchsorted(uids, v_uid)], v_sec, NONE
+            )
+            vq_min = _seg_min(v_uid[old], qual[old], uids, vq_min)
+            v_uid, v_sec = v_uid[~old], v_sec[~old]
+        # first qualified view over everything known (post-fold buffer)
+        vq_buf = np.where(
+            v_sec > all_s[np.searchsorted(uids, v_uid)], v_sec, NONE
         )
-        packed = np.concatenate([header, s_buf, v_buf, p_buf]).tobytes()
+        tv_known = _seg_min(v_uid, vq_buf, uids, vq_min)
+        if wm_ms > 0:
+            old = p_sec < wm
+            pqual = np.where(
+                p_sec > tv_known[np.searchsorted(uids, p_uid)], p_sec, NONE
+            )
+            pq_min = _seg_min(p_uid[old], pqual[old], uids, pq_min)
+            p_uid, p_sec = p_uid[~old], p_sec[~old]
+        pq_buf = np.where(
+            p_sec > tv_known[np.searchsorted(uids, p_uid)], p_sec, NONE
+        )
+        tp_known = _seg_min(p_uid, pq_buf, uids, pq_min)
+
+        header = np.array(
+            [uids.size, s_uid.size, v_uid.size, p_uid.size], dtype=np.int64
+        )
+        packed = np.concatenate(
+            [header, uids, s_min, vq_min, pq_min,
+             s_uid, s_sec, v_uid, v_sec, p_uid, p_sec]
+        ).tobytes()
         state.update((packed, seq))
-        # funnel readout over (scalars + in-horizon buffer)
-        t_signup = all_s_min if all_s_min < NONE else None
-        t_view = None
-        if t_signup is not None:
-            t_view = vq_min
-            later = v_buf[v_buf > t_signup]
-            if later.size:
-                t_view = min(t_view, int(later.min()))
-            t_view = t_view if t_view < NONE else None
-        t_purchase = None
-        if t_view is not None:
-            t_purchase = pq_min
-            later = p_buf[p_buf > t_view]
-            if later.size:
-                t_purchase = min(t_purchase, int(later.min()))
-            t_purchase = t_purchase if t_purchase < NONE else None
+        if not present.size:
+            return
+        # readout for users PRESENT in this batch (others unchanged;
+        # folding never changes a readout)
+        pos = np.searchsorted(uids, present)
+        n_buf = (
+            np.bincount(
+                np.searchsorted(uids, np.concatenate([s_uid, v_uid, p_uid])),
+                minlength=uids.size,
+            )[pos]
+            if (s_uid.size + v_uid.size + p_uid.size)
+            else np.zeros(present.size, dtype=np.int64)
+        )
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "has_signup": [int(t_signup is not None)],
-                "has_view": [int(t_view is not None)],
-                "has_purchase": [int(t_purchase is not None)],
-                "n_buf": [int(s_buf.size + v_buf.size + p_buf.size)],
-                "batch_seq": [seq],
+                "user_id": present,
+                "has_signup": (all_s[pos] < NONE).astype(np.int32),
+                "has_view": (tv_known[pos] < NONE).astype(np.int32),
+                "has_purchase": (tp_known[pos] < NONE).astype(np.int32),
+                "n_buf": n_buf.astype(np.int64),
+                "batch_seq": np.full(present.size, seq, dtype=np.int64),
             }
         )
 
-    emitted = enriched.groupBy("user_id").applyInPandasWithState(
+    emitted = enriched.groupBy("ub").applyInPandasWithState(
         update,
         "user_id long, has_signup int, has_view int, has_purchase int,"
         " n_buf long, batch_seq long",
@@ -1936,7 +2003,12 @@ def funnel_emitted_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(emitted, _ckpt("funnel"), out_mode="update")
+    try:
+        return run_to_completion(emitted, _ckpt("funnel"), out_mode="update")
+    finally:
+        # drain complete — the memory-sink table no longer references the
+        # cached enrichment side
+        users.unpersist()
 
 
 @register("s_funnel", oracle=_FUNNEL_STREAM_ORACLE)

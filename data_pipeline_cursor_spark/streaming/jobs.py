@@ -44,6 +44,7 @@ from data_pipeline_cursor_spark.streaming.sources import (
     FLUSH_TYPE,
     read_event_stream,
     run_to_completion,
+    stream_state_partitions,
     write_landing_fixture,
     write_ordered_landing_fixture,
 )
@@ -994,7 +995,23 @@ def s_stream_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark delay × per-entity arrival rate) summed over live
     entities.  Inner matches emit as both sides arrive, so the drained
     result equals the batch keyed self-join and the query carries a
-    full DuckDB oracle."""
+    full DuckDB oracle.
+
+    The daily count aggregates PER MICRO-BATCH via foreachBatch (the A6
+    upsert-sink pattern): inner-join emissions are append-only, so the
+    per-batch partial day counts SUM to the exact batch self-join total
+    — commutative, the classic streaming partial-aggregation identity.
+    This is the at-size posture: even a LINEAR pair stream is ~26 M rows
+    at the sf10 drain, which no single sink should receive raw (the
+    first cut sank raw pairs and the memory sink blew
+    spark.driver.maxResultSize at 1.2 GiB).  An in-stream windowed agg
+    was measured and REJECTED: after a time-interval join Spark 4.1 held
+    every join row and finalized no window (the chained-stateful-op
+    watermark never propagated through the interval condition), so the
+    per-batch fold is also the correctness-working shape.  Driver
+    traffic is ≤ |days| rows per batch — a documented bounded contract;
+    a production deployment MERGEs the same partials into a keyed store
+    (s_upsert_foreachbatch's mechanism) instead of a driver dict."""
     div = STREAM_JOIN_ENTITY_DIV
     a = (
         _with_fixture_watermark(_stream(spark, sf_dir))
@@ -1024,10 +1041,31 @@ def s_stream_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("error_time") + F.expr("INTERVAL 1 HOUR")
         ),
     )
-    drained = run_to_completion(pairs, _ckpt("stream-join-keyed"))
-    return drained.groupBy(
-        F.date_format("click_time", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    counts: dict[str, int] = {}
+
+    def fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(
+                F.date_format("click_time", "yyyy-MM-dd").alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # ≤ |days| rows — the bounded contract
+        )
+        for r in rows:
+            counts[r["day"]] = counts.get(r["day"], 0) + r["n"]
+
+    with stream_state_partitions(spark):
+        q = (
+            pairs.writeStream.foreachBatch(fold_batch)
+            .outputMode("append")
+            .option("checkpointLocation", _ckpt("stream-join-keyed"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(counts.items()), "day string, n_pairs long"
+    )
 
 
 @register(

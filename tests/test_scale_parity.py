@@ -99,6 +99,13 @@ SCALE_SLICE = [
     # PIT backfill: versions-sized broadcast + interval match must stay
     # unique as the event log grows
     "q_pit_join",
+    # round-10: snapshot read must return exactly the manifest's files at
+    # any table size (the residue oracle catches any leakage), and the
+    # keyed interval join is C14's at-size member — its per-batch
+    # foreachBatch partials must sum to the batch self-join at any
+    # density (the test drives the FULL streaming drain)
+    "q_time_travel",
+    "s_stream_join_keyed",
 ]
 
 

@@ -363,9 +363,37 @@ def _all_pairs_by_block(
     item 2).  Ids are sorted first, so off-diagonal chunk pairs are all
     (vec_a < vec_b) by construction and the banded path emits exactly the
     dense path's pairs.  ``chunk_rows`` is captured by value in the task
-    closure (tests shrink it to force banding on fixture-sized blocks)."""
+    closure (tests shrink it to force banding on fixture-sized blocks).
+
+    The threshold is applied BEFORE rounding (round-10): materializing
+    q4int over the full chunk² matrix (abs→mul→add→floor→copysign→astype→
+    div→compare, ~8 elementwise passes) was 90% of a 20k-row block's cost
+    (31.4 s vs 3.0 s measured, 64-dim).  For a POSITIVE threshold the
+    masked form is bit-exact with the rounded form:
+    ``round4(s) >= t  ⟺  floor(|s|·1e4 + 0.5) >= kt`` where ``kt`` is the
+    smallest integer with ``kt/1e4 >= t`` — and ``floor(x) >= kt ⟺
+    x >= kt`` for integer kt, so the mask is one fused in-place transform
+    plus one compare; negative scores can never pass a positive threshold
+    under either form (their rounded value is ≤ 0).  |s| == s for every
+    candidate the mask can admit, so ``s·1e4 + 0.5`` computes the SAME
+    double bits the abs-first form computes and the survivor scores are
+    recovered as floor of the already-transformed values."""
     import numpy as np
     import pandas as pd
+
+    if threshold <= 0:
+        raise ValueError(
+            "_all_pairs_by_block requires a positive threshold (the masked "
+            "round-before-threshold equivalence only holds for t > 0)"
+        )
+    # smallest integer kt with kt/1e4 >= threshold — the exact integer
+    # boundary of the rounded comparison (nailed by direct probe rather
+    # than trusting one float multiply)
+    kt = int(np.ceil(threshold * 1e4))
+    while (kt - 1) / 1e4 >= threshold:
+        kt -= 1
+    while kt / 1e4 < threshold:
+        kt += 1
 
     blocks = [block_col] if isinstance(block_col, str) else list(block_col)
     out_cols = [c.strip().split()[0] for c in schema.split(",")]
@@ -387,19 +415,17 @@ def _all_pairs_by_block(
             for j0 in range(i0, n, chunk_rows):
                 j1 = min(j0 + chunk_rows, n)
                 S = Xi @ X[j0:j1].T
+                # in-place: S becomes s*1e4 + 0.5 (bit-equal to the
+                # abs-first q4int argument for every maskable element)
+                np.multiply(S, 1e4, out=S)
+                np.add(S, 0.5, out=S)
+                m = S >= kt
                 if i0 == j0:  # diagonal chunk: unique pairs above diagonal
-                    iu, ju = np.triu_indices(i1 - i0, k=1)
-                    sc = _round4(S[iu, ju])
-                    m = sc >= threshold
-                    va.append(ids[i0:i1][iu[m]])
-                    vb.append(ids[j0:j1][ju[m]])
-                else:  # off-diagonal: every cross pair is unique and ordered
-                    sc = _round4(S)
-                    m = sc >= threshold
-                    ii, jj = np.nonzero(m)
-                    va.append(ids[i0:i1][ii])
-                    vb.append(ids[j0:j1][jj])
-                scs.append(sc[m])
+                    m &= np.triu(np.ones(m.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(m)
+                va.append(ids[i0:i1][ii])
+                vb.append(ids[j0:j1][jj])
+                scs.append(np.floor(S[ii, jj]) / 1e4)
         out = {
             "vec_a": np.concatenate(va),
             "vec_b": np.concatenate(vb),

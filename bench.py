@@ -105,26 +105,30 @@ def main() -> None:
     # resident for the rest of the suite and tax unrelated late queries
     # (x_lang_ngram_profile 38 s → 111 s at sf10, round-9 VERDICT item 7).
     from data_pipeline_cursor_spark.text.dedup import (
+        BASE_ARTIFACT_CONSUMERS,
         PAIR_SHARING_CONSUMERS,
+        release_shared_base_artifacts,
         release_shared_pairs,
     )
 
-    # Run the consumers as one CONTIGUOUS block (at the position of the
-    # first one): alphabetical order interleaves non-consumers between
-    # them (x_lang_ngram_profile sorts mid-block), which would leave the
-    # checkpoint pinned across exactly the queries the release protects.
-    consumers_sorted = [n for n in ordered if n in PAIR_SHARING_CONSUMERS]
+    # Run the consumers of BOTH shared memos as one CONTIGUOUS block (at
+    # the position of the first one): alphabetical order interleaves
+    # non-consumers between them (x_lang_ngram_profile sorts mid-block),
+    # which would leave checkpoints pinned across exactly the queries the
+    # release protects.  Each memo is released the moment ITS last
+    # consumer finishes — the scored-candidate checkpoint is tiny but the
+    # base artifacts carry the shingle-set bulk.
+    SHARED_BLOCK = PAIR_SHARING_CONSUMERS | BASE_ARTIFACT_CONSUMERS
+    consumers_sorted = [n for n in ordered if n in SHARED_BLOCK]
     if consumers_sorted:
         first = consumers_sorted[0]
-        ordered = [
-            n
-            for n in ordered
-            if n == first or n not in PAIR_SHARING_CONSUMERS
-        ]
+        ordered = [n for n in ordered if n == first or n not in SHARED_BLOCK]
         i = ordered.index(first)
         ordered[i : i + 1] = consumers_sorted
-    remaining_consumers = set(consumers_sorted)
+    remaining_pairs = set(consumers_sorted) & PAIR_SHARING_CONSUMERS
+    remaining_base = set(consumers_sorted) & BASE_ARTIFACT_CONSUMERS
     share_pairs_released = False
+    base_arts_released = False
     for name in ordered:
         fn = queries[name]
         best = None
@@ -141,10 +145,14 @@ def main() -> None:
                 # when EVERY attempt failed
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
         timings[name] = -1.0 if best is None else best
-        remaining_consumers.discard(name)
-        if share_pairs and not share_pairs_released and not remaining_consumers:
+        remaining_pairs.discard(name)
+        remaining_base.discard(name)
+        if share_pairs and not share_pairs_released and not remaining_pairs:
             release_shared_pairs(spark)
             share_pairs_released = True
+        if share_pairs and not base_arts_released and not remaining_base:
+            release_shared_base_artifacts(spark)
+            base_arts_released = True
 
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -249,6 +257,7 @@ def main() -> None:
         "worst_vs_prev_streaming": worst_stream_ratio,
         "worst_streaming_query": worst_stream_q,
         "pairs_released_after_last_consumer": share_pairs_released,
+        "base_artifacts_released_after_last_consumer": base_arts_released,
         "baseline": base_src,
     }
     # Persist the COMPLETE payload to a file (BENCH_OUT) — the committed

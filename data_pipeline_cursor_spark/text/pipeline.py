@@ -43,6 +43,7 @@ from data_pipeline_cursor_spark.text.dedup import (
     duck_wide_verified_pairs,
     minhash_verified_pairs_df,
     phash,
+    shared_base_artifacts,
 )
 
 MIN_CHARS, MAX_CHARS = 50, 10_000
@@ -101,8 +102,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle-set verify AND the anti-join — uncached, the gate + dedup
     # subplan would re-run three times
     exact_deduped = gated.join(keepers.select("doc_id"), "doc_id").cache()
+    # the gated corpus is an ID-PRESERVING SUBSET of the base table, so
+    # its per-document artifacts are an id join against the shared base
+    # ones — no re-hashing (signature rows for shingle-less docs are
+    # absent in both constructions, so the inner join is exact)
+    art = shared_base_artifacts(spark, sf_dir)
+    sig = sets = None
+    if art is not None:
+        ids = exact_deduped.select("doc_id")
+        sig = art[0].join(ids, "doc_id")
+        sets = art[1].join(ids, "doc_id")
     dropped = (
-        minhash_verified_pairs_df(exact_deduped)
+        minhash_verified_pairs_df(exact_deduped, sig=sig, sets=sets)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -1893,6 +1893,17 @@ def test_pair_sharing_preserves_hashes(spark):
         "x_graph_bfs",
         "x_cross_source_dup",
         "x_dedup_threshold_sweep",
+        # round-10 base-artifact consumers: derived/parameterized
+        # pipelines that rebuild their corpus artifacts from the shared
+        # per-document signature/set tables (re-key union, id-subset
+        # join, 4-hash projection) instead of re-hashing text — each must
+        # hash-match its oracle exactly as standalone
+        "x_dedup_minhash_wide",
+        "x_minhash_accuracy",
+        "x_dedup_incremental",
+        "x_dedup_containment",
+        "x_split_leakage",
+        "x_curation_pipeline",
     ]
     oracles = get_oracles()
     qs = get_queries()
@@ -1903,6 +1914,8 @@ def test_pair_sharing_preserves_hashes(spark):
         # memo engaged — keyed by (sf_dir, documents mtime, size) since
         # the round-9 staleness fix
         assert any(k[0] == SF_ORACLE for k in dedup._SCORED_CACHE)
+        assert any(k[0] == SF_ORACLE for k in dedup._BASE_ART_CACHE)
     finally:
         dedup.enable_pair_sharing(False)
     assert not dedup._SCORED_CACHE  # disable clears the memo
+    assert not dedup._BASE_ART_CACHE

@@ -1829,3 +1829,132 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pen").alias("penalty"),
     )
     return out1.unionAll(out2).unionAll(out3)
+
+
+OUTLIER_K = 5  # flagged vectors per label
+OUTLIER_SALT_BUCKETS = 64  # tournament width for the grouped top-k
+
+
+@register(
+    "x_embed_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_MIL} + 0.5)
+                  AS BIGINT) AS qmil
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(qmil) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY label, pos
+    ),
+    c2 AS (
+      SELECT label, pos,
+             CASE WHEN s >= 0 THEN s // n ELSE -((-s + n - 1) // n) END
+               AS c
+      FROM cent
+    ),
+    d AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM((q.qmil - c2.c) * (q.qmil - c2.c)) AS BIGINT)
+               AS d2_mil
+      FROM q JOIN c2 ON q.label = c2.label AND q.pos = c2.pos
+      GROUP BY q.vec_id, q.label
+    ),
+    r AS (
+      SELECT label, vec_id, d2_mil,
+             CAST(row_number() OVER (
+               PARTITION BY label ORDER BY d2_mil DESC, vec_id
+             ) AS INTEGER) AS rk
+      FROM d
+    )
+    SELECT label, rk, vec_id, d2_mil,
+           sqrt(CAST(d2_mil AS DOUBLE)) / {DRIFT_MIL} AS dist
+    FROM r WHERE rk <= {OUTLIER_K}
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID-DISTANCE OUTLIERS: the OOD-pruning leg of embedding-based
+    curation — per-label centroid (x_embed_drift's fixed-point machinery),
+    per-vector squared L2 distance to its OWN centroid, top-{OUTLIER_K}
+    farthest vectors per label.  In a training pipeline these are the
+    mislabeled / off-distribution rows a curator inspects or drops;
+    SemDeDup (x_semdedup) prunes the DENSE core, this flags the sparse
+    fringe — the two ends of the same cluster-geometry story.
+
+    Determinism: embeddings quantize to the shared {DRIFT_MIL} fixed-point
+    grid; centroids are the same nonnegative-operand floor divisions as
+    x_embed_drift (DuckDB `//` ≡ Spark `div` by construction); distances
+    fold exact BIGINT squares; ties break on vec_id; the only float is
+    the final IEEE-exact sqrt, shipped unrounded.
+
+    Plan shape: posexplode → ONE map-side-partial hash agg for the
+    |labels|·{DIM}-cell centroid table (kilobytes, BROADCAST back) →
+    per-vector distance is one groupBy(vec_id) agg — corpus-linear,
+    one shuffle.  The grouped top-k then runs as a SALTED TOURNAMENT:
+    a first window over (label, pmod(vec_id, {OUTLIER_SALT_BUCKETS}))
+    keeps each bucket's local top-{OUTLIER_K}, so the final
+    per-label window sorts ≤ {OUTLIER_SALT_BUCKETS}·{OUTLIER_K} rows
+    instead of n/|labels| — with 10 labels a plain grouped window is a
+    10-partition bottleneck at 100 TB, the tournament keeps every
+    partition bounded (exact: a global top-k row is necessarily inside
+    its own bucket's top-k under the same total order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * DRIFT_MIL + F.lit(0.5))
+        .cast("bigint")
+        .alias("qmil"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("qmil").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c2 = cent.select(
+        "label",
+        "pos",
+        F.when(F.col("s") >= 0, F.expr("s div n"))
+        .otherwise(-F.expr("(-s + n - 1) div n"))
+        .alias("c"),
+    )
+    d = (
+        q.join(F.broadcast(c2), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("qmil") - F.col("c")) * (F.col("qmil") - F.col("c"))
+            ).alias("d2_mil")
+        )
+    )
+    w_local = Window.partitionBy(
+        "label", F.pmod(F.col("vec_id"), F.lit(OUTLIER_SALT_BUCKETS))
+    ).orderBy(F.col("d2_mil").desc(), "vec_id")
+    survivors = (
+        d.withColumn("rk0", F.row_number().over(w_local))
+        .filter(F.col("rk0") <= OUTLIER_K)
+        .drop("rk0")
+    )
+    w_global = Window.partitionBy("label").orderBy(
+        F.col("d2_mil").desc(), "vec_id"
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= OUTLIER_K)
+        .select(
+            "label",
+            "rk",
+            "vec_id",
+            "d2_mil",
+            (F.sqrt(F.col("d2_mil").cast("double")) / DRIFT_MIL).alias(
+                "dist"
+            ),
+        )
+    )

@@ -182,3 +182,42 @@ def test_snapshot_time_travel_isolation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not committed"):
         snapshot_read(spark, tdir, 9)
+
+
+def test_snapshot_changes_incremental_read(spark, tmp_path):
+    """Incremental-scan contract: (1) changes(v_a, v_b) is exactly the
+    row multiset of snapshot_read(v_b) minus snapshot_read(v_a) — base
+    union delta reconstructs the target snapshot; (2) the delta read
+    plans ONLY the new files; (3) bad version ranges refuse."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_changes,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    tdir = str(tmp_path / "snapinc")
+    for k in range(3):
+        snapshot_commit(spark, tdir, ev.filter(F.col("event_id") % 3 == k))
+
+    base = snapshot_read(spark, tdir, 1)
+    delta = snapshot_changes(spark, tdir, 1, 3)
+    target = snapshot_read(spark, tdir, 3)
+    assert sorted(
+        r["event_id"] for r in base.unionAll(delta).collect()
+    ) == sorted(r["event_id"] for r in target.collect())
+    # delta = residues 1 and 2 only
+    assert delta.filter(F.col("event_id") % 3 == 0).count() == 0
+    assert delta.count() == ev.filter(F.col("event_id") % 3 != 0).count()
+    # the delta scan's file list excludes every commit-1 file
+    delta_files = {
+        f for f in delta.inputFiles() if "commit-1" in f
+    }
+    assert delta_files == set()
+
+    with pytest.raises(ValueError, match="must precede"):
+        snapshot_changes(spark, tdir, 3, 1)
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_changes(spark, tdir, 1, 9)

@@ -1919,3 +1919,59 @@ def test_pair_sharing_preserves_hashes(spark):
         dedup.enable_pair_sharing(False)
     assert not dedup._SCORED_CACHE  # disable clears the memo
     assert not dedup._BASE_ART_CACHE
+
+
+def test_embed_outliers_tournament_is_exact(spark):
+    """The salted two-level tournament must return the IDENTICAL row set
+    as a plain single-window grouped top-k under the same total order —
+    the exactness claim the docstring makes (a global top-k row is
+    necessarily inside its own bucket's top-k)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_cursor_spark.vectors.similarity import OUTLIER_K
+
+    out = (
+        get_queries()["x_embed_outliers"](spark, SF_ORACLE)
+        .orderBy("label", "rk")
+        .collect()
+    )
+    assert len(out) > 0
+    # rebuild the per-vector distances from the query's own output is
+    # impossible (it keeps only K per label), so recompute the naive
+    # grouped top-k from the same distance definition via the oracle-free
+    # plain-window path: distances of the flagged rows must be the K
+    # LARGEST per label among ALL vectors — verify against a full
+    # per-label sort of the distance column recomputed in pandas.
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.vectors.similarity import DRIFT_MIL
+
+    pdf = load_table(spark, SF_ORACLE, "embeddings").toPandas()
+    mat = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * DRIFT_MIL
+        + 0.5
+    ).astype(np.int64)
+    frames = []
+    for lbl, grp in pdf.groupby("label"):
+        m = mat[grp.index.to_numpy()]
+        cent = m.sum(axis=0)
+        n = len(grp)
+        c = np.where(cent >= 0, cent // n, -((-cent + n - 1) // n))
+        d2 = ((m - c) ** 2).sum(axis=1)
+        f = pd.DataFrame(
+            {"label": lbl, "vec_id": grp["vec_id"].to_numpy(), "d2": d2}
+        )
+        f = f.sort_values(
+            ["d2", "vec_id"], ascending=[False, True]
+        ).head(OUTLIER_K)
+        frames.append(f)
+    expect = pd.concat(frames)
+    got = {(r["label"], r["vec_id"], r["d2_mil"]) for r in out}
+    want = {
+        (int(r.label), int(r.vec_id), int(r.d2))
+        for r in expect.itertuples()
+    }
+    assert got == want

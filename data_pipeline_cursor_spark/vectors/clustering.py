@@ -625,21 +625,16 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_topk(codes, M_SUB, SUB, K_PQ, PQ_TOPK)
 
 
-def _pq_topk(
-    codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int, topk: int
-) -> DataFrame:
-    """The PQ pipeline of x_ann_pq, parameterized: train one integer
-    codebook per subspace (md5-seeded, 1 Lloyd round), encode, ADC-scan,
-    per-partition (adist, vec_id) top-k, global window merge.  Shared by
-    the registered index (global config) and the structured-recall
-    operating point (M=8, K=16)."""
+def _train_pq_books(codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int):
+    """Train one integer codebook per subspace (md5-seeded, 1 Lloyd
+    round) — the training leg shared by x_ann_pq, the structured-recall
+    operating point, and the IVF-PQ composition.  Returns
+    [(cids, (k_pq, sub_dim) int64 centroid matrix)] per subspace."""
     import numpy as np
-    import pandas as pd
 
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    # -- train one integer codebook per subspace (1 Lloyd round) --
-    books = []  # [(k_pq, sub_dim) int64 arrays], index = subspace
+    books = []
     for m in range(m_sub):
         sub = codes.select(
             "vec_id", F.slice("qv", m * sub_dim + 1, sub_dim).alias("qv")
@@ -677,16 +672,38 @@ def _pq_topk(
                 ),
             )
         )
+    return books
+
+
+def _pq_luts(Qm, books, m_sub: int, sub_dim: int):
+    """Per-subspace query lookup tables: exact integer ‖q_m − c_{m,k}‖²,
+    cid-ordered — (n_queries, k_pq) per subspace."""
+    luts = []
+    for m in range(m_sub):
+        _cids, C = books[m]
+        qsub = Qm[:, m * sub_dim : (m + 1) * sub_dim]
+        luts.append(((qsub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    return luts
+
+
+def _pq_topk(
+    codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int, topk: int
+) -> DataFrame:
+    """The PQ pipeline of x_ann_pq, parameterized: train one integer
+    codebook per subspace (md5-seeded, 1 Lloyd round), encode, ADC-scan,
+    per-partition (adist, vec_id) top-k, global window merge.  Shared by
+    the registered index (global config) and the structured-recall
+    operating point (M=8, K=16)."""
+    import numpy as np
+    import pandas as pd
+
+    books = _train_pq_books(codes, m_sub, sub_dim, k_pq)
 
     # -- query LUTs (query batch bounded by the x_sim_topk contract) --
     q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
-    luts = []  # per m: (n_queries, k_pq) exact int distances, cid-ordered
-    for m in range(m_sub):
-        _cids, C = books[m]
-        qsub = Qm[:, m * sub_dim : (m + 1) * sub_dim]
-        luts.append(((qsub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    luts = _pq_luts(Qm, books, m_sub, sub_dim)
 
     # -- encode + ADC scan + per-partition top-k in ONE pass --
     def scan(batches):
@@ -996,3 +1013,191 @@ def pq_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _exact_topk(codes, PQ_TOPK)
     index = _pq_topk(codes, ST_M, ST_SUB, ST_K, PQ_TOPK)
     return _recall_table(truth, index, PQ_TOPK)
+
+
+# ---- IVF-PQ composition (x_ann_ivf_pq) -------------------------------------
+
+IVF_NPROBE = 2  # probed coarse cells per query (x_sim_ivf_trained's nprobe)
+
+# coarse k-means chain with k-prefixed CTE names — _duck_km_av_chain's
+# a1/u1/c1 would collide with _duck_sub(1)'s per-subspace a1/u1/c1
+_IVF_PQ_COARSE = f"""{DUCK_QV_CTE},
+    kh AS (
+      SELECT vec_id, qv,
+             ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT AS hv
+      FROM q
+    ),
+    kseeds AS (
+      SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, qv AS cv
+      FROM kh ORDER BY hv, vec_id LIMIT {K}
+    ),
+    ka1 AS ({_duck_assign('kh', 'kseeds')}),
+    ku1 AS ({_duck_update('ka1')}),
+    kc1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM ku1 GROUP BY cid),
+    ka2 AS ({_duck_assign('kh', 'kc1')}),
+    ku2 AS ({_duck_update('ka2')}),
+    kc2 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM ku2 GROUP BY cid),
+    av AS (SELECT vec_id, cid AS cell FROM ({_duck_assign('kh', 'kc2')}))"""
+
+def _materialize(sql: str, names) -> str:
+    """Pin ``name AS MATERIALIZED (`` on the listed CTEs.  DuckDB's
+    default inlines a CTE per reference; in the composed IVF-PQ replay
+    the coarse chain and the four subspace chains are each referenced by
+    several downstream CTEs, and re-inlining turned a 3 s oracle into a
+    6-minute one (measured at sf0.01).  Semantics are unchanged —
+    MATERIALIZED is an evaluation fence, not a rewrite."""
+    import re
+
+    for name in names:
+        sql = re.sub(
+            rf"(\n\s*{name} AS )\(", r"\1MATERIALIZED (", sql, count=1
+        )
+    return sql
+
+
+_IVF_PQ_ORACLE_RAW = (
+    "WITH "
+    + _IVF_PQ_COARSE
+    + ",\n"
+    + ",".join(_duck_sub(m) for m in range(M_SUB))
+    + ",\n    qs AS (SELECT vec_id AS query_id, qv FROM q"
+    " ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id"
+    f" LIMIT {ANN_QUERY_K}),"
+    + f"""
+    qp AS (
+      SELECT vec_id AS query_id, cid AS cell
+      FROM ({_duck_assign('kh', 'kc2', rn=f'<= {IVF_NPROBE}',
+                          where="WHERE h.vec_id IN (SELECT vec_id FROM ("
+                          + duck_query_draw(cols='vec_id') + '))')})
+    ),"""
+    + ",".join(_duck_lut(m) for m in range(M_SUB))
+    + f"""
+    SELECT query_id, rnk, vec_id, cell, adist FROM (
+      SELECT qs.query_id, e0.vec_id, av.cell,
+             CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY qs.query_id
+                                ORDER BY (l0.d + l1.d + l2.d + l3.d),
+                                         e0.vec_id) AS rnk
+      FROM qs
+      JOIN qp ON qp.query_id = qs.query_id
+      JOIN av ON av.cell = qp.cell AND av.vec_id <> qs.query_id
+      JOIN e0 ON e0.vec_id = av.vec_id
+      JOIN e1 ON e1.vec_id = e0.vec_id
+      JOIN e2 ON e2.vec_id = e0.vec_id
+      JOIN e3 ON e3.vec_id = e0.vec_id
+      JOIN lut0 l0 ON l0.query_id = qs.query_id AND l0.cid = e0.cid
+      JOIN lut1 l1 ON l1.query_id = qs.query_id AND l1.cid = e1.cid
+      JOIN lut2 l2 ON l2.query_id = qs.query_id AND l2.cid = e2.cid
+      JOIN lut3 l3 ON l3.query_id = qs.query_id AND l3.cid = e3.cid
+    ) WHERE rnk <= {PQ_TOPK}
+"""
+)
+
+_IVF_PQ_ORACLE = _materialize(
+    _IVF_PQ_ORACLE_RAW,
+    ["q", "kh", "kseeds", "kc1", "kc2", "av", "qp", "qs"]
+    + [f"{p}{m}" for m in range(M_SUB) for p in ("h", "seeds", "c", "e", "lut")],
+)
+
+
+@register("x_ann_ivf_pq", oracle=_IVF_PQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composition both parents' docstrings promise
+    (x_ann_pq: "production composes this with the IVF cells"; FAISS
+    IndexIVFPQ, the standard billion-scale serving shape): the trained
+    coarse codebook prunes the corpus to each query's {IVF_NPROBE}
+    probed cells, and ONLY those vectors are scored — by the PQ ADC sum,
+    never the raw vectors.  Memory = PQ codes; scan work = corpus/K per
+    probe instead of corpus.
+
+    Everything stays in the exact integer code space of both parents
+    (coarse assignment = x_sim_ivf_trained's (dist, cid) total order; PQ
+    codes/LUTs = x_ann_pq's), so the full three-index composition —
+    coarse train, PQ train, probe, encode, masked ADC scan — hash-matches
+    the DuckDB unrolled replay end to end.
+
+    100 TB: the coarse + PQ codebooks are the only driver state (bounded
+    collects); one mapInPandas pass assigns each Arrow batch to cells,
+    encodes, and ADC-scores it against the probe mask — no corpus
+    shuffle; per-partition (adist, vec_id) top-k candidates merge in a
+    tiny global window, exactly the parents' cost shape with the scan
+    term divided by K/nprobe."""
+    import numpy as np
+    import pandas as pd
+
+    codes = quantized_codes(spark, sf_dir).cache()
+
+    cb = _train_codebook(codes.select("vec_id", "qv"), ITERS)
+    coarse_cids = np.array([r["cid"] for r in cb], dtype=np.int64)
+    Cc = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in cb])
+    books = _train_pq_books(codes, M_SUB, SUB, K_PQ)
+
+    q_rows = _bounded_query_batch(codes)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in q_rows])
+    luts = _pq_luts(Qm, books, M_SUB, SUB)
+
+    # probed cells per query: (queries × K) ints, driver-tiny; stable
+    # argsort → ties to the smaller cid, the training total order
+    dq = (
+        (Qm * Qm).sum(axis=1)[:, None]
+        - 2 * (Qm @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    nprobe = min(IVF_NPROBE, len(coarse_cids))
+    probes = coarse_cids[np.argsort(dq, axis=1, kind="stable")[:, :nprobe]]
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            vids = pdf["vec_id"].to_numpy()
+            dv = (
+                (V * V).sum(axis=1)[:, None]
+                - 2 * (V @ Cc.T)
+                + (Cc * Cc).sum(axis=1)[None, :]
+            )
+            cells = coarse_cids[dv.argmin(axis=1)]  # first-min = min cid
+            adist = np.zeros((len(q_ids), len(vids)), dtype=np.int64)
+            for m in range(M_SUB):
+                _cids, C = books[m]
+                sub = V[:, m * SUB : (m + 1) * SUB]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2 * (sub @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                adist += luts[m][:, d.argmin(axis=1)]
+            allowed = (cells[None, :, None] == probes[:, None, :]).any(axis=2)
+            out_q, out_v, out_c, out_d = [], [], [], []
+            k = min(PQ_TOPK, len(vids))
+            for qi in range(len(q_ids)):
+                idx = np.nonzero(allowed[qi])[0]
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((vids[idx], adist[qi, idx]))][: k + 1]
+                for vi in order:
+                    if vids[vi] != q_ids[qi]:
+                        out_q.append(q_ids[qi])
+                        out_v.append(vids[vi])
+                        out_c.append(cells[vi])
+                        out_d.append(adist[qi, vi])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "vec_id": out_v,
+                    "cell": out_c,
+                    "adist": out_d,
+                }
+            )
+
+    cand = codes.mapInPandas(
+        scan, "query_id bigint, vec_id bigint, cell bigint, adist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "vec_id", "cell", "adist")
+    )

@@ -106,6 +106,13 @@ SCALE_SLICE = [
     # density (the test drives the FULL streaming drain)
     "q_time_travel",
     "s_stream_join_keyed",
+    # round-10 session 2: the incremental read must return exactly the
+    # manifest delta at any table size; the centroid-outlier tournament
+    # must stay exact as per-label populations grow; the composed
+    # IVF-PQ replay must hold once cells carry 25k vectors each
+    "q_snapshot_changes",
+    "x_embed_outliers",
+    "x_ann_ivf_pq",
 ]
 
 

@@ -113,6 +113,9 @@ SCALE_SLICE = [
     "q_snapshot_changes",
     "x_embed_outliers",
     "x_ann_ivf_pq",
+    # the composed recall gate: exact-truth leg is the one brute-force
+    # pass, must stay runnable at 200k vectors in BOTH engines
+    "x_ivf_pq_recall",
 ]
 
 

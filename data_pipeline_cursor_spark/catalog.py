@@ -922,3 +922,88 @@ def snapshot_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
+    """SNAPSHOT-AWARE COMPACTION (Iceberg ``rewrite_data_files`` /
+    Delta OPTIMIZE on the manifest-versioned layout): rewrite the LATEST
+    snapshot's file list into byte-targeted larger files and publish
+    them as a NEW commit whose manifest lists ONLY the rewritten files.
+    Content is identical by construction; every OLDER manifest is
+    untouched, so time travel to pre-compaction versions still reads
+    the original small files — exactly Iceberg's snapshot isolation
+    (original data files become deletable only at snapshot expiry,
+    which this layout never does).
+
+    Idempotent: a manifest written by compaction carries a
+    ``"compacted": true`` marker, and a repeat call returns that
+    version instead of stacking rewrite commits — bench repeats and
+    suite re-runs must not grow the table.
+
+    100 TB: the rewrite is a shuffle-free coalesce of one snapshot's
+    files; production drives it per-partition behind a small-file
+    threshold, and readers never block (the swap is one atomic
+    manifest publish)."""
+    import glob
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    last = versions[-1]
+    with open(_manifest_path(table_dir, last)) as fh:
+        manifest = json.load(fh)
+    if manifest.get("compacted"):
+        return last
+    files = [os.path.join(table_dir, f) for f in manifest["files"]]
+    df = spark.read.parquet(*files)
+    n_bytes = sum(os.path.getsize(p) for p in files)
+    target = max(1, -(-n_bytes // (32 * 1024 * 1024)))  # ceil to 32 MB files
+    new_v = last + 1
+    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    df.coalesce(target).write.mode("overwrite").parquet(data_dir)
+    rel = [
+        os.path.join("data", f"commit-{new_v}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": new_v, "files": rel, "compacted": True}, fh)
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+@register(
+    "q_snapshot_compaction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           bit_xor(('0x' || substr(md5('sk:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snapshot_compaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT-THEN-READ over the manifest-versioned lakehouse — the
+    A9 + A10 composition (Iceberg rewrite_data_files preserving snapshot
+    isolation).  Compacts the 3-commit fixture table into a rewrite
+    commit and aggregates the per-type count + order-insensitive
+    checksum of the COMPACTED snapshot.  The DuckDB oracle is the FULL
+    events table (the three commits partition event_id % 3 exactly): a
+    hash match proves the rewrite lossless — a dropped or duplicated
+    row anywhere in the rewrite would flip count or checksum.  The
+    isolation half (old manifests byte-unchanged, pre-compaction reads
+    identical, idempotent re-run) is pinned by the invariant test."""
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    table_dir = snapshot_events_table(spark, sf_dir)
+    v = snapshot_compact(spark, table_dir)
+    snap = snapshot_read(spark, table_dir, version=v)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "sk")).alias(
+            "checksum"
+        ),
+    )

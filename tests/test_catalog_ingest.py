@@ -221,3 +221,48 @@ def test_snapshot_changes_incremental_read(spark, tmp_path):
         snapshot_changes(spark, tdir, 3, 1)
     with pytest.raises(ValueError, match="not committed"):
         snapshot_changes(spark, tdir, 1, 9)
+
+
+def test_snapshot_compaction_isolation_and_idempotency(spark, tmp_path):
+    """The compaction-contract properties the lossless-checksum oracle
+    can't pin alone: (1) the rewrite commit reduces the file count;
+    (2) every pre-compaction manifest is byte-unchanged and reads the
+    identical row set (snapshot isolation across a rewrite); (3) a
+    repeat call is a no-op returning the same version."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    tdir = str(tmp_path / "snapcomp")
+    for k in range(3):
+        snapshot_commit(
+            spark, tdir, ev.filter(F.col("event_id") % 3 == k).repartition(8)
+        )
+    manifest2 = open(os.path.join(tdir, "manifest-2.json"), "rb").read()
+    before_v2 = sorted(
+        r["event_id"] for r in snapshot_read(spark, tdir, 2).collect()
+    )
+    n_files_before = len(snapshot_read(spark, tdir, 3).inputFiles())
+
+    v = snapshot_compact(spark, tdir)
+    assert v == 4 and snapshot_versions(tdir) == [1, 2, 3, 4]
+    compacted = snapshot_read(spark, tdir, 4)
+    assert len(compacted.inputFiles()) < n_files_before
+    # lossless: compacted content == pre-compaction latest
+    assert sorted(r["event_id"] for r in compacted.collect()) == sorted(
+        r["event_id"] for r in snapshot_read(spark, tdir, 3).collect()
+    )
+    # isolation: old manifest bytes and old-version reads unchanged
+    assert open(os.path.join(tdir, "manifest-2.json"), "rb").read() == manifest2
+    assert sorted(
+        r["event_id"] for r in snapshot_read(spark, tdir, 2).collect()
+    ) == before_v2
+    # idempotent: repeat returns the same version, appends nothing
+    assert snapshot_compact(spark, tdir) == 4
+    assert snapshot_versions(tdir) == [1, 2, 3, 4]

@@ -116,6 +116,9 @@ SCALE_SLICE = [
     # the composed recall gate: exact-truth leg is the one brute-force
     # pass, must stay runnable at 200k vectors in BOTH engines
     "x_ivf_pq_recall",
+    # the rewrite commit must stay lossless at 10M rows and leave the
+    # explicit-version readers untouched
+    "q_snapshot_compaction",
 ]
 
 

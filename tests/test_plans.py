@@ -776,3 +776,15 @@ def test_mv_incremental_pushes_cutoff_to_both_scans(spark):
         if "(ts#" in line.split("DataFilters: [", 1)[1]
     ]
     assert len(bounded) >= 2, plan
+
+
+def test_embed_outliers_broadcasts_centroids(spark):
+    """x_embed_outliers: the |labels|·DIM centroid table must broadcast
+    back to the corpus-grain distance join (a shuffled join would move
+    the exploded corpus twice), and the grouped top-k must run as the
+    two-level tournament — two Window operators in the plan, not one
+    one-label sort."""
+    df = get_queries()["x_embed_outliers"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") >= 2, plan

@@ -1007,3 +1007,99 @@ def snapshot_compaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
+    """SNAPSHOT EXPIRY (Iceberg ``expire_snapshots``): drop all but the
+    last ``retain_last`` manifests and DELETE every data file no
+    retained manifest references — the step that actually reclaims
+    storage, and the only operation allowed to remove data files in
+    this layout (commit and compaction are strictly additive).
+
+    Because manifests are cumulative, expiring an old version deletes
+    nothing unless a LATER retained manifest stopped referencing its
+    files — which is exactly what a compaction commit does; the
+    compact-then-expire pairing is how the original small files are
+    reclaimed in production.  Metadata-only except for the unlink
+    calls: O(files) driver-side, no executor involvement.
+
+    Returns {"expired_versions": [...], "deleted_files": n}."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    if len(versions) <= retain_last:
+        return {"expired_versions": [], "deleted_files": 0}
+    retained = versions[-retain_last:]
+    expired = versions[:-retain_last]
+    keep: set[str] = set()
+    for v in retained:
+        with open(_manifest_path(table_dir, v)) as fh:
+            keep.update(json.load(fh)["files"])
+    deleted = 0
+    data_root = os.path.join(table_dir, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            if f.endswith(".parquet") and rel not in keep:
+                os.remove(full)
+                deleted += 1
+    for v in expired:
+        os.remove(_manifest_path(table_dir, v))
+    return {"expired_versions": expired, "deleted_files": deleted}
+
+
+@register(
+    "q_snapshot_expire",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           bit_xor(('0x' || substr(md5('se:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snapshot_expire_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL LAKEHOUSE LIFECYCLE in one verified pipeline — commit ×3 →
+    compact (rewrite commit) → EXPIRE all pre-compaction snapshots →
+    read the survivor (Iceberg's expire_snapshots closing the
+    compact-then-expire pairing; this query's table ends holding ONLY
+    the rewritten files, every original small file unlinked).  Runs on
+    its OWN fixture table — expiry is destructive, and the shared
+    3-commit table must keep serving q_time_travel's version-2 read.
+
+    The DuckDB oracle is the full events table: a hash match proves
+    the surviving snapshot still carries every row through the
+    commit/compact/expire chain.  The destructive half (expired
+    version unreadable, unreferenced files unlinked, retained reads
+    byte-identical) is pinned by the invariant test."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapexpire-{fp}")
+    versions = snapshot_versions(table_dir)
+    if not (len(versions) == 1 and versions[0] == SNAPSHOT_COMMITS + 1):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        for k in range(len(versions) + 1, SNAPSHOT_COMMITS + 1):
+            snapshot_commit(
+                spark, table_dir, ev.filter(F.col("event_id") % 3 == k - 1)
+            )
+        snapshot_compact(spark, table_dir)
+        snapshot_expire(table_dir, retain_last=1)
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "se")).alias(
+            "checksum"
+        ),
+    )

@@ -266,3 +266,57 @@ def test_snapshot_compaction_isolation_and_idempotency(spark, tmp_path):
     # idempotent: repeat returns the same version, appends nothing
     assert snapshot_compact(spark, tdir) == 4
     assert snapshot_versions(tdir) == [1, 2, 3, 4]
+
+
+def test_snapshot_expire_contract(spark, tmp_path):
+    """Expiry's destructive contract: (1) with CUMULATIVE manifests and
+    no compaction, expiring old versions deletes NOTHING (every file is
+    still referenced by a retained manifest); (2) after a compaction
+    commit, expire retain_last=1 unlinks every original small file and
+    keeps only the rewrite; (3) retained reads are row-identical across
+    expiry; (4) expired versions refuse to read."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    tdir = str(tmp_path / "snapexp")
+    for k in range(3):
+        snapshot_commit(
+            spark, tdir, ev.filter(F.col("event_id") % 3 == k).repartition(4)
+        )
+
+    # (1) cumulative manifests: expiring v1 with v2/v3 retained deletes 0
+    res = snapshot_expire(tdir, retain_last=2)
+    assert res["expired_versions"] == [1] and res["deleted_files"] == 0
+    assert snapshot_versions(tdir) == [2, 3]
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_read(spark, tdir, 1)
+
+    before = sorted(r["event_id"] for r in snapshot_read(spark, tdir, 3).collect())
+    n_small = len(glob.glob(os.path.join(tdir, "data", "commit-[123]", "*.parquet")))
+    assert n_small >= 12  # 3 commits × 4 shards
+
+    # (2)+(3) compact then expire: originals unlinked, survivor identical
+    v = snapshot_compact(spark, tdir)
+    res = snapshot_expire(tdir, retain_last=1)
+    assert res["expired_versions"] == [2, 3]
+    assert res["deleted_files"] == n_small
+    assert snapshot_versions(tdir) == [v]
+    assert glob.glob(os.path.join(tdir, "data", "commit-[123]", "*.parquet")) == []
+    after = sorted(r["event_id"] for r in snapshot_read(spark, tdir).collect())
+    assert after == before
+
+    # no-op when nothing to expire
+    assert snapshot_expire(tdir, retain_last=1) == {
+        "expired_versions": [],
+        "deleted_files": 0,
+    }

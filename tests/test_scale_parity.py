@@ -119,6 +119,9 @@ SCALE_SLICE = [
     # the rewrite commit must stay lossless at 10M rows and leave the
     # explicit-version readers untouched
     "q_snapshot_compaction",
+    # the full commit->compact->expire lifecycle must survive 10M rows
+    # (and its destructive fixture must stay isolated from the shared one)
+    "q_snapshot_expire",
 ]
 
 

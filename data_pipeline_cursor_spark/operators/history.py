@@ -760,3 +760,134 @@ def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_cents").cast("double") / F.col("n_events") / 100.0, 4
         ).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — the marketing-analytics verb every event
+# warehouse derives from a raw touch/conversion log.  The reference's
+# event log (logging-server/server.py: event rows with type + value)
+# carries exactly the three roles this needs: touches ('view', 'click'),
+# conversions ('purchase'), and a conversion value.
+# ---------------------------------------------------------------------------
+
+ATTRIB_TOUCHES = ("click", "view")  # channels credit can land on
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    ),
+    p AS (
+      SELECT COALESCE(first_touch, '(none)') AS fc,
+             COALESCE(last_touch, '(none)') AS lc, cents
+      FROM o WHERE event_type = 'purchase'
+    ),
+    fa AS (
+      SELECT fc AS channel, CAST(COUNT(*) AS BIGINT) AS n_first,
+             CAST(SUM(cents) AS BIGINT) AS first_cents
+      FROM p GROUP BY 1
+    ),
+    la AS (
+      SELECT lc AS channel, CAST(COUNT(*) AS BIGINT) AS n_last,
+             CAST(SUM(cents) AS BIGINT) AS last_cents
+      FROM p GROUP BY 1
+    )
+    SELECT COALESCE(fa.channel, la.channel) AS channel,
+           COALESCE(n_first, 0) AS n_first,
+           COALESCE(first_cents, 0) AS first_cents,
+           COALESCE(n_last, 0) AS n_last,
+           COALESCE(last_cents, 0) AS last_cents
+    FROM fa FULL OUTER JOIN la ON fa.channel = la.channel
+    """,
+)
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH REVENUE ATTRIBUTION (first-touch and last-touch): for
+    every conversion ('purchase'), find the user's first and most recent
+    marketing touch ('click'/'view') STRICTLY BEFORE the conversion, and
+    credit the conversion's cents to those channels.  Conversions with no
+    prior touch land in the '(none)' bucket — the organic/dark-traffic
+    line every attribution report carries.  Position-based (U-shaped) and
+    linear models are re-weightings of the same two window columns plus a
+    per-conversion touch count; the plan shape below is the whole cost.
+
+    Plan/scale: ONE shuffle on user_id, then both IGNORE-NULLS window
+    reads over the same per-user sort (one Window node — same
+    partitioning, ordering, and frame), a filter to conversions, a 2-way
+    explode into (model, channel) credit rows, and ONE channel-grain
+    aggregate with conditional sums.  NOT two aggregates full-outer
+    joined on channel — the naive spelling made Spark recompute the
+    whole window branch once per model (two corpus scans, two user_id
+    shuffles; plan inspected); the explode form pays 2 rows per
+    conversion instead, the q_quality_funnel "k gates = one scan"
+    discipline.  And no self-join of touches onto conversions — the
+    classic O(touches × conversions) formulation — because the running
+    window carries the needed touch forward in O(1) state per row.  At
+    100 TB: identical profile to q_sessionize (one keyed sort-window
+    pass); channel grain is tiny by construction.  Cents are integers
+    end-to-end (the q_mv_incremental convention), so the hash comparison
+    is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin(*ATTRIB_TOUCHES), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    credits = (
+        ev.select(
+            "event_type",
+            cents.alias("cents"),
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first").alias("model"),
+                        F.coalesce("first_touch", F.lit("(none)")).alias(
+                            "channel"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("last").alias("model"),
+                        F.coalesce("last_touch", F.lit("(none)")).alias(
+                            "channel"
+                        ),
+                    ),
+                )
+            ).alias("mc"),
+            "cents",
+        )
+        .select("mc.model", "mc.channel", "cents")
+    )
+    z = F.lit(0).cast("bigint")
+    is_f = F.col("model") == "first"
+    return credits.groupBy("channel").agg(
+        F.count(F.when(is_f, 1)).alias("n_first"),
+        F.coalesce(F.sum(F.when(is_f, F.col("cents"))), z).alias(
+            "first_cents"
+        ),
+        F.count(F.when(~is_f, 1)).alias("n_last"),
+        F.coalesce(F.sum(F.when(~is_f, F.col("cents"))), z).alias(
+            "last_cents"
+        ),
+    )

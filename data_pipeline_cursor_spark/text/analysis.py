@@ -2188,3 +2188,81 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_nll_milli"),
         F.max("v").alias("max_nll_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — corpus-statistics diagnostic (E-family).
+# A healthy natural-language corpus follows freq ∝ rank^(-s) with s ≈ 1;
+# a collapsed slope flags boilerplate/duplication, a steep one flags
+# truncated or templated vocabulary.  The fit is the log-log least-squares
+# line over the per-language rank-frequency table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, t.tk AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tk)
+    ),
+    cnt AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, freq,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY freq DESC, token
+             ) AS rank
+      FROM cnt
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(freq), ln(rank)), 4) AS r2
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW FIT per language: least-squares slope/intercept/R² of
+    ln(freq) on ln(rank) over the token rank-frequency table — the
+    dataset-health diagnostic a curation run uses to catch corpora whose
+    token distribution has collapsed (boilerplate floods flatten the
+    tail, template spam steepens the head; natural text sits near
+    slope ≈ -1 with high R²).  Rank ties (equal frequencies) are broken
+    alphabetically in BOTH engines, so rank assignment — and hence the
+    fit — is deterministic.
+
+    Plan/scale: explode → ONE (lang, token) hash aggregate with map-side
+    partial combine (the only corpus-sized step), then a per-language
+    rank window and the regression aggregates at VOCABULARY grain —
+    vocab ≪ corpus, and regr_* are single-pass sum-based folds.  For a
+    web-scale open vocabulary where even vocab-grain per-language sorts
+    bite, cap the fit to the top-V ranks via the salted tournament
+    (x_embed_outliers' shape); the fixture vocabulary is closed, so the
+    direct window is the honest plan.  Float story: same as
+    q_regr_stats — IEEE ln over integer freq/rank agrees bit-for-bit
+    across engines, the covariance folds agree well inside ROUND 4 (no
+    cancellation: ln values span ~[0, ln(freq_max)])."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(tokens_col()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    ranked = cnt.select(
+        "lang", "freq", F.row_number().over(wr).alias("rank")
+    )
+    y, x = F.log(F.col("freq")), F.log(F.col("rank"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )

@@ -1958,3 +1958,150 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation calibration — the serving decision behind
+# nested-dimension embedding models (Kusupati et al., "Matryoshka
+# Representation Learning"): score with only the first d dimensions and
+# measure how much of the full-dimension top-k survives.  The operating
+# table that says which prefix length a retrieval tier can afford.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # prefix lengths; 64 = full (recall 1.0 anchor)
+
+_MRL_DIMS_SQL = ", ".join(f"({d})" for d in MRL_DIMS)
+
+
+@register(
+    "x_mrl_recall",
+    oracle=f"""
+    WITH bf AS ({_REGISTERED_ORACLES['x_sim_topk']}),
+    q AS ({duck_query_draw()}),
+    tr AS (
+      SELECT trunc_dim, query_id, vec_id FROM (
+        SELECT d.td AS trunc_dim, a.vec_id AS query_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY d.td, a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                   (a.embedding::DOUBLE[])[1:d.td],
+                   (b.embedding::DOUBLE[])[1:d.td]), 4) DESC, b.vec_id
+               ) AS rn
+        FROM q a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        CROSS JOIN (VALUES {_MRL_DIMS_SQL}) d(td)
+      ) WHERE rn <= 5
+    )
+    SELECT d.td AS trunc_dim,
+           CAST(COUNT(tr.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(tr.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+    FROM bf
+    CROSS JOIN (VALUES {_MRL_DIMS_SQL}) d(td)
+    LEFT JOIN tr ON tr.trunc_dim = d.td
+                AND tr.query_id = bf.query_id AND tr.vec_id = bf.vec_id
+    GROUP BY d.td
+    """,
+)
+def mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION RECALL: for each prefix length d in
+    {MRL_DIMS}, the fraction of the FULL-dimension cosine top-5
+    (x_sim_topk's ground truth, same fixed query draw) still returned
+    when vectors are truncated to their first d dimensions and
+    re-normalized.  This is the calibration table behind MRL serving
+    tiers — a cheap d=8 prefilter is safe exactly when its recall at
+    the re-rank depth is high; the d=64 row is the built-in sanity
+    anchor (truncation at full width must give recall 1.0, so a
+    sub-1.0 value there would flag a harness bug, not a model
+    property).  On the ISOTROPIC fixture embeddings the prefix recalls
+    are honestly low (~0.04/0.13/0.29 at 8/16/32 at sf0.01) — random
+    vectors concentrate no information in leading dimensions; an
+    MRL-trained model is precisely what moves this curve up, which is
+    what the table exists to measure (same negative-control posture as
+    x_pq_recall vs x_pq_recall_structured).
+
+    Plan/scale: ONE corpus scan scores ALL prefix lengths — each Arrow
+    batch is loaded once as a (rows × 64) matrix and every d reuses its
+    leading columns for one BLAS matmul against the d-truncated
+    re-normalized query matrix, emitting only per-partition local
+    top-5s; the global window then ranks |dims| × |queries| × 5 ×
+    |partitions| surviving rows, and the truth join runs at top-k
+    grain.  The corpus is never shuffled and no per-pair row
+    materializes — x_sim_topk's scatter-gather, amortized across the
+    whole dimension sweep.  The query batch rides the closure under the
+    same MAX_QUERY_BATCH driver-size contract."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = ann_query_draw(emb).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    Qu_by_d = {}
+    for d in MRL_DIMS:
+        Qd = QM[:, :d]
+        Qu_by_d[d] = Qd / np.linalg.norm(Qd, axis=1)[:, None]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, np.float64) for v in pdf["embedding"]]
+            )
+            ids = pdf["vec_id"].to_numpy()
+            out_d, out_q, out_v, out_s = [], [], [], []
+            for d in MRL_DIMS:
+                Ed = E[:, :d]
+                U = Ed / np.linalg.norm(Ed, axis=1)[:, None]
+                S = _round4(U @ Qu_by_d[d].T)  # (corpus_part, queries)
+                for j, qid in enumerate(qids):
+                    mask = ids != qid
+                    cand_ids, cand_sc = ids[mask], S[:, j][mask]
+                    pick = np.lexsort((cand_ids, -cand_sc))[:5]
+                    out_d.append(np.full(len(pick), d, dtype=np.int64))
+                    out_q.append(np.full(len(pick), qid))
+                    out_v.append(cand_ids[pick])
+                    out_s.append(cand_sc[pick])
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "trunc_dim": np.concatenate(out_d),
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        local_topk,
+        "trunc_dim bigint, query_id bigint, vec_id bigint, score double",
+    )
+    wtop = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    tr = (
+        local.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select("trunc_dim", "query_id", "vec_id")
+    )
+    bf = sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "trunc_dim bigint")
+    truth = bf.crossJoin(F.broadcast(dims))
+    hits = tr.select(
+        F.col("trunc_dim").alias("td"),
+        F.col("query_id").alias("t_q"),
+        F.col("vec_id").alias("t_v"),
+    )
+    joined = truth.join(
+        hits,
+        (F.col("td") == truth.trunc_dim)
+        & (F.col("t_q") == truth.query_id)
+        & (F.col("t_v") == truth.vec_id),
+        "left",
+    )
+    return joined.groupBy("trunc_dim").agg(
+        F.count("t_v").alias("n_hits"),
+        F.round(F.count("t_v") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "recall"
+        ),
+    )

@@ -1103,3 +1103,161 @@ def snapshot_expire_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+def snapshot_merge(
+    spark: SparkSession, table_dir: str, source: DataFrame, key: str
+) -> int:
+    """Batch MERGE INTO the latest snapshot (Delta/Iceberg
+    ``MERGE INTO t USING s ON t.key = s.key`` with the three standard
+    clauses), copy-on-write: read the current snapshot, resolve the
+    clauses with ONE full-outer equi-join on the key, and publish the
+    merged result as a new REPLACING manifest — older manifests stay
+    untouched, so time travel to pre-merge versions still works and a
+    crashed merge leaves the table on the old snapshot (the atomic
+    manifest publish is the commit point).
+
+    ``source`` carries the key column, every data column, and a boolean
+    ``_delete`` flag; clause semantics:
+      WHEN MATCHED AND s._delete          THEN DELETE
+      WHEN MATCHED                        THEN UPDATE SET *
+      WHEN NOT MATCHED AND NOT s._delete  THEN INSERT *
+    Source keys must be unique (the Delta/Iceberg precondition — a
+    multiply-matched target row makes MERGE nondeterministic; enforced
+    here with a fail-stop count check at |source| grain).
+
+    100 TB: the join is the whole cost — equi-join on the key, so AQE
+    broadcast-joins a small change batch against the table scan, and a
+    bucketed target co-locates it shuffle-free (q_join_bucketed's
+    layout).  This implementation rewrites the full snapshot (manifest
+    granularity); production narrows the rewrite to the FILES whose key
+    range intersects the source (file-skipping on parquet min/max — the
+    same pruning snapshot_read already plans) and carries every
+    untouched file into the new manifest by reference.  Returns the new
+    version."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    last = versions[-1]
+    target = snapshot_read(spark, table_dir, last)
+    data_cols = [c for c in target.columns if c != key]
+    dup = (
+        source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "snapshot_merge: duplicate source keys — MERGE requires a "
+            "unique source key per target row"
+        )
+    t = target.alias("t").withColumn("_t", F.lit(True))
+    s = source.alias("s").withColumn("_s", F.lit(True))
+    j = t.join(s, on=key, how="full_outer")
+    in_s = F.coalesce(F.col("_s"), F.lit(False))
+    dele = F.coalesce(F.col("_delete"), F.lit(False))
+    merged = j.filter(~(in_s & dele)).select(
+        F.col(key),
+        *[
+            F.when(in_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in data_cols
+        ],
+    )
+    import json
+
+    new_v = last + 1
+    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    merged.write.mode("overwrite").parquet(data_dir)
+    rel = [
+        os.path.join("data", f"commit-{new_v}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": new_v, "files": rel, "merged": True}, fh)
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+MERGE_INSERT_OFFSET = 1_000_000_000  # insert keys live above every fixture id
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 1 THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events WHERE event_id % 5 <> 0
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, 'ins'
+      FROM events WHERE event_id % 7 = 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('mg:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM merged GROUP BY event_type
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH MERGE INTO over the snapshot lakehouse — the missing batch
+    twin of s_cdc_apply's streaming upsert/delete (and the verb behind
+    every warehouse's nightly dimension load): one deterministic change
+    batch exercises ALL THREE clauses against a committed base snapshot
+    — DELETE (event_id % 5 = 0), UPDATE to 'upd_'-prefixed type
+    (event_id % 5 = 1), INSERT of brand-new keys above
+    {MERGE_INSERT_OFFSET} (event_id % 7 = 3) — then the query reads the
+    POST-MERGE snapshot and aggregates per-type count +
+    order-insensitive checksum.  The DuckDB oracle replays the merge
+    algebraically over the raw events table, so a hash match proves
+    clause-exact semantics: a resurrected delete, missed update, lost
+    insert, or double-applied clause each flips count or checksum.
+    Runs on its OWN fixture table (merge rewrites the visible snapshot;
+    the shared 3-commit table must keep serving q_time_travel), and the
+    version guard makes re-runs read, not re-merge — idempotency a
+    bench repeat relies on.  Pre-merge time travel (version 1
+    unchanged) is pinned by the invariant test."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapmerge-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if not versions:
+        snapshot_commit(spark, table_dir, ev)
+        versions = [1]
+    if versions[-1] == 1:
+        deletes = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(True).alias("_delete"),
+        )
+        updates = ev.filter(F.col("event_id") % 5 == 1).select(
+            "event_id",
+            F.concat(F.lit("upd_"), F.col("event_type")).alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        inserts = ev.filter(F.col("event_id") % 7 == 3).select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("event_id"),
+            F.lit("ins").alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        snapshot_merge(
+            spark,
+            table_dir,
+            deletes.unionByName(updates).unionByName(inserts),
+            key="event_id",
+        )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "mg")).alias(
+            "checksum"
+        ),
+    )

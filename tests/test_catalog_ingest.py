@@ -320,3 +320,60 @@ def test_snapshot_expire_contract(spark, tmp_path):
         "expired_versions": [],
         "deleted_files": 0,
     }
+
+
+def test_snapshot_merge_contract(spark, tmp_path):
+    """The MERGE-contract properties the algebraic-replay oracle can't
+    pin alone: (1) clause exactness on a hand-checkable micro table;
+    (2) the pre-merge snapshot is byte-immutable and reads identically
+    after the merge (copy-on-write isolation); (3) duplicate source
+    keys fail-stop; (4) the merged manifest replaces rather than
+    accumulates (post-merge read plans no pre-merge file)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    tdir = str(tmp_path / "snapmerge")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    snapshot_commit(spark, tdir, base)
+    manifest1 = open(os.path.join(tdir, "manifest-1.json"), "rb").read()
+
+    src = spark.createDataFrame(
+        [
+            (2, "B", False),   # matched → update
+            (3, None, True),   # matched → delete
+            (4, "d", False),   # not matched → insert
+            (5, None, True),   # not matched + delete → no-op
+        ],
+        "k bigint, v string, _delete boolean",
+    )
+    v = snapshot_merge(spark, tdir, src, key="k")
+    assert v == 2 and snapshot_versions(tdir) == [1, 2]
+
+    merged = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, tdir, 2).collect()
+    }
+    assert merged == {(1, "a"), (2, "B"), (4, "d")}
+
+    # copy-on-write isolation: v1 manifest untouched, v1 read unchanged
+    assert open(os.path.join(tdir, "manifest-1.json"), "rb").read() == manifest1
+    assert {
+        (r["k"], r["v"]) for r in snapshot_read(spark, tdir, 1).collect()
+    } == {(1, "a"), (2, "b"), (3, "c")}
+    # replacing manifest: the merged read plans no commit-1 file
+    assert not any(
+        "commit-1" in f for f in snapshot_read(spark, tdir, 2).inputFiles()
+    )
+
+    dup = spark.createDataFrame(
+        [(7, "x", False), (7, "y", False)], "k bigint, v string, _delete boolean"
+    )
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        snapshot_merge(spark, tdir, dup, key="k")

@@ -1261,3 +1261,71 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_evolved,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLVED TABLE READ, registered end-to-end — the batch
+    verification of the reference sink's evolve-schema-enabled mode
+    (/root/reference/run.sh:97-98: the Iceberg sink auto-creates and
+    widens the table as the payload grows fields).  The fixture table
+    is written in two producer generations into ONE landing path:
+    generation 1 (event_id % 2 = 0) knows only (event_id, event_type);
+    generation 2 (event_id % 2 = 1) ships a new value_cents column.
+    ``read_lakehouse_evolved`` (mergeSchema) serves the union with
+    pre-evolution rows null-extended — Iceberg add-column semantics —
+    and the query aggregates per type: total rows, rows carrying the
+    evolved column, and the cents sum with nulls zero-coalesced.
+
+    The DuckDB oracle recomputes all three from the raw events table
+    (the generations partition event_id % 2 exactly), so a hash match
+    proves the evolved read lost no pre-evolution row, null-extended
+    rather than dropped or zero-filled the old generation (n_evolved
+    counts would flip), and preserved the new column's values.
+
+    100 TB: mergeSchema is a footer-only metadata pass but touches
+    every footer — the docstring contract on read_lakehouse_evolved
+    names the production rung (a real table format holding the union
+    in table metadata).  The aggregate itself is one hash aggregate
+    with map-side combine."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table = _work_dir(sf_dir, f"evolved-{fp}")
+    done = os.path.join(table, ".generations-done")
+    if not os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events")
+        cents = F.round(F.col("value") * 100, 0).cast("bigint")
+        gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        )
+        gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", cents.alias("value_cents")
+        )
+        gen1.write.mode("overwrite").parquet(table)
+        gen2.write.mode("append").parquet(table)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    df = read_lakehouse_evolved(spark, table)
+    z = F.lit(0).cast("bigint")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value_cents").alias("n_evolved"),
+        F.coalesce(F.sum("value_cents"), z).alias("sum_cents"),
+    )

@@ -788,3 +788,37 @@ def test_embed_outliers_broadcasts_centroids(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_attribution_single_window_single_scan(spark):
+    """q_attribution: both IGNORE-NULLS touch reads must land in ONE
+    Window operator over one events scan — the per-model
+    aggregate-and-join spelling recomputed the window branch per model
+    (two scans, two user_id shuffles; the bug this pins out)."""
+    df = get_queries()["q_attribution"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_zipf_fit_regression_at_vocab_grain(spark):
+    """x_zipf_fit: exactly one corpus-sized aggregate (lang, token) with
+    a partial_count map-side combine; the rank window and regression
+    run after it, at vocabulary grain."""
+    df = get_queries()["x_zipf_fit"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_mrl_recall_single_corpus_scan_for_all_dims(spark):
+    """x_mrl_recall: the whole dimension sweep must ride ONE embeddings
+    scan through the mapInPandas scorer (plus x_sim_topk's own scan for
+    the truth side and the driver-side query draw) — one scan per
+    prefix length would be the regression."""
+    df = get_queries()["x_mrl_recall"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # truth leg + sweep leg + query-draw legs; the sweep itself adds ONE
+    assert plan.count("Scan parquet") <= 4, plan
+    assert plan.count("MapInPandas") == 2, plan  # sweep + truth scorer

@@ -122,6 +122,17 @@ SCALE_SLICE = [
     # the full commit->compact->expire lifecycle must survive 10M rows
     # (and its destructive fixture must stay isolated from the shared one)
     "q_snapshot_expire",
+    # round-10 session 3: attribution's one keyed sort-window pass must
+    # hold as per-user histories deepen; the Zipf fit's vocab-grain
+    # regression must agree as frequencies grow; the MRL sweep's
+    # single-scan multi-dim scatter-gather at 200k vectors; the MERGE
+    # full-outer clause resolution at 10M keys; the evolved read's
+    # footer-union over hundreds of mixed-schema files
+    "q_attribution",
+    "x_zipf_fit",
+    "x_mrl_recall",
+    "q_merge_upsert",
+    "q_schema_evolution",
 ]
 
 

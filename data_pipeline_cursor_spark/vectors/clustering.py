@@ -1273,3 +1273,99 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _exact_topk(codes, PQ_TOPK)
     index = ann_ivf_pq(spark, sf_dir)
     return _recall_table(truth, index, PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation against held-out labels — the validation
+# step between "the codebook trained" and "the index/bucketing built on
+# it is trustworthy" (the same gate x_ann_recall provides for ANN).
+# ---------------------------------------------------------------------------
+
+_PURITY_PRELUDE = f"""{DUCK_QV_CTE},
+    h AS (
+      SELECT vec_id, qv,
+             ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT AS hv
+      FROM q
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY hv, vec_id) AS cid, qv AS cv
+      FROM h ORDER BY hv, vec_id LIMIT {K}
+    ),
+    a1 AS ({_duck_assign('h', 'seeds')}),
+    u1 AS ({_duck_update('a1')}),
+    c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+    a2 AS ({_duck_assign('h', 'c1')})"""
+
+
+@register(
+    "x_cluster_purity",
+    oracle=f"""
+    WITH {_PURITY_PRELUDE},
+    lab AS (
+      SELECT a2.cid, e.label FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+    ),
+    cont AS (
+      SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY cid, label
+    ),
+    ranked AS (
+      SELECT cid, label, n,
+             CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members,
+             row_number() OVER (PARTITION BY cid ORDER BY n DESC, label)
+               AS rn
+      FROM cont
+    )
+    SELECT cid, n_members, label AS top_label, n AS top_n,
+           ROUND(n / CAST(n_members AS DOUBLE), 4) AS purity
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER PURITY against the held-out ``label`` column: run the
+    registered k-means training (same seeds, same {ITERS} Lloyd rounds,
+    same integer arithmetic as x_kmeans_int8), take the FINAL
+    assignment, and report per cluster its size, majority label, and
+    purity = majority count / size — the standard external-validation
+    metric that decides whether a trained codebook's cells align with
+    any real structure before an IVF index or SemDeDup pass is built on
+    them.  Ties on the majority label break to the smaller label id in
+    both engines.
+
+    Plan/scale: training is x_kmeans_int8's bounded-collect loop (the
+    K×DIM codebook is the only driver state); evaluation is one
+    closure-broadcast assignment pass over the corpus, an equi-join to
+    the label column (vec_id-to-vec_id — AQE broadcasts the smaller
+    projection), and contingency aggregation at (K × |labels|) grain —
+    nothing pairwise, nothing corpus-sized after the scan.  The DuckDB
+    oracle unrolls the identical training chain (the x_kmeans_int8
+    prelude) through the final assignment, so the hash match re-proves
+    training AND evaluation in one artifact."""
+    from data_pipeline_cursor_spark.sources import load_table
+
+    codes = quantized_codes(spark, sf_dir)
+    cent_rows = _train_codebook(codes, ITERS - 1)
+    assigned = _assign(codes, cent_rows).select("vec_id", "cid")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        assigned.join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrank = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    wtot = Window.partitionBy("cid")
+    ranked = cont.select(
+        "cid",
+        "label",
+        "n",
+        F.sum("n").over(wtot).alias("n_members"),
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cid",
+        "n_members",
+        F.col("label").alias("top_label"),
+        F.col("n").alias("top_n"),
+        F.round(F.col("n") / F.col("n_members").cast("double"), 4).alias(
+            "purity"
+        ),
+    )

@@ -133,6 +133,9 @@ SCALE_SLICE = [
     "x_mrl_recall",
     "q_merge_upsert",
     "q_schema_evolution",
+    # purity rides the kmeans training chain: the unrolled-CTE replay
+    # must keep matching once cells hold 25k vectors
+    "x_cluster_purity",
 ]
 
 

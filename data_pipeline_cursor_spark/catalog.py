@@ -738,12 +738,21 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         if f.endswith(".parquet")
     ]
     prev: list[str] = []
+    carried: dict = {}
     if versions:
         with open(_manifest_path(table_dir, versions[-1])) as fh:
-            prev = json.load(fh)["files"]
+            pm = json.load(fh)
+        prev = pm["files"]
+        # merge-on-read deletes survive appends: an append commit must
+        # carry the delete files forward or deleted rows resurrect
+        if pm.get("delete_files"):
+            carried = {
+                "delete_files": pm["delete_files"],
+                "delete_key": pm["delete_key"],
+            }
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": new_v, "files": prev + rel}, fh)
+        json.dump({"version": new_v, "files": prev + rel, **carried}, fh)
     os.replace(tmp, _manifest_path(table_dir, new_v))
     return new_v
 
@@ -772,7 +781,14 @@ def snapshot_read(
     """Read the table AS OF a committed version (``FOR SYSTEM_TIME AS OF``
     / Iceberg ``VERSION AS OF`` semantics); None = latest.  The scan is a
     plain distributed Parquet read over the manifest's exact file list —
-    pushdown/pruning apply as on any Parquet scan."""
+    pushdown/pruning apply as on any Parquet scan.
+
+    If the manifest carries ``delete_files`` (merge-on-read equality
+    deletes, snapshot_delete_keys), the read applies them: the deleted
+    key set — small by contract — is anti-joined against the data scan,
+    which AQE plans as a broadcast anti-join, so MOR reads cost one
+    extra broadcast over the plain scan (Iceberg v2's read path for
+    equality deletes)."""
     import json
 
     versions = snapshot_versions(table_dir)
@@ -782,8 +798,17 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
     with open(_manifest_path(table_dir, v)) as fh:
-        files = json.load(fh)["files"]
-    return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+        manifest = json.load(fh)
+    files = manifest["files"]
+    df = spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+    dfiles = manifest.get("delete_files", [])
+    if dfiles:
+        key = manifest["delete_key"]
+        dels = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in dfiles]
+        ).select(key).distinct()
+        df = df.join(dels, on=key, how="left_anti")
+    return df
 
 
 def snapshot_events_table(spark: SparkSession, sf_dir: str) -> str:
@@ -956,7 +981,11 @@ def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
     if manifest.get("compacted"):
         return last
     files = [os.path.join(table_dir, f) for f in manifest["files"]]
-    df = spark.read.parquet(*files)
+    # read through snapshot_read so merge-on-read deletes are APPLIED and
+    # therefore materialized by the rewrite (Iceberg's rewrite_data_files
+    # converts delete-file tables back to pure data files); the new
+    # manifest carries no delete_files
+    df = snapshot_read(spark, table_dir, last)
     n_bytes = sum(os.path.getsize(p) for p in files)
     target = max(1, -(-n_bytes // (32 * 1024 * 1024)))  # ceil to 32 MB files
     new_v = last + 1
@@ -1036,7 +1065,10 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
     keep: set[str] = set()
     for v in retained:
         with open(_manifest_path(table_dir, v)) as fh:
-            keep.update(json.load(fh)["files"])
+            m = json.load(fh)
+        keep.update(m["files"])
+        # a retained MOR manifest still needs its delete files at read time
+        keep.update(m.get("delete_files", []))
     deleted = 0
     data_root = os.path.join(table_dir, "data")
     for root, _dirs, files in os.walk(data_root):
@@ -1328,4 +1360,120 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("value_cents").alias("n_evolved"),
         F.coalesce(F.sum("value_cents"), z).alias("sum_cents"),
+    )
+
+
+def snapshot_delete_keys(
+    spark: SparkSession, table_dir: str, keys: DataFrame, key: str
+) -> int:
+    """MERGE-ON-READ equality delete (Iceberg v2 delete files / Delta
+    deletion vectors): publish the deleted KEY SET as a delete file next
+    to the UNTOUCHED data files — no rewrite — and let snapshot_read
+    apply it as a broadcast anti-join.  The write-cheap/read-taxed
+    counterpart of snapshot_merge's copy-on-write DELETE clause: MOR is
+    what a high-frequency GDPR/retention delete stream uses (O(deleted
+    keys) per commit instead of O(table)), and compaction later
+    materializes the deletes back into pure data files
+    (snapshot_compact reads through the delete set by construction).
+
+    Delete files accumulate across MOR commits (cumulative, like data
+    manifests) and survive later appends (snapshot_commit carries them
+    forward).  ``key`` must match any previously-published delete key —
+    one equality-delete key per table, the common Iceberg deployment.
+
+    100 TB: publishing is O(keys); every read pays one broadcast
+    anti-join until compaction — the exact trade Iceberg documents, and
+    why MOR tables schedule regular rewrites.  Production scopes delete
+    files per partition so reads only load deletes overlapping their
+    scan; the manifest here is table-scoped (fixture grain)."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    last = versions[-1]
+    with open(_manifest_path(table_dir, last)) as fh:
+        manifest = json.load(fh)
+    prev_key = manifest.get("delete_key")
+    if prev_key is not None and prev_key != key:
+        raise ValueError(
+            f"delete key mismatch: table uses {prev_key!r}, got {key!r}"
+        )
+    new_v = last + 1
+    ddir = os.path.join(table_dir, "data", f"deletes-{new_v}")
+    keys.select(key).write.mode("overwrite").parquet(ddir)
+    rel = [
+        os.path.join("data", f"deletes-{new_v}", f)
+        for f in sorted(os.listdir(ddir))
+        if f.endswith(".parquet")
+    ]
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": new_v,
+                "files": manifest["files"],
+                "delete_files": manifest.get("delete_files", []) + rel,
+                "delete_key": key,
+            },
+            fh,
+        )
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+@register(
+    "q_delete_vectors",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('dv:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE over the snapshot lakehouse — two stacked
+    equality-delete commits (event_id % 11 = 0, then % 13 = 0) against
+    a committed base, NO data file rewritten; the query reads the
+    latest snapshot (broadcast anti-join against the accumulated delete
+    set) and aggregates per-type count + order-insensitive checksum.
+    The DuckDB oracle replays both delete predicates over raw events: a
+    hash match proves the MOR read subtracts exactly the published
+    keys — a resurrected row (dropped delete file) or over-deletion
+    flips count or checksum.  The layering half (v1 still reads deleted
+    rows, data file list byte-identical across delete commits, appends
+    carry deletes forward, compaction materializes them) is pinned by
+    the invariant test.  Runs on its own fixture table; the version
+    guard makes re-runs read, not re-delete."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapmor-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if not versions:
+        snapshot_commit(spark, table_dir, ev)
+        versions = [1]
+    if versions[-1] < 3:
+        for mod in (11, 13)[len(versions) - 1 :]:
+            snapshot_delete_keys(
+                spark,
+                table_dir,
+                ev.filter(F.col("event_id") % mod == 0).select("event_id"),
+                key="event_id",
+            )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "dv")).alias(
+            "checksum"
+        ),
     )

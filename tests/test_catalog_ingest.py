@@ -377,3 +377,77 @@ def test_snapshot_merge_contract(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate source keys"):
         snapshot_merge(spark, tdir, dup, key="k")
+
+
+def test_snapshot_mor_delete_contract(spark, tmp_path):
+    """Merge-on-read contract beyond the oracle's key-subtraction proof:
+    (1) delete commits rewrite NO data file (file list byte-identical);
+    (2) pre-delete versions still read the deleted rows (isolation);
+    (3) delete files stack cumulatively and survive a later append;
+    (4) compaction materializes the deletes (pure data files, no
+    delete_files in the rewrite manifest, same row set);
+    (5) a mismatched delete key fail-stops."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        _manifest_path,
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(i, "t" + str(i % 3)) for i in range(20)], "k bigint, v string"
+    )
+    snapshot_commit(spark, tdir, base)
+
+    def manifest(v):
+        with open(_manifest_path(tdir, v)) as fh:
+            return json.load(fh)
+
+    files_v1 = manifest(1)["files"]
+
+    dels1 = spark.createDataFrame([(0,), (5,)], "k bigint")
+    v2 = snapshot_delete_keys(spark, tdir, dels1, key="k")
+    assert manifest(v2)["files"] == files_v1  # no rewrite
+    assert {r["k"] for r in snapshot_read(spark, tdir, 2).collect()} == (
+        set(range(20)) - {0, 5}
+    )
+    assert {r["k"] for r in snapshot_read(spark, tdir, 1).collect()} == set(
+        range(20)
+    )  # isolation
+
+    dels2 = spark.createDataFrame([(7,)], "k bigint")
+    v3 = snapshot_delete_keys(spark, tdir, dels2, key="k")
+    assert len(manifest(v3)["delete_files"]) > len(manifest(v2)["delete_files"])
+    assert {r["k"] for r in snapshot_read(spark, tdir, 3).collect()} == (
+        set(range(20)) - {0, 5, 7}
+    )
+
+    # key mismatch refuses while an equality-delete key is in force
+    # (after compaction the table is delete-free and a new key is legal)
+    with pytest.raises(ValueError, match="delete key mismatch"):
+        snapshot_delete_keys(
+            spark, tdir, spark.createDataFrame([("x",)], "v string"), key="v"
+        )
+
+    # an append carries the delete set forward
+    extra = spark.createDataFrame([(100, "t0")], "k bigint, v string")
+    v4 = snapshot_commit(spark, tdir, extra)
+    assert manifest(v4)["delete_files"] == manifest(v3)["delete_files"]
+    assert {r["k"] for r in snapshot_read(spark, tdir, v4).collect()} == (
+        set(range(20)) - {0, 5, 7}
+    ) | {100}
+
+    # compaction materializes: same rows, no delete_files, no deletes- path
+    v5 = snapshot_compact(spark, tdir)
+    m5 = manifest(v5)
+    assert "delete_files" not in m5 or not m5["delete_files"]
+    assert all("deletes-" not in f for f in m5["files"])
+    assert {r["k"] for r in snapshot_read(spark, tdir, v5).collect()} == (
+        set(range(20)) - {0, 5, 7}
+    ) | {100}

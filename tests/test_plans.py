@@ -822,3 +822,14 @@ def test_mrl_recall_single_corpus_scan_for_all_dims(spark):
     # truth leg + sweep leg + query-draw legs; the sweep itself adds ONE
     assert plan.count("Scan parquet") <= 4, plan
     assert plan.count("MapInPandas") == 2, plan  # sweep + truth scorer
+
+
+def test_mor_read_applies_deletes_as_broadcast_anti(spark):
+    """q_delete_vectors: the merge-on-read path must apply the delete
+    set as a BROADCAST anti-join over the data scan — a shuffled anti
+    (or a missing anti) is the 100 TB regression this pins out."""
+    df = get_queries()["q_delete_vectors"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE so the chosen strategy is real
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

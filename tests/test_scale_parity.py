@@ -136,6 +136,9 @@ SCALE_SLICE = [
     # purity rides the kmeans training chain: the unrolled-CTE replay
     # must keep matching once cells hold 25k vectors
     "x_cluster_purity",
+    # merge-on-read: the stacked delete files must subtract exactly at
+    # 10M keys and the anti-join must stay broadcast
+    "q_delete_vectors",
 ]
 
 

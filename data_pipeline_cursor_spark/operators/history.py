@@ -891,3 +891,121 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal point query — the SQL:2011 two-axis read every regulated
+# warehouse eventually needs: "what did the system BELIEVE at commit
+# version V about the state VALID at business time T?"  Transaction time
+# comes from the manifest-versioned snapshot layer (catalog.snapshot_*),
+# valid time from SCD2 intervals derived inside that snapshot.
+# ---------------------------------------------------------------------------
+
+BITEMP_VALID_TS = "2024-01-16 00:00:00"  # mid-corpus business-time cutoff
+
+
+@register(
+    "q_bitemporal",
+    oracle=f"""
+    WITH snap AS (
+      SELECT event_id, user_id, ts, event_type, value
+      FROM events WHERE event_id % 3 < 2
+    ),
+    iv AS (
+      SELECT user_id, event_type, value, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS valid_to
+      FROM snap WHERE event_type IN ('click', 'view')
+    ),
+    pitrow AS (
+      SELECT * FROM iv
+      WHERE valid_from <= TIMESTAMP '{BITEMP_VALID_TS}'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '{BITEMP_VALID_TS}')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           bit_xor(('0x' || substr(md5('bt:' || user_id || ':' || event_id),
+                                   1, 15))::BIGINT) AS checksum
+    FROM pitrow GROUP BY event_type
+    """,
+)
+def bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL POINT QUERY (SQL:2011 ``FOR SYSTEM_TIME AS OF ...  FOR
+    BUSINESS_TIME AS OF ...``): transaction-time travel to snapshot
+    VERSION 2 of a 3-commit manifest-versioned table (the belief as of
+    that commit — commit 3's rows must not leak in), then within that
+    snapshot the SCD2 valid-interval state at business time
+    {BITEMP_VALID_TS} — per (user, type), the interval row whose
+    [valid_from, valid_to) contains the cutoff.  Aggregated per type:
+    live entities, their cents, an order-insensitive identity checksum.
+
+    The DuckDB oracle replays BOTH axes algebraically — the transaction
+    axis as the commit residue (event_id % 3 < 2, the q_time_travel
+    contract), the valid axis as the same lead-window interval build —
+    so one hash match proves snapshot isolation AND interval-state
+    correctness jointly; an anachronistic row on either axis flips the
+    checksum.
+
+    Plan/scale: the versioned read is a plain parquet scan of a pinned
+    file list (pushdown intact); the valid axis costs ONE shuffle on
+    (user, type) + a lead window — q_scd2_intervals' profile; the AS OF
+    filter then cuts to |live entities| before the final tiny
+    aggregate.  At 100 TB this is exactly how a lakehouse answers
+    audit-date questions: Iceberg VERSION AS OF for the system axis,
+    an SCD2 derivation for the business axis — neither axis needs the
+    other's machinery."""
+    from data_pipeline_cursor_spark.catalog import (
+        SNAPSHOT_COMMITS,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapbitemp-{fp}")
+    if len(snapshot_versions(table_dir)) < SNAPSHOT_COMMITS:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        for k in range(len(snapshot_versions(table_dir)) + 1,
+                       SNAPSHOT_COMMITS + 1):
+            snapshot_commit(
+                spark, table_dir, ev.filter(F.col("event_id") % 3 == k - 1)
+            )
+    snap = snapshot_read(spark, table_dir, version=2)
+    cut = F.lit(BITEMP_VALID_TS).cast("timestamp")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    iv = snap.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    asof = iv.filter(
+        (F.col("valid_from") <= cut)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cut))
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    ident = F.concat(
+        F.lit("bt:"),
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("event_id").cast("string"),
+    )
+    return asof.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(cents).alias("sum_cents"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5(ident), 1, 15), 16, 10).cast("long")
+        ).alias("checksum"),
+    )

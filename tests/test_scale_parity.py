@@ -139,6 +139,9 @@ SCALE_SLICE = [
     # merge-on-read: the stacked delete files must subtract exactly at
     # 10M keys and the anti-join must stay broadcast
     "q_delete_vectors",
+    # both time axes must hold jointly at 10M rows: commit-residue
+    # isolation AND the per-(user,type) interval chain under deep keys
+    "q_bitemporal",
 ]
 
 

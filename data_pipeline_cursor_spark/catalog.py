@@ -1477,3 +1477,99 @@ def delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+@register(
+    "q_change_feed",
+    oracle=f"""
+    WITH pre AS (SELECT event_id, event_type FROM events),
+    post AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 1 THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events WHERE event_id % 5 <> 0
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, 'ins'
+      FROM events WHERE event_id % 7 = 3
+    ),
+    feed AS (
+      SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+             CASE WHEN a.event_id IS NULL THEN 'insert'
+                  WHEN b.event_id IS NULL THEN 'delete'
+                  ELSE 'update_postimage' END AS change_type
+      FROM pre a FULL OUTER JOIN post b
+        ON a.event_id = b.event_id
+      WHERE a.event_id IS NULL OR b.event_id IS NULL
+         OR a.event_type <> b.event_type
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('cf:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM feed GROUP BY change_type
+    """,
+)
+def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots (Delta CDF /
+    Iceberg changelog scan for non-append commits): q_merge_upsert's
+    fixture table holds version 1 (pre-merge) and version 2 (the COW
+    merge), and this query DERIVES the row-level change feed a
+    downstream CDC consumer would subscribe to — insert / delete /
+    update_postimage per key — as one full-outer join of the two
+    versioned reads keyed on event_id, keeping only rows whose payload
+    actually changed.  This is the set-based CDF derivation every
+    engine without stored change files falls back to (and what Delta
+    computes eagerly into _change_data); the append-only fast path is
+    q_snapshot_changes' file-list diff — no join at all — which is why
+    both entry points exist.
+
+    The DuckDB oracle replays the merge's clause predicates
+    algebraically and re-derives the same feed, so a hash match proves
+    the diff recovers EXACTLY the applied changes: counts and an
+    order-insensitive checksum per change type (the update count must
+    equal the %5=1 population, deletes %5=0, inserts %7=3 — nothing
+    more, nothing less).
+
+    100 TB: one equi-join of two snapshot scans; both sides prune to
+    (key, compared columns), bucketed layouts co-locate it, and the
+    post-filter cuts to |changed rows| before the tiny aggregate.  The
+    changed-row filter (a.payload <> b.payload) is the whole cost model
+    argument for storing change files eagerly when merges touch a
+    sliver of the table — the honest trade named on both sides."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    merge_upsert(spark, sf_dir)  # ensure the 2-version merge fixture exists
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapmerge-{fp}")
+    pre = snapshot_read(spark, table_dir, version=1).select(
+        F.col("event_id").alias("a_id"), F.col("event_type").alias("a_type")
+    )
+    post = snapshot_read(spark, table_dir, version=2).select(
+        F.col("event_id").alias("b_id"), F.col("event_type").alias("b_type")
+    )
+    feed = (
+        pre.join(post, pre.a_id == post.b_id, "full_outer")
+        .filter(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("a_type") != F.col("b_type"))
+        )
+        .select(
+            F.coalesce("a_id", "b_id").alias("event_id"),
+            F.when(F.col("a_id").isNull(), "insert")
+            .when(F.col("b_id").isNull(), "delete")
+            .otherwise("update_postimage")
+            .alias("change_type"),
+        )
+    )
+    return feed.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "cf")).alias(
+            "checksum"
+        ),
+    )

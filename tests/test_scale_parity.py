@@ -142,6 +142,9 @@ SCALE_SLICE = [
     # both time axes must hold jointly at 10M rows: commit-residue
     # isolation AND the per-(user,type) interval chain under deep keys
     "q_bitemporal",
+    # the set-based CDF diff must recover exactly the merge's clauses
+    # when the two versioned scans carry 10M keys each
+    "q_change_feed",
 ]
 
 

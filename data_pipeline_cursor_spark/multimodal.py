@@ -432,3 +432,235 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.cast("bigint").alias("signature"),
         F.bit_count(sig.cast("bigint")).alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-space near-dup JOIN over perceptual signatures — the operator
+# x_media_phash's docstring promises downstream ("signature-bucket
+# equi-joins + bit_count(a XOR b) Hamming verification, never
+# payload × payload"), now registered.
+# ---------------------------------------------------------------------------
+
+_NDP_BITS = 48  # widened signature: 48 sampled bytes -> 48-bit code
+_NDP_BANDS = 2  # pigeonhole: radius r needs r+1 exact-match bands
+_NDP_BAND_BITS = _NDP_BITS // _NDP_BANDS  # 24 bits -> 16.7M values/band
+_NDP_RADIUS = _NDP_BANDS - 1  # Hamming <= 1
+
+
+def _duck_ndp_sig() -> str:
+    """48-bit signature CTE body: byte k (of 48 evenly-spaced samples)
+    sets bit k when it exceeds the integer sample mean — the 16-bit
+    x_media_phash construction at join width."""
+    byte = (
+        "('0x' || substr(h, 2 * CAST(floor({k} * n / 48.0) AS BIGINT) + 1,"
+        " 2))::BIGINT"
+    )
+    bs = [byte.format(k=k) for k in range(_NDP_BITS)]
+    total = " + ".join(f"b{k}" for k in range(_NDP_BITS))
+    cases = " + ".join(
+        f"(CASE WHEN b{k} * {_NDP_BITS} > ({total}) THEN {1 << k} "
+        f"ELSE 0 END)"
+        for k in range(_NDP_BITS)
+    )
+    cols = ",\n             ".join(f"{b} AS b{k}" for k, b in enumerate(bs))
+    return f"""
+      SELECT media_id, CAST({cases} AS BIGINT) AS s FROM (
+        SELECT media_id, n,
+             {cols}
+        FROM (
+          SELECT doc_id AS media_id,
+                 hex(encode(text))   AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        )
+      )
+    """
+
+
+@register(
+    "x_phash_near_dup",
+    oracle=f"""
+    WITH sig AS ({_duck_ndp_sig()}),
+    bands AS (
+      SELECT media_id,
+             CAST(b.b AS INT) AS band,
+             (s >> (CAST(b.b AS INT) * {_NDP_BAND_BITS}))
+               & {(1 << _NDP_BAND_BITS) - 1} AS bv
+      FROM sig, range(0, {_NDP_BANDS}) AS b(b)
+    ),
+    cand AS (
+      SELECT a.band, a.media_id AS ida, b.media_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+    ),
+    allc AS (SELECT DISTINCT ida, idb FROM cand),
+    ver AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM allc c
+      JOIN sig x ON x.media_id = c.ida
+      JOIN sig y ON y.media_id = c.idb
+      WHERE bit_count(xor(x.s, y.s)) <= {_NDP_RADIUS}
+    ),
+    bstat AS (
+      SELECT band, CAST(COUNT(DISTINCT bv) AS BIGINT) AS n_buckets,
+             CAST(MAX(cnt) AS BIGINT) AS max_bucket
+      FROM (SELECT band, bv, COUNT(*) AS cnt FROM bands GROUP BY 1, 2)
+      GROUP BY band
+    ),
+    bcand AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY band
+    )
+    SELECT bstat.band, n_buckets, max_bucket,
+           COALESCE(bcand.n_candidates, 0) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM allc) AS n_candidates_all,
+           (SELECT n FROM ver) AS n_verified
+    FROM bstat LEFT JOIN bcand ON bcand.band = bstat.band
+    """,
+)
+def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMMING-BALL NEAR-DUP JOIN over perceptual signatures — the
+    image-dedup-at-scale pattern (pigeonhole blocking): a 48-bit
+    payload signature split into {_NDP_BANDS} bands of {_NDP_BAND_BITS}
+    bits; any pair within Hamming distance {_NDP_RADIUS} must agree
+    EXACTLY on at least one band (pigeonhole over r+1 bands), so
+    candidates come from per-band equi-joins and only candidates pay
+    the bit_count(a XOR b) verification — never payload × payload.
+    Output is the blocking-efficiency report per band (bucket counts,
+    max bucket, candidate pairs) plus the distinct candidate union and
+    the verified near-dup count — the table that says whether the
+    operating point holds before anyone runs the full dedup.
+
+    OPERATING POINT (the derived-width discipline of x_sim_lsh):
+    {_NDP_BAND_BITS}-bit bands give 2^{_NDP_BAND_BITS} values per band,
+    so expected candidates stay ~n²/2^{_NDP_BAND_BITS} per band —
+    negligible up to ~16M media rows; beyond that, widen the signature
+    (64 samples → 32-bit bands) rather than letting buckets deepen:
+    band width is a function of corpus count, never a constant to tune
+    by hand.  Radius {_NDP_RADIUS} with {_NDP_BANDS} bands is the
+    tight-dup point (exact payload dups + 1-bit wobble); a radius-3
+    deployment uses 4 bands of 16 from a 64-bit signature — same plan,
+    different constants.
+
+    Plan: signature is a pure projection (zero shuffle, payload bytes
+    never leave the scan); bands explode ×{_NDP_BANDS}; the candidate
+    join shuffles on (band, band_value) — bounded buckets by the width
+    rule; verification joins the two signature columns back at
+    candidate grain."""
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+    d = media.select(
+        "media_id",
+        F.hex("payload").alias("h"),
+        F.length("payload").alias("n"),
+    )
+    # ARRAY formulation, not 48 scalar columns: the scalar spelling
+    # re-inlines the 48-term mean into every bit's CASE (48x48 codegen
+    # subexpressions -> OOMs a 1g driver compiling the stage); the
+    # transform/aggregate/zip_with tree stays linear in _NDP_BITS.
+    ks = F.sequence(F.lit(0), F.lit(_NDP_BITS - 1))
+    arr = F.transform(
+        ks,
+        lambda k: F.conv(
+            F.col("h").substr(
+                (
+                    2 * F.floor(k * F.col("n") / float(_NDP_BITS))
+                    .cast("bigint")
+                    + 1
+                ).cast("int"),
+                F.lit(2),
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    d2 = d.select("media_id", arr.alias("bs"))
+    total = F.aggregate(
+        F.col("bs"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    d3 = d2.select("media_id", "bs", total.alias("total"))
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("bs"),
+            ks,
+            lambda b, k: F.when(
+                b * _NDP_BITS > F.col("total"),
+                F.pow(F.lit(2.0), k).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sigs = d3.select("media_id", sig.alias("s"))
+
+    mask = (1 << _NDP_BAND_BITS) - 1
+    bands = sigs.select(
+        "media_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("s"), b * _NDP_BAND_BITS)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("bv"),
+                    )
+                    for b in range(_NDP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "s", "bb.band", "bb.bv")
+
+    a = bands.select(
+        F.col("band").alias("c_band"),
+        F.col("bv").alias("c_bv"),
+        F.col("media_id").alias("ida"),
+    )
+    b = bands.select(
+        F.col("band").alias("c_band"),
+        F.col("bv").alias("c_bv"),
+        F.col("media_id").alias("idb"),
+    )
+    cand = a.join(b, ["c_band", "c_bv"]).filter(F.col("ida") < F.col("idb"))
+    allc = cand.select("ida", "idb").distinct()
+
+    sx = sigs.select(F.col("media_id").alias("ida"), F.col("s").alias("sa"))
+    sy = sigs.select(F.col("media_id").alias("idb"), F.col("s").alias("sb"))
+    # 1-row global frames broadcast onto the 2-row per-band report —
+    # keeps the whole query one lazy plan (no driver-side counts)
+    ver1 = (
+        allc.join(sx, "ida")
+        .join(sy, "idb")
+        .filter(
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= _NDP_RADIUS
+        )
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    all1 = allc.agg(F.count(F.lit(1)).alias("n_candidates_all"))
+
+    bstat = (
+        bands.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("band")
+        .agg(
+            F.countDistinct("bv").alias("n_buckets"),
+            F.max("cnt").alias("max_bucket"),
+        )
+    )
+    bcand = cand.groupBy(F.col("c_band").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        bstat.join(bcand, "band", "left")
+        .crossJoin(F.broadcast(all1))
+        .crossJoin(F.broadcast(ver1))
+        .select(
+            "band",
+            "n_buckets",
+            F.col("max_bucket").cast("bigint").alias("max_bucket"),
+            F.coalesce("n_candidates", z).alias("n_candidates"),
+            "n_candidates_all",
+            "n_verified",
+        )
+    )

@@ -589,7 +589,11 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    sigs = d3.select("media_id", sig.alias("s"))
+    # the signature projection feeds bands (x2 join sides + bucket
+    # stats) AND both verification sides — ~9 lazy re-executions of the
+    # 48-sample build without a cut; the (media_id, s) frame is tiny, so
+    # materialize it once (the x_knn_graph localCheckpoint rule)
+    sigs = d3.select("media_id", sig.alias("s")).localCheckpoint(eager=True)
 
     mask = (1 << _NDP_BAND_BITS) - 1
     bands = sigs.select(

@@ -705,6 +705,7 @@ PAIR_SHARING_CONSUMERS = frozenset(
         "x_dedup_minhash_verified",
         "x_dedup_threshold_sweep",
         "x_graph_bfs",
+        "x_graph_modularity",
         "x_pagerank",
         "x_pair_table",
         "x_triangles",
@@ -2619,4 +2620,111 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_n_chars"
         ),
         F.md5(F.coalesce("ctext", F.lit(""))).alias("cleaned_md5"),
+    )
+
+
+@register(
+    "x_graph_modularity",
+    oracle=f"""
+    WITH {_DUCK_WIDE_VERIFIED_PAIRS},
+    e AS (
+      SELECT da.source AS sa, db.source AS sb
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    deg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS d_sum FROM (
+        SELECT sa AS source FROM e UNION ALL SELECT sb AS source FROM e
+      ) GROUP BY source
+    ),
+    win AS (
+      SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS n_within
+      FROM e WHERE sa = sb GROUP BY sa
+    )
+    SELECT d.source, d.d_sum,
+           COALESCE(w.n_within, 0) AS n_within,
+           ROUND(COALESCE(w.n_within, 0) / CAST(mm.m AS DOUBLE)
+                 - (d.d_sum / (2.0 * mm.m)) * (d.d_sum / (2.0 * mm.m)),
+                 4) AS q_contrib,
+           ROUND(SUM(COALESCE(w.n_within, 0) / CAST(mm.m AS DOUBLE)
+                     - (d.d_sum / (2.0 * mm.m))
+                       * (d.d_sum / (2.0 * mm.m))) OVER (), 4) AS q_total
+    FROM deg d LEFT JOIN win w ON w.source = d.source, mm
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-PARTITION MODULARITY of the near-dup graph (Newman-Girvan
+    Q over the partition the corpus already carries): Q = Σ_s (e_s/m −
+    (d_s/2m)²) where e_s counts within-source near-dup edges and d_s the
+    source's endpoint degree sum — the graph-level answer to "does
+    duplication stay inside a source or bleed across crawls?".  Q near
+    its maximum says near-dups are a per-source phenomenon (dedup can
+    shard by source); Q ≈ 0 says cross-source duplication dominates and
+    a global pass is mandatory — the decision x_cross_source_dup's
+    corpus-level resemblance table feeds, scored here on the ACTUAL
+    verified-pair graph.  Per-source contributions are emitted alongside
+    the global Q so the offending source is named, not inferred.
+
+    Plan/scale: edges come from the shared wide-band verified-pair
+    checkpoint (candidate grain, ~linear in corpus — the round-7 family);
+    everything after is TWO candidate-grain joins to fetch endpoint
+    sources and three aggregates at |sources| grain.  The global window
+    sum runs over ≤ |sources| rows.  All counts integer; the two
+    divisions are the only floats, identical expression order in both
+    engines, ROUND 4."""
+    pairs = _verified_pairs_checkpointed(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+    )
+    m1 = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("sa").alias("source"))
+        .unionAll(e.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("d_sum"))
+    )
+    win = (
+        e.filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+    z = F.lit(0).cast("bigint")
+    j = (
+        deg.join(win, "source", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "source",
+            "d_sum",
+            F.coalesce("n_within", z).alias("n_within"),
+            (
+                F.coalesce("n_within", z) / F.col("m").cast("double")
+                - (F.col("d_sum") / (2.0 * F.col("m")))
+                * (F.col("d_sum") / (2.0 * F.col("m")))
+            ).alias("contrib"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    wall = _W.partitionBy()
+    return j.select(
+        "source",
+        "d_sum",
+        "n_within",
+        F.round("contrib", 4).alias("q_contrib"),
+        F.round(F.sum("contrib").over(wall), 4).alias("q_total"),
     )

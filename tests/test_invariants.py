@@ -1975,3 +1975,32 @@ def test_embed_outliers_tournament_is_exact(spark):
         for r in expect.itertuples()
     }
     assert got == want
+
+
+def test_mrl_recall_full_width_anchor(spark):
+    """x_mrl_recall's d=64 row is a harness self-check by construction:
+    truncation at full width is the identity, so recall MUST be exactly
+    1.0 — asserted directly (the oracle hash only proves both engines
+    agree; this pins that they agree on the RIGHT value).  Prefix rows
+    must also be well-formed fractions of the truth-set size."""
+    pdf = get_queries()["x_mrl_recall"](spark, SF_SMOKE).toPandas()
+    by_dim = {int(r.trunc_dim): r for r in pdf.itertuples()}
+    assert set(by_dim) == {8, 16, 32, 64}
+    assert by_dim[64].recall == 1.0
+    full_hits = by_dim[64].n_hits  # |queries| * 5
+    for d, row in by_dim.items():
+        assert 0 <= row.n_hits <= full_hits
+        # Spark rounds half-up, Python round() half-even — compare to
+        # the unrounded fraction within the 4-decimal quantization step
+        assert abs(row.recall - row.n_hits / full_hits) <= 5e-5 + 1e-9
+
+
+def test_zipf_slopes_negative(spark):
+    """x_zipf_fit: every language's fitted slope must be strictly
+    negative (frequency falls with rank by construction of the rank
+    order) and R² must be a valid coefficient in [0, 1]."""
+    pdf = get_queries()["x_zipf_fit"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["zipf_slope"] < 0).all()
+    assert ((pdf["r2"] >= 0) & (pdf["r2"] <= 1)).all()
+    assert (pdf["n_vocab"] > 0).all()

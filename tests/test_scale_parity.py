@@ -145,6 +145,12 @@ SCALE_SLICE = [
     # the set-based CDF diff must recover exactly the merge's clauses
     # when the two versioned scans carry 10M keys each
     "q_change_feed",
+    # pigeonhole blocking: 24-bit band space must keep candidates ~linear
+    # at 500k media rows (the derived-width rule's Hamming sibling)
+    "x_phash_near_dup",
+    # modularity rides the shared verified-pair chain; the |sources|
+    # window sum must agree as the edge set grows
+    "x_graph_modularity",
 ]
 
 

@@ -1009,3 +1009,128 @@ def bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(ident), 1, 15), 16, 10).cast("long")
         ).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment (A/B) analysis — the product-analytics verb downstream of
+# attribution: deterministic hash assignment, per-variant conversion,
+# and the two-proportion z statistic an experimentation platform serves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2
+                  AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n_converted) AS DOUBLE) / SUM(n_users) AS p,
+             SUM(1.0 / n_users) AS inv_n
+      FROM v
+    ),
+    diff AS (
+      SELECT MAX(CASE WHEN variant = 1 THEN n_converted * 1.0 / n_users END)
+             - MAX(CASE WHEN variant = 0 THEN n_converted * 1.0 / n_users END)
+               AS d
+      FROM v
+    )
+    SELECT v.variant, v.n_users, v.n_converted,
+           ROUND(v.n_converted * 1.0 / v.n_users, 4) AS conv_rate,
+           ROUND(diff.d / sqrt(pooled.p * (1 - pooled.p) * pooled.inv_n), 4)
+             AS z_stat
+    FROM v, pooled, diff
+    """,
+)
+def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT: users deterministically hash-assigned to
+    two variants (md5 bucketing — the assignment rule every
+    experimentation platform uses so a user re-lands in their variant
+    without a lookup table), conversion = any 'purchase' event; emits
+    per-variant user counts, conversions, conversion rate, and the
+    POOLED TWO-PROPORTION Z STATISTIC — z = (p1 − p0) /
+    sqrt(p̂(1−p̂)(1/n0+1/n1)) — the test an experiment dashboard renders
+    next to the lift.  (The fixture's assignment is post-hoc, so z
+    hovers near 0 — the A/A-test shape, itself the standard harness
+    sanity check: a large |z| here would flag broken bucketing.)
+
+    Plan/scale: one user-grain aggregate (MAX over a CASE — conversion
+    flags fold map-side), one 2-row variant aggregate, and the
+    z arithmetic on a broadcast 1-row frame; no joins at event grain.
+    At 100 TB this is scan → two-level aggregate, the cheapest shape in
+    the book — which is exactly why hash-bucketed experiments scale to
+    billions of users.  All counts integer; the rate and z divisions
+    are the only floats, identical expression order in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (phash(F.col("user_id").cast("string"), "ab") % 2)
+        .cast("int")
+        .alias("variant"),
+        "converted",
+    )
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    pooled = v.agg(
+        (
+            F.sum("n_converted").cast("double") / F.sum("n_users")
+        ).alias("p"),
+        F.sum(1.0 / F.col("n_users")).alias("inv_n"),
+    )
+    diff = v.agg(
+        (
+            F.max(
+                F.when(
+                    F.col("variant") == 1,
+                    F.col("n_converted") * 1.0 / F.col("n_users"),
+                )
+            )
+            - F.max(
+                F.when(
+                    F.col("variant") == 0,
+                    F.col("n_converted") * 1.0 / F.col("n_users"),
+                )
+            )
+        ).alias("d")
+    )
+    return (
+        v.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted") * 1.0 / F.col("n_users"), 4).alias(
+                "conv_rate"
+            ),
+            F.round(
+                F.col("d")
+                / F.sqrt(
+                    F.col("p") * (1 - F.col("p")) * F.col("inv_n")
+                ),
+                4,
+            ).alias("z_stat"),
+        )
+    )

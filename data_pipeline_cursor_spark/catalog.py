@@ -1573,3 +1573,128 @@ def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+# (name, DuckDB expr) — the fixture's trimmed lineitem has no
+# shipmode/shipinstruct; the key cast to VARCHAR supplies the high-NDV
+# "looks categorical but is not" contrast the advisor exists to catch
+ENC_ADVISOR_COLS = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_shipdate", "CAST(l_shipdate AS VARCHAR)"),
+)
+
+_ENC_STACK_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT '{name}' AS col, {expr} AS v FROM lineitem"
+    for name, expr in ENC_ADVISOR_COLS
+)
+
+
+@register(
+    "q_encoding_advisor",
+    oracle=f"""
+    WITH stacked AS (
+{_ENC_STACK_SQL}
+    ),
+    plain AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(strlen(v)) AS BIGINT) AS plain_bytes
+      FROM stacked GROUP BY col
+    ),
+    dict AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(strlen(v)) AS BIGINT) AS dict_value_bytes
+      FROM (SELECT DISTINCT col, v FROM stacked) GROUP BY col
+    )
+    SELECT p.col, p.n_rows, d.n_distinct,
+           CAST(greatest(1, CAST(ceil(log2(d.n_distinct)) AS BIGINT))
+                AS BIGINT) AS dict_bits,
+           p.plain_bytes,
+           CAST(d.dict_value_bytes
+                + ceil(p.n_rows
+                       * greatest(1, CAST(ceil(log2(d.n_distinct))
+                                          AS BIGINT)) / 8.0)
+                AS BIGINT) AS dict_bytes,
+           ROUND(p.plain_bytes
+                 / CAST(d.dict_value_bytes
+                        + ceil(p.n_rows
+                               * greatest(1, CAST(ceil(log2(d.n_distinct))
+                                                  AS BIGINT)) / 8.0)
+                        AS DOUBLE), 4) AS compression,
+           CASE WHEN d.dict_value_bytes
+                     + ceil(p.n_rows
+                            * greatest(1, CAST(ceil(log2(d.n_distinct))
+                                               AS BIGINT)) / 8.0)
+                     < p.plain_bytes
+                THEN 'dictionary' ELSE 'plain' END AS verdict
+    FROM plain p JOIN dict d ON d.col = p.col
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-LAYOUT ADVISOR (the estimate behind parquet's
+    dictionary-encoding decision and every OPTIMIZE/layout-advisor
+    tool): per candidate column, the exact cardinality, the plain
+    encoded byte count, and the modeled dictionary cost — distinct
+    value bytes + n_rows·ceil(log2(NDV)) index bits — with the
+    dictionary-vs-plain verdict and the compression ratio.  This is
+    the audit a table owner runs before flipping write options on a
+    100 TB table: a high-NDV column that LOOKS categorical (shipinstruct
+    vs shipmode) is exactly what the numbers separate.
+
+    Plan/scale: the column stack is a generate over one scan (k columns
+    = ONE corpus read, the q_quality_funnel discipline), then two
+    aggregates — full-grain for plain bytes, distinct-grain for the
+    dictionary side — both map-side combined, meeting at |columns|
+    rows.  At 100 TB the same advisor runs per PARTITION (layout
+    decisions are partition-local in practice); the plan is unchanged.
+    All byte counts integer; ceil(log2(n)) is exact at powers of two in
+    both engines and the single ROUND guards the one ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col"),
+                        F.col(name).cast("string").alias("v"),
+                    )
+                    for name, _ in ENC_ADVISOR_COLS
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.v")
+    plain = stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.octet_length("v")).alias("plain_bytes"),
+    )
+    dic = (
+        stacked.distinct()
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.octet_length("v")).alias("dict_value_bytes"),
+        )
+    )
+    bits = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.log2(F.col("n_distinct"))).cast("bigint"),
+    )
+    dict_bytes = (
+        F.col("dict_value_bytes")
+        + F.ceil(F.col("n_rows") * bits / 8.0)
+    ).cast("bigint")
+    return plain.join(dic, "col").select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        bits.alias("dict_bits"),
+        "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        F.round(
+            F.col("plain_bytes") / dict_bytes.cast("double"), 4
+        ).alias("compression"),
+        F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
+        .otherwise("plain")
+        .alias("verdict"),
+    )

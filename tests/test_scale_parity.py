@@ -151,6 +151,10 @@ SCALE_SLICE = [
     # modularity rides the shared verified-pair chain; the |sources|
     # window sum must agree as the edge set grows
     "x_graph_modularity",
+    # the z statistic's pooled variance must agree at 150k users; the
+    # advisor's distinct-grain aggregate at 60M stacked values
+    "q_ab_test",
+    "q_encoding_advisor",
 ]
 
 

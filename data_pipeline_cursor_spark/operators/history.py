@@ -1089,17 +1089,22 @@ def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant"),
         "converted",
     )
-    v = assign.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").cast("bigint").alias("n_converted"),
+    # the 2-row variant frame feeds the output AND the z-statistic
+    # aggregates — without a cut each branch re-runs the corpus scan
+    # (3 FileScans observed); checkpointing 2 rows keeps it at one
+    v = (
+        assign.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pooled = v.agg(
+    stats = v.agg(
         (
             F.sum("n_converted").cast("double") / F.sum("n_users")
         ).alias("p"),
         F.sum(1.0 / F.col("n_users")).alias("inv_n"),
-    )
-    diff = v.agg(
         (
             F.max(
                 F.when(
@@ -1113,11 +1118,10 @@ def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_converted") * 1.0 / F.col("n_users"),
                 )
             )
-        ).alias("d")
+        ).alias("d"),
     )
     return (
-        v.crossJoin(F.broadcast(pooled))
-        .crossJoin(F.broadcast(diff))
+        v.crossJoin(F.broadcast(stats))
         .select(
             "variant",
             "n_users",

@@ -833,3 +833,25 @@ def test_mor_read_applies_deletes_as_broadcast_anti(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ab_test_no_event_grain_join(spark):
+    """q_ab_test: scan → two-level aggregate; the corpus scan is paid
+    ONCE (inside the eager 2-row variant checkpoint — the returned plan
+    reads the checkpointed rows, so at most one residual scan may
+    appear), and joins exist only at variant grain (broadcast of the
+    1-row stats frame) — an event-grain shuffle join would break the
+    billions-of-users shape."""
+    df = get_queries()["q_ab_test"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_encoding_advisor_single_scan(spark):
+    """q_encoding_advisor: the k-column stack must ride ONE lineitem
+    scan (Generate over the struct array), not one scan per column."""
+    df = get_queries()["q_encoding_advisor"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 2, plan  # plain + distinct legs
+    assert "Generate" in plan, plan

@@ -725,7 +725,14 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Append ``df`` as the next commit of a manifest-versioned table and
     return the new version.  Data files land under data/commit-<N>/;
     the cumulative manifest publishes last (write-temp + os.replace =
-    atomic on POSIX)."""
+    atomic on POSIX).
+
+    Every data file is stamped with its commit version in the manifest's
+    ``file_seqs`` map — the Iceberg *data sequence number*.  Merge-on-read
+    delete files only apply to data files with a STRICTLY OLDER sequence
+    (snapshot_read), so a key deleted at version D and re-appended at
+    version A > D is visible again — Iceberg v2's actual equality-delete
+    scoping, not a table-lifetime tombstone."""
     import json
 
     versions = snapshot_versions(table_dir)
@@ -738,21 +745,32 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         if f.endswith(".parquet")
     ]
     prev: list[str] = []
+    seqs: dict = {}
     carried: dict = {}
     if versions:
         with open(_manifest_path(table_dir, versions[-1])) as fh:
             pm = json.load(fh)
         prev = pm["files"]
+        seqs = dict(pm.get("file_seqs", {}))
         # merge-on-read deletes survive appends: an append commit must
-        # carry the delete files forward or deleted rows resurrect
+        # carry the delete files forward or deleted rows resurrect —
+        # but they keep their OWN sequence numbers, so they do not
+        # apply to this commit's (newer) data files
         if pm.get("delete_files"):
             carried = {
                 "delete_files": pm["delete_files"],
+                "delete_seqs": pm.get("delete_seqs", {}),
+                "delete_parts": pm.get("delete_parts", {}),
                 "delete_key": pm["delete_key"],
             }
+    seqs.update({f: new_v for f in rel})
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": new_v, "files": prev + rel, **carried}, fh)
+        json.dump(
+            {"version": new_v, "files": prev + rel, "file_seqs": seqs,
+             **carried},
+            fh,
+        )
     os.replace(tmp, _manifest_path(table_dir, new_v))
     return new_v
 
@@ -775,8 +793,83 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _applicable_delete_files(
+    manifest: dict, partition: tuple | None = None
+) -> list[tuple[str, int | None]]:
+    """Delete files in force for a scan, as (relpath, sequence) pairs.
+
+    ``partition=(col, value)`` keeps only delete files published for that
+    partition (plus unscoped table-wide ones) — Iceberg's partition-scoped
+    delete manifests: a partition-pruned read never loads another
+    partition's deletes.  A missing sequence (legacy manifest) means the
+    delete applies to every data file."""
+    dseqs = manifest.get("delete_seqs", {})
+    dparts = manifest.get("delete_parts", {})
+    out = []
+    for f in manifest.get("delete_files", []):
+        if partition is not None and f in dparts:
+            col, val = partition
+            if dparts[f] != f"{col}={val}":
+                continue
+        out.append((f, dseqs.get(f)))
+    return out
+
+
+def _read_files_with_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    manifest: dict,
+    partition: tuple | None = None,
+) -> DataFrame:
+    """Scan ``files`` applying the manifest's merge-on-read equality
+    deletes with Iceberg v2 sequence-number scoping: a delete file
+    published at sequence D removes keys ONLY from data files with
+    sequence < D, so re-appending a previously deleted key makes it
+    visible again.  Data files are grouped by their applicable delete
+    set (#groups <= #commits, driver-side metadata); each group
+    anti-joins its delete keys — small by contract, AQE plans a
+    broadcast anti-join — and the groups union back."""
+    from functools import reduce
+
+    dels = _applicable_delete_files(manifest, partition)
+    fseqs = manifest.get("file_seqs", {})
+
+    def full(paths):
+        return spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in paths]
+        )
+
+    if not dels:
+        df = full(files)
+    else:
+        key = manifest["delete_key"]
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            sf_ = fseqs.get(f, 0)
+            applicable = tuple(
+                sorted(d for d, sd in dels if sd is None or sd > sf_)
+            )
+            groups.setdefault(applicable, []).append(f)
+        parts = []
+        for applicable, flist in groups.items():
+            g = full(flist)
+            if applicable:
+                kd = full(list(applicable)).select(key).distinct()
+                g = g.join(kd, on=key, how="left_anti")
+            parts.append(g)
+        df = reduce(DataFrame.unionByName, parts)
+    if partition is not None:
+        col, val = partition
+        df = df.filter(F.col(col) == F.lit(val))
+    return df
+
+
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition: tuple | None = None,
 ) -> DataFrame:
     """Read the table AS OF a committed version (``FOR SYSTEM_TIME AS OF``
     / Iceberg ``VERSION AS OF`` semantics); None = latest.  The scan is a
@@ -784,11 +877,19 @@ def snapshot_read(
     pushdown/pruning apply as on any Parquet scan.
 
     If the manifest carries ``delete_files`` (merge-on-read equality
-    deletes, snapshot_delete_keys), the read applies them: the deleted
-    key set — small by contract — is anti-joined against the data scan,
-    which AQE plans as a broadcast anti-join, so MOR reads cost one
-    extra broadcast over the plain scan (Iceberg v2's read path for
-    equality deletes)."""
+    deletes, snapshot_delete_keys), the read applies them with Iceberg
+    v2 sequence scoping — a delete only masks data files committed
+    BEFORE it (``file_seqs`` vs ``delete_seqs``), so later re-inserts of
+    a deleted key are visible.  The deleted key set — small by contract
+    — is anti-joined against the data scan, which AQE plans as a
+    broadcast anti-join, so MOR reads cost one extra broadcast over the
+    plain scan (Iceberg v2's read path for equality deletes).
+
+    ``partition=(col, value)`` is the partition-pruned read: the data
+    scan filters to that value (parquet row-group pruning applies) and
+    ONLY delete files published for that partition — or unscoped
+    table-wide ones — are loaded (Iceberg's partition-scoped delete
+    manifests)."""
     import json
 
     versions = snapshot_versions(table_dir)
@@ -799,16 +900,9 @@ def snapshot_read(
         raise ValueError(f"version {v} not committed (have {versions})")
     with open(_manifest_path(table_dir, v)) as fh:
         manifest = json.load(fh)
-    files = manifest["files"]
-    df = spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
-    dfiles = manifest.get("delete_files", [])
-    if dfiles:
-        key = manifest["delete_key"]
-        dels = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in dfiles]
-        ).select(key).distinct()
-        df = df.join(dels, on=key, how="left_anti")
-    return df
+    return _read_files_with_deletes(
+        spark, table_dir, manifest["files"], manifest, partition
+    )
 
 
 def snapshot_events_table(spark: SparkSession, sf_dir: str) -> str:
@@ -872,6 +966,64 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(phash(F.col("event_id").cast("string"), "tt")).alias(
             "checksum"
         ),
+    )
+
+
+def read_snapshot_sql(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    view: str = "snapshot_asof",
+) -> str:
+    """Expose a pinned snapshot to ``spark.sql`` users: registers the
+    versioned read (snapshot_read — exact file list, MOR deletes
+    applied) as a temp view and returns the view name — the
+    ``SELECT ... FROM t VERSION AS OF v`` syntax the reference's users
+    get from Trino on Iceberg (/root/reference/README.md time-travel
+    examples), approximated for SQL sessions without the Iceberg jars.
+    The view holds the LOGICAL plan, so later commits cannot leak in
+    (the file list is resolved at registration) and every SQL query
+    over it keeps pushdown/pruning."""
+    snapshot_read(spark, table_dir, version).createOrReplaceTempView(view)
+    return view
+
+
+@register(
+    "q_time_travel_sql",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           bit_xor(('0x' || substr(md5('tv:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    WHERE event_id % 3 < 2
+    GROUP BY event_type
+    """,
+)
+def time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL THROUGH SPARK SQL — q_time_travel's twin running the
+    whole query as ``spark.sql`` text over read_snapshot_sql's pinned
+    view (``VERSION AS OF`` for SQL users; Trino-on-Iceberg gives the
+    reference's users this syntax, README.md time-travel section).
+    Same fixture table, same version-2 read, same oracle shape: a hash
+    match proves the SQL surface sees exactly the pinned snapshot —
+    commit 3 leaking through the view would flip count and checksum.
+
+    100 TB: the view pins a file list, not data — registration is
+    driver-side metadata, and the SQL query plans the identical
+    pruned/pushed Parquet scan the DataFrame path plans."""
+    table_dir = snapshot_events_table(spark, sf_dir)
+    view = read_snapshot_sql(spark, table_dir, version=2, view="tt_sql_v2")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               bit_xor(CAST(conv(substr(md5(concat('tv:',
+                         CAST(event_id AS STRING))), 1, 15), 16, 10)
+                       AS BIGINT)) AS checksum
+        FROM {view}
+        GROUP BY event_type
+        """
     )
 
 
@@ -998,7 +1150,15 @@ def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
     ]
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": new_v, "files": rel, "compacted": True}, fh)
+        json.dump(
+            {
+                "version": new_v,
+                "files": rel,
+                "file_seqs": {f: new_v for f in rel},
+                "compacted": True,
+            },
+            fh,
+        )
     os.replace(tmp, _manifest_path(table_dir, new_v))
     return new_v
 
@@ -1137,17 +1297,69 @@ def snapshot_expire_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _file_key_bounds(
+    table_dir: str, files: list[str], key: str
+) -> dict[str, tuple | None]:
+    """Per-file (min, max) of ``key`` from parquet footer statistics —
+    driver-side O(files) metadata, the same column bounds Iceberg stores
+    in its manifests (and Delta in its file stats) to skip files during
+    row-level operations.  A file with no usable stats maps to None
+    (= cannot be skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple | None] = {}
+    for f in files:
+        lo = hi = None
+        try:
+            md = pq.ParquetFile(os.path.join(table_dir, f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ci = idx.get(key)
+            if ci is None:
+                out[f] = None
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            lo = hi = None
+        out[f] = None if lo is None else (lo, hi)
+    return out
+
+
 def snapshot_merge(
     spark: SparkSession, table_dir: str, source: DataFrame, key: str
 ) -> int:
     """Batch MERGE INTO the latest snapshot (Delta/Iceberg
     ``MERGE INTO t USING s ON t.key = s.key`` with the three standard
-    clauses), copy-on-write: read the current snapshot, resolve the
-    clauses with ONE full-outer equi-join on the key, and publish the
-    merged result as a new REPLACING manifest — older manifests stay
-    untouched, so time travel to pre-merge versions still works and a
-    crashed merge leaves the table on the old snapshot (the atomic
-    manifest publish is the commit point).
+    clauses), copy-on-write NARROWED TO KEY-INTERSECTING FILES — the
+    production COW shape (Delta's merge / Iceberg's copy-on-write
+    row-level ops), not a full-table rewrite:
+
+      1. FILE SKIP (metadata): per-file key (min, max) from parquet
+         footers — the bounds Iceberg keeps in manifests — joined
+         against the source keys; files whose range contains no source
+         key are CANDIDATE-pruned without reading data.
+      2. TOUCHED-FILE SCAN (exact): one key-column scan of the
+         candidates tagged with ``_metadata.file_path``, semi-joined
+         to the source keys — Delta's touched-file detection join.
+         Output is O(files), the scan reads ONE column with pushdown.
+      3. REWRITE: only touched files are read (merge-on-read deletes
+         applied, so the rewrite also materializes them for those
+         files), clause-resolved against the source with ONE full-outer
+         equi-join, and written as the new commit; every untouched file
+         is carried into the new manifest BY REFERENCE, byte-untouched,
+         keeping its original sequence number (so carried delete files
+         still scope correctly).
+
+    Older manifests stay untouched, so time travel to pre-merge
+    versions still works, and a crashed merge leaves the table on the
+    old snapshot (the atomic manifest publish is the commit point).
 
     ``source`` carries the key column, every data column, and a boolean
     ``_delete`` flag; clause semantics:
@@ -1156,23 +1368,28 @@ def snapshot_merge(
       WHEN NOT MATCHED AND NOT s._delete  THEN INSERT *
     Source keys must be unique (the Delta/Iceberg precondition — a
     multiply-matched target row makes MERGE nondeterministic; enforced
-    here with a fail-stop count check at |source| grain).
+    here with a fail-stop count check at |source| grain).  The source
+    is materialized once (localCheckpoint) before its four consumers —
+    the same reason Delta materializes MERGE sources.
 
-    100 TB: the join is the whole cost — equi-join on the key, so AQE
-    broadcast-joins a small change batch against the table scan, and a
-    bucketed target co-locates it shuffle-free (q_join_bucketed's
-    layout).  This implementation rewrites the full snapshot (manifest
-    granularity); production narrows the rewrite to the FILES whose key
-    range intersects the source (file-skipping on parquet min/max — the
-    same pruning snapshot_read already plans) and carries every
-    untouched file into the new manifest by reference.  Returns the new
-    version."""
+    100 TB: a small key-clustered change batch rewrites O(touched
+    files), not O(table) — the whole point of COW file granularity; a
+    batch whose keys smear across every file degrades gracefully to
+    the full rewrite (q_merge_upsert's residue batch is exactly that
+    worst case, q_merge_pruned the clustered common case).  Returns
+    the new version."""
+    import json
+    import re
+
     versions = snapshot_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    target = snapshot_read(spark, table_dir, last)
-    data_cols = [c for c in target.columns if c != key]
+    with open(_manifest_path(table_dir, last)) as fh:
+        manifest = json.load(fh)
+    all_files = manifest["files"]
+    fseqs = manifest.get("file_seqs", {})
+    source = source.localCheckpoint(eager=True)
     dup = (
         source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -1181,7 +1398,64 @@ def snapshot_merge(
             "snapshot_merge: duplicate source keys — MERGE requires a "
             "unique source key per target row"
         )
-    t = target.alias("t").withColumn("_t", F.lit(True))
+    src_keys = source.select(key)
+
+    # 1. metadata file skip on footer key bounds
+    bounds = _file_key_bounds(table_dir, all_files, key)
+    cand = [f for f in all_files if bounds[f] is None]
+    bounded = [(f, *bounds[f]) for f in all_files if bounds[f] is not None]
+    if bounded:
+        key_type = dict(source.dtypes)[key]
+        bdf = spark.createDataFrame(
+            bounded, f"_bfile string, _blo {key_type}, _bhi {key_type}"
+        )
+        hits = (
+            F.broadcast(bdf)
+            .join(
+                src_keys,
+                (F.col(key) >= F.col("_blo")) & (F.col(key) <= F.col("_bhi")),
+                "left_semi",
+            )
+            .select("_bfile")
+            .distinct()
+            .collect()
+        )
+        cand += [r["_bfile"] for r in hits]
+
+    # 2. exact touched-file detection: key-column scan of candidates
+    touched: list[str] = []
+    if cand:
+        rel_of = {
+            os.path.abspath(os.path.join(table_dir, f)): f for f in cand
+        }
+        scan = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in cand]
+        ).select(
+            F.col(key), F.col("_metadata.file_path").alias("_fp")
+        )
+        fps = (
+            scan.join(src_keys, on=key, how="left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        )
+        for r in fps:
+            p = os.path.abspath(re.sub(r"^file:/*", "/", r["_fp"]))
+            touched.append(rel_of[p])
+    touched_set = set(touched)
+    untouched = [f for f in all_files if f not in touched_set]
+
+    # 3. rewrite touched files only (MOR deletes materialized for them)
+    if touched:
+        target = _read_files_with_deletes(
+            spark, table_dir, sorted(touched), manifest
+        )
+    else:
+        target = _read_files_with_deletes(
+            spark, table_dir, all_files, manifest
+        ).limit(0)
+    data_cols = [c for c in target.columns if c != key]
+    t = target.alias("t")
     s = source.alias("s").withColumn("_s", F.lit(True))
     j = t.join(s, on=key, how="full_outer")
     in_s = F.coalesce(F.col("_s"), F.lit(False))
@@ -1193,8 +1467,6 @@ def snapshot_merge(
             for c in data_cols
         ],
     )
-    import json
-
     new_v = last + 1
     data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
     merged.write.mode("overwrite").parquet(data_dir)
@@ -1203,9 +1475,24 @@ def snapshot_merge(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
+    new_seqs = {f: fseqs.get(f, 0) for f in untouched}
+    new_seqs.update({f: new_v for f in rel})
+    out = {
+        "version": new_v,
+        "files": untouched + rel,
+        "file_seqs": new_seqs,
+        "merged": True,
+    }
+    # carried untouched files may still need the old delete files (their
+    # sequence scoping is unchanged); rewritten files materialized theirs
+    if untouched and manifest.get("delete_files"):
+        out["delete_files"] = manifest["delete_files"]
+        out["delete_seqs"] = manifest.get("delete_seqs", {})
+        out["delete_parts"] = manifest.get("delete_parts", {})
+        out["delete_key"] = manifest["delete_key"]
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": new_v, "files": rel, "merged": True}, fh)
+        json.dump(out, fh)
     os.replace(tmp, _manifest_path(table_dir, new_v))
     return new_v
 
@@ -1265,6 +1552,15 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_commit(spark, table_dir, ev)
         versions = [1]
     if versions[-1] == 1:
+        # the insert-key offset must clear every existing id or an
+        # "insert" silently collides with an unmatched target key
+        # (ADVICE r10) — 1-row bounded collect, fail-stop
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        if max_id >= MERGE_INSERT_OFFSET:
+            raise ValueError(
+                f"max event_id {max_id} >= MERGE_INSERT_OFFSET "
+                f"{MERGE_INSERT_OFFSET}: insert keys would collide"
+            )
         deletes = ev.filter(F.col("event_id") % 5 == 0).select(
             "event_id",
             F.lit(None).cast("string").alias("event_type"),
@@ -1290,6 +1586,132 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "mg")).alias(
+            "checksum"
+        ),
+    )
+
+
+MERGE_PRUNE_COMMITS = 8  # range-clustered base commits for q_merge_pruned
+
+
+@register(
+    "q_merge_pruned",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 1
+                       AND event_id <= (SELECT MAX(event_id) // 8
+                                        FROM events)
+                  THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events
+      WHERE NOT (event_id % 5 = 0
+                 AND event_id <= (SELECT MAX(event_id) // 8 FROM events))
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, 'ins'
+      FROM events
+      WHERE event_id % 7 = 3
+        AND event_id <= (SELECT MAX(event_id) // 8 FROM events)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('mp:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM merged GROUP BY event_type
+    """,
+)
+def merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED COPY-ON-WRITE MERGE — the common production case
+    q_merge_upsert's residue batch cannot show: a change batch whose
+    keys are CLUSTERED (here: the lowest eighth of the key range, the
+    "recent partition gets corrections" shape of every warehouse load).
+    The base table is committed in {MERGE_PRUNE_COMMITS} range-clustered
+    commits so parquet footer key bounds are disjoint; snapshot_merge's
+    file skip + touched-file join then rewrites ONLY the low-range
+    files and carries the other ~7/8 of the table into the new manifest
+    by reference (Delta/Iceberg COW row-level-operation semantics; the
+    reference's format_version=2 tables, trino/sql/init-tables.sql:9).
+
+    The DuckDB oracle replays the scoped clauses algebraically — update
+    (%5=1), delete (%5=0) and insert (%7=3, offset keys) all gated on
+    ``event_id <= max_id // 8`` — so a hash match proves clause
+    exactness AND that no carried-by-reference row was lost or doubled.
+    The by-reference half (untouched files byte-identical, sequence
+    numbers preserved) is pinned by the invariant test; the builder
+    fail-stops if the merge carried nothing (pruning regression).
+
+    100 TB: this is the plan that fixes round-10's one scale-killer —
+    O(touched files + |source|) rewrite instead of O(table); the
+    footer-bounds pass is O(files) driver metadata and the exact pass
+    scans one column of the candidates."""
+    import json
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapprune-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if len(versions) < MERGE_PRUNE_COMMITS:
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        if max_id >= MERGE_INSERT_OFFSET:
+            raise ValueError(
+                f"max event_id {max_id} >= MERGE_INSERT_OFFSET "
+                f"{MERGE_INSERT_OFFSET}: insert keys would collide"
+            )
+        for k in range(len(versions), MERGE_PRUNE_COMMITS):
+            lo = k * (max_id + 1) // MERGE_PRUNE_COMMITS
+            hi = (k + 1) * (max_id + 1) // MERGE_PRUNE_COMMITS
+            snapshot_commit(
+                spark,
+                table_dir,
+                ev.filter(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                ),
+            )
+        versions = snapshot_versions(table_dir)
+    if versions[-1] == MERGE_PRUNE_COMMITS:
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        cut = max_id // 8
+        low = ev.filter(F.col("event_id") <= cut)
+        deletes = low.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(True).alias("_delete"),
+        )
+        updates = low.filter(F.col("event_id") % 5 == 1).select(
+            "event_id",
+            F.concat(F.lit("upd_"), F.col("event_type")).alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        inserts = low.filter(F.col("event_id") % 7 == 3).select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("event_id"),
+            F.lit("ins").alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        v = snapshot_merge(
+            spark,
+            table_dir,
+            deletes.unionByName(updates).unionByName(inserts),
+            key="event_id",
+        )
+        with open(_manifest_path(table_dir, v)) as fh:
+            m = json.load(fh)
+        carried = [f for f in m["files"] if f"commit-{v}" not in f]
+        if not carried:
+            raise AssertionError(
+                "q_merge_pruned: merge carried no file by reference — "
+                "COW file pruning regressed to a full rewrite"
+            )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "mp")).alias(
             "checksum"
         ),
     )
@@ -1364,7 +1786,11 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def snapshot_delete_keys(
-    spark: SparkSession, table_dir: str, keys: DataFrame, key: str
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key: str,
+    partition_col: str | None = None,
 ) -> int:
     """MERGE-ON-READ equality delete (Iceberg v2 delete files / Delta
     deletion vectors): publish the deleted KEY SET as a delete file next
@@ -1378,14 +1804,24 @@ def snapshot_delete_keys(
 
     Delete files accumulate across MOR commits (cumulative, like data
     manifests) and survive later appends (snapshot_commit carries them
-    forward).  ``key`` must match any previously-published delete key —
-    one equality-delete key per table, the common Iceberg deployment.
+    forward) — but each delete file is stamped with its publish sequence
+    and only masks data files with an OLDER sequence (Iceberg v2
+    equality-delete scoping, applied by snapshot_read), so a key
+    re-appended after its delete is visible again.  ``key`` must match
+    any previously-published delete key — one equality-delete key per
+    table, the common Iceberg deployment.
+
+    ``partition_col`` scopes the delete files per partition (Iceberg's
+    partition-scoped delete manifests): ``keys`` must carry that column,
+    the delete parquet lands partitioned by it, and the manifest records
+    each file's partition value so a partition-pruned read
+    (snapshot_read ``partition=``) loads ONLY its own partition's
+    deletes — at 100 TB the difference between broadcasting one
+    partition's tombstones and the table's entire delete history.
 
     100 TB: publishing is O(keys); every read pays one broadcast
     anti-join until compaction — the exact trade Iceberg documents, and
-    why MOR tables schedule regular rewrites.  Production scopes delete
-    files per partition so reads only load deletes overlapping their
-    scan; the manifest here is table-scoped (fixture grain)."""
+    why MOR tables schedule regular rewrites."""
     import json
 
     versions = snapshot_versions(table_dir)
@@ -1401,19 +1837,39 @@ def snapshot_delete_keys(
         )
     new_v = last + 1
     ddir = os.path.join(table_dir, "data", f"deletes-{new_v}")
-    keys.select(key).write.mode("overwrite").parquet(ddir)
-    rel = [
-        os.path.join("data", f"deletes-{new_v}", f)
-        for f in sorted(os.listdir(ddir))
-        if f.endswith(".parquet")
-    ]
+    rel: list[str] = []
+    parts: dict[str, str] = dict(manifest.get("delete_parts", {}))
+    if partition_col is None:
+        keys.select(key).write.mode("overwrite").parquet(ddir)
+        rel = [
+            os.path.join("data", f"deletes-{new_v}", f)
+            for f in sorted(os.listdir(ddir))
+            if f.endswith(".parquet")
+        ]
+    else:
+        keys.select(key, partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(ddir)
+        for pdir in sorted(os.listdir(ddir)):
+            if not pdir.startswith(f"{partition_col}="):
+                continue
+            for f in sorted(os.listdir(os.path.join(ddir, pdir))):
+                if f.endswith(".parquet"):
+                    r = os.path.join("data", f"deletes-{new_v}", pdir, f)
+                    rel.append(r)
+                    parts[r] = pdir
+    dseqs = dict(manifest.get("delete_seqs", {}))
+    dseqs.update({r: new_v for r in rel})
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "version": new_v,
                 "files": manifest["files"],
+                "file_seqs": manifest.get("file_seqs", {}),
                 "delete_files": manifest.get("delete_files", []) + rel,
+                "delete_seqs": dseqs,
+                "delete_parts": parts,
                 "delete_key": key,
             },
             fh,
@@ -1474,6 +1930,92 @@ def delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "dv")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_mor_reinsert",
+    oracle="""
+    WITH visible AS (
+      SELECT event_id, event_type FROM events WHERE event_id % 9 <> 0
+      UNION ALL
+      SELECT event_id, 're_' || event_type FROM events
+      WHERE event_id % 18 = 0 AND event_id % 36 <> 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('ri:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM visible GROUP BY event_type
+    """,
+)
+def mor_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-SCOPED EQUALITY DELETES under re-insert — the Iceberg v2
+    semantics an unsequenced tombstone gets WRONG (round-10 ADVICE):
+    an equality-delete file applies only to data files with an OLDER
+    sequence number, so deleting a key and later re-appending it makes
+    the key visible again, and a still-later delete removes the
+    re-inserted row too.  The fixture drives the full ordering on its
+    own table: commit everything (seq 1) → delete event_id % 9 = 0
+    (seq 2) → re-append the % 18 = 0 half with 're_'-prefixed type
+    (seq 3) → delete event_id % 36 = 0 (seq 4).
+
+    The DuckDB oracle replays the visibility algebra — originals
+    survive iff % 9 <> 0, re-inserts iff % 18 = 0 AND % 36 <> 0 — so a
+    hash match proves BOTH directions: a table-lifetime tombstone would
+    erase every re-insert (n_rows flips), and an unapplied second
+    delete would resurrect the % 36 rows (checksum flips).
+
+    100 TB: sequencing costs nothing at read time — data files group by
+    their applicable delete set (#groups <= #commits, driver metadata)
+    and each group keeps the same broadcast anti-join plan; this is
+    GDPR-delete + late-arriving-correction coexistence, the reason
+    Iceberg scopes deletes by sequence at all."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapreins-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    last = versions[-1] if versions else 0
+    if last < 1:
+        snapshot_commit(spark, table_dir, ev)
+    if last < 2:
+        snapshot_delete_keys(
+            spark,
+            table_dir,
+            ev.filter(F.col("event_id") % 9 == 0).select("event_id"),
+            key="event_id",
+        )
+    if last < 3:
+        snapshot_commit(
+            spark,
+            table_dir,
+            ev.filter(F.col("event_id") % 18 == 0).select(
+                "event_id",
+                F.concat(F.lit("re_"), F.col("event_type")).alias(
+                    "event_type"
+                ),
+            ),
+        )
+    if last < 4:
+        snapshot_delete_keys(
+            spark,
+            table_dir,
+            ev.filter(F.col("event_id") % 36 == 0).select("event_id"),
+            key="event_id",
+        )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "ri")).alias(
             "checksum"
         ),
     )

@@ -967,7 +967,6 @@ def bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path,
         tree_fingerprint,
     )
-    from data_pipeline_cursor_spark.text.dedup import phash
 
     fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
     table_dir = _work_dir(sf_dir, f"snapbitemp-{fp}")
@@ -1057,7 +1056,9 @@ def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B EXPERIMENT READOUT: users deterministically hash-assigned to
     two variants (md5 bucketing — the assignment rule every
     experimentation platform uses so a user re-lands in their variant
-    without a lookup table), conversion = any 'purchase' event; emits
+    without a lookup table), conversion = a 'purchase' event with
+    value >= 150 (a high-value-purchase goal metric; the same threshold
+    is pinned in the oracle); emits
     per-variant user counts, conversions, conversion rate, and the
     POOLED TWO-PROPORTION Z STATISTIC — z = (p1 − p0) /
     sqrt(p̂(1−p̂)(1/n0+1/n1)) — the test an experiment dashboard renders

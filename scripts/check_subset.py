@@ -18,6 +18,10 @@ spark.conf.set("spark.sql.shuffle.partitions", "8")
 qs, os_ = get_queries(), get_oracles()
 fail = 0
 for name in sys.argv[1:]:
+    if name not in qs:
+        print(name, "UNKNOWN (not a registered query)")
+        fail += 1
+        continue
     r = check_one(spark, name, qs[name], os_.get(name))
     status = (
         "PASS"

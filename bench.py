@@ -60,11 +60,15 @@ def main() -> None:
     # 1,800 s / OOM cannot poison the whole-suite session (round-8
     # VERDICT item 3).  Excluded names are recorded in the payload: a
     # silent cap would read as "covered everything".
-    from data_pipeline_cursor_spark.registry import get_foils
+    from data_pipeline_cursor_spark.registry import get_contrasts, get_foils
 
     skipped_foils: list[str] = []
     if os.environ.get("BENCH_SKIP_FOILS") == "1":
-        foils = get_foils()
+        # contrast=True entries (output unbounded by semantics, e.g. the
+        # key-less stream-stream join) are excluded under the same flag:
+        # a sized run can no more afford a definitionally-quadratic
+        # output than a quadratic plan (round-10 VERDICT item 4)
+        foils = get_foils() | get_contrasts()
         skipped_foils = sorted(k for k in queries if k in foils)
         queries = {k: v for k, v in queries.items() if k not in foils}
 

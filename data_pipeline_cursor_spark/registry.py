@@ -32,9 +32,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 _FOILS: set[str] = set()
+_CONTRASTS: set[str] = set()
 
 
-def register(name: str, oracle: Optional[str] = None, foil: bool = False):
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    foil: bool = False,
+    contrast: bool = False,
+):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
 
     ``oracle`` is the equivalent DuckDB-ANSI SQL (tables pre-registered as
@@ -51,6 +57,16 @@ def register(name: str, oracle: Optional[str] = None, foil: bool = False):
     via get_foils() instead of a hand list — the sf10 session-poisoning
     incident in BASELINE.md is the motivating case (round-8 VERDICT
     item 3).
+
+    ``contrast`` marks a SEMANTICS-CALIBRATION contrast: an operator
+    whose output is unbounded BY DEFINITION (e.g. the key-less
+    stream-stream interval join's density-quadratic pair count), kept
+    for reference parity of the raw semantics while a registered
+    sibling carries the at-size deployment shape.  Unlike foils (bad
+    PLAN, same semantics), a contrast can never have at-size evidence —
+    no plan fixes its output cardinality — so sized consumers exclude
+    it via get_contrasts() by flag, not by knowledge (round-10 VERDICT
+    item 4).  Correctness is still fully oracle-checked at fixture SFs.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -61,6 +77,8 @@ def register(name: str, oracle: Optional[str] = None, foil: bool = False):
             _ORACLES[name] = oracle.strip()
         if foil:
             _FOILS.add(name)
+        if contrast:
+            _CONTRASTS.add(name)
         return fn
 
     return deco
@@ -121,3 +139,11 @@ def get_foils() -> set[str]:
     register)."""
     _load_all_modules()
     return set(_FOILS)
+
+
+def get_contrasts() -> set[str]:
+    """Names registered with contrast=True — semantics-calibration
+    operators whose output is unbounded by definition; sized consumers
+    exclude them by flag (see register)."""
+    _load_all_modules()
+    return set(_CONTRASTS)

@@ -43,6 +43,7 @@ from data_pipeline_cursor_spark.streaming.sources import (
     FIXTURE_WATERMARK,
     FLUSH_TYPE,
     read_event_stream,
+    record_state_progress,
     run_to_completion,
     stream_state_partitions,
     write_landing_fixture,
@@ -430,6 +431,7 @@ def s_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_state_progress(q)
     written = spark.read.parquet(out_dir)
     return written.groupBy("hour").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -891,6 +893,11 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.event_type = 'click' AND b.event_type = 'error'
     GROUP BY strftime(date_trunc('day', a.ts), '%Y-%m-%d')
     """,
+    # key-less interval join: output is density-quadratic BY DEFINITION
+    # (all clicks x all errors per minute) — no plan can bound it, so no
+    # at-size evidence is possible; s_stream_join_keyed below is the
+    # deployment shape.  Sized consumers exclude via get_contrasts().
+    contrast=True,
 )
 def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-surface stream-stream join (Flink interval-join twin): click and
@@ -1063,6 +1070,7 @@ def s_stream_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        record_state_progress(q)
     return spark.createDataFrame(
         sorted(counts.items()), "day string, n_pairs long"
     )
@@ -1409,6 +1417,7 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_state_progress(q)
     data = os.path.join(table_dir, "data")
     return (
         spark.read.schema(schema)
@@ -1505,6 +1514,7 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             qid = str(q.id)
             q.awaitTermination()
+            record_state_progress(q)
         # Listener callbacks arrive asynchronously; the bus is ordered per
         # query, so once OUR terminated event lands every progress event
         # for qid has too.  Bounded public-API wait — no private
@@ -2410,6 +2420,7 @@ def s_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_state_progress(q)
     return spark.read.parquet(out_dir)
 
 

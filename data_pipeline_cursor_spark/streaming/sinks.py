@@ -290,6 +290,7 @@ def run_upsert_stream_merge_into(
     """Delta/Iceberg variant of run_upsert_stream — same update-mode
     foreachBatch shape, serving table lives in a transactional format."""
     from data_pipeline_cursor_spark.streaming.sources import (
+        record_state_progress,
         stream_state_partitions,
     )
 
@@ -302,6 +303,7 @@ def run_upsert_stream_merge_into(
             .start()
         )
         q.awaitTermination()
+        record_state_progress(q)
 
 
 POSTGRES_DRIVER = "org.postgresql.Driver"
@@ -409,6 +411,7 @@ def run_upsert_stream_jdbc(
     """JDBC variant of run_upsert_stream — same update-mode foreachBatch
     shape, serving table lives in the database instead of Parquet."""
     from data_pipeline_cursor_spark.streaming.sources import (
+        record_state_progress,
         stream_state_partitions,
     )
 
@@ -421,6 +424,7 @@ def run_upsert_stream_jdbc(
             .start()
         )
         q.awaitTermination()
+        record_state_progress(q)
 
 
 def run_upsert_stream(
@@ -431,6 +435,7 @@ def run_upsert_stream(
     retract/upsert stream: a window's row is re-emitted and overwritten on
     every in-watermark late arrival."""
     from data_pipeline_cursor_spark.streaming.sources import (
+        record_state_progress,
         stream_state_partitions,
     )
 
@@ -443,6 +448,7 @@ def run_upsert_stream(
             .start()
         )
         q.awaitTermination()
+        record_state_progress(q)
 
 
 def read_serving_table(spark: SparkSession, table_dir: str) -> DataFrame:

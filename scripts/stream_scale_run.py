@@ -52,6 +52,10 @@ def main() -> None:
         "spark.sql.streaming.stateStore.providerClass",
         ROCKSDB_STATE_PROVIDER,
     )
+    from data_pipeline_cursor_spark.streaming.sources import (
+        LAST_STATE_PROGRESS,
+    )
+
     qs = get_queries()
     ckpt_root = _work("ckpt")
     out: dict[str, dict] = {}
@@ -59,6 +63,7 @@ def main() -> None:
         before = (
             set(os.listdir(ckpt_root)) if os.path.isdir(ckpt_root) else set()
         )
+        LAST_STATE_PROGRESS.clear()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()
@@ -72,7 +77,21 @@ def main() -> None:
         out[name] = {
             "drain_sec": dt,
             "out_rows": n,
-            "ckpt_state_bytes": size,
+            # LIVE state at peak, from StreamingQueryProgress
+            # stateOperators[].memoryUsedBytes — the honest bounded-state
+            # number (r10 VERDICT item 3); 0 for stateless/foreachBatch-
+            # folded jobs whose state lives outside the state store
+            "live_state_bytes_peak": LAST_STATE_PROGRESS.get(
+                "state_bytes_peak", 0
+            ),
+            "live_state_rows_peak": LAST_STATE_PROGRESS.get(
+                "state_rows_peak", 0
+            ),
+            "n_batches": LAST_STATE_PROGRESS.get("n_batches", 0),
+            # cumulative on-disk checkpoint retention across the drain's
+            # micro-batches — RETENTION, not live state; kept for the
+            # storage-footprint story only
+            "ckpt_retained_bytes": size,
         }
         print(f"# {name}: {out[name]}", flush=True)
     print(json.dumps({"sf": sf_dir, "provider": "rocksdb", "jobs": out}))

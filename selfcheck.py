@@ -62,6 +62,7 @@ def check_one(spark, name, query_fn, oracle):
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "04"
     from data_pipeline_cursor_spark.registry import (
+        get_contrasts,
         get_foils,
         get_oracles,
         get_queries,
@@ -71,6 +72,7 @@ def main() -> int:
     spark = get_spark("selfcheck")
     queries, oracles = get_queries(), get_oracles()
     foils = get_foils()
+    contrasts = get_contrasts()
     results = {}
     for name in sorted(queries):
         results[name] = check_one(spark, name, queries[name], oracles.get(name))
@@ -79,6 +81,10 @@ def main() -> int:
             # checked at sf0.01 — the flag is the judge's map from this
             # artifact to the deliberately-quadratic calibration entries
             results[name]["foil"] = True
+        if name in contrasts:
+            # semantics-calibration entry: output unbounded by definition,
+            # excluded from sized runs by flag (round-10 item 4)
+            results[name]["semantic_contrast"] = True
         status = (
             "PASS"
             if results[name]["hash_match"]

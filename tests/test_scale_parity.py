@@ -155,6 +155,13 @@ SCALE_SLICE = [
     # advisor's distinct-grain aggregate at 60M stacked values
     "q_ab_test",
     "q_encoding_advisor",
+    # round-11: the pruned COW merge must keep carrying ~7/8 of the table
+    # by reference at 10M keys (bounds skip + touched-file join); the
+    # sequence-scoped visibility algebra must hold across four commits at
+    # size; the SQL view must pin the same snapshot the DataFrame path reads
+    "q_merge_pruned",
+    "q_mor_reinsert",
+    "q_time_travel_sql",
 ]
 
 

@@ -1332,6 +1332,180 @@ def _file_key_bounds(
     return out
 
 
+def snapshot_rollback(
+    spark: SparkSession, table_dir: str, to_version: int
+) -> int:
+    """ROLLBACK to an older snapshot (Iceberg ``rollback_to_snapshot`` /
+    Delta ``RESTORE TABLE``): publish a NEW commit whose manifest lists
+    exactly the target version's files — history stays append-only, so
+    the bad commits remain readable for audit (and reclaimable later by
+    snapshot_expire), while the table's LATEST read is the restored
+    content.  Metadata-only: no data file is read, copied, or moved —
+    O(files) driver-side, which is why a production rollback is instant
+    at any table size."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if to_version not in versions:
+        raise ValueError(
+            f"version {to_version} not committed (have {versions})"
+        )
+    last = versions[-1]
+    with open(_manifest_path(table_dir, to_version)) as fh:
+        target = json.load(fh)
+    new_v = last + 1
+    out = {
+        k: v
+        for k, v in target.items()
+        if k
+        in (
+            "files",
+            "file_seqs",
+            "delete_files",
+            "delete_seqs",
+            "delete_parts",
+            "delete_key",
+        )
+    }
+    out.update(
+        {
+            "version": new_v,
+            "rolled_back_from": last,
+            "rolled_back_to": to_version,
+        }
+    )
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(out, fh)
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+def remove_orphan_files(table_dir: str) -> dict:
+    """ORPHAN-FILE CLEANUP (Iceberg ``remove_orphan_files`` / Delta
+    VACUUM's untracked-file half): delete every parquet under data/
+    that NO manifest — committed or staged — references.  Orphans are
+    the atomic-publish protocol's only litter: a writer that crashed
+    after writing data files but before the manifest rename, or a
+    write-audit-publish stage that was audited and DISCARDED.  Never
+    touches referenced files, so every committed snapshot reads
+    identically before and after.  O(files) driver-side metadata plus
+    the unlinks.  Returns {"deleted_files": n}."""
+    import glob
+    import json
+
+    keep: set[str] = set()
+    for mpath in glob.glob(os.path.join(table_dir, "manifest-*.json")) + glob.glob(
+        os.path.join(table_dir, "staged-*.json")
+    ):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        keep.update(m.get("files", []))
+        keep.update(m.get("delete_files", []))
+    deleted = 0
+    data_root = os.path.join(table_dir, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            if f.endswith(".parquet") and rel not in keep:
+                os.remove(full)
+                deleted += 1
+    return {"deleted_files": deleted}
+
+
+def snapshot_stage(
+    spark: SparkSession, table_dir: str, df: DataFrame, name: str
+) -> str:
+    """WRITE half of write-audit-publish (Iceberg WAP / the
+    branch-commit pattern): write ``df``'s data files under
+    data/staged-<name>/ and record them in a STAGED manifest that
+    snapshot_versions does NOT see — readers of the table are
+    unaffected until snapshot_publish promotes the stage.  Returns the
+    stage name.  An audited-and-rejected stage is simply discarded
+    (discard_staged) and its files become orphans for
+    remove_orphan_files."""
+    import json
+
+    _check_ident(name)
+    data_dir = os.path.join(table_dir, "data", f"staged-{name}")
+    df.write.mode("overwrite").parquet(data_dir)
+    rel = [
+        os.path.join("data", f"staged-{name}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    tmp = os.path.join(table_dir, f".staged-{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"stage": name, "files": rel}, fh)
+    os.replace(tmp, os.path.join(table_dir, f"staged-{name}.json"))
+    return name
+
+
+def staged_read(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """AUDIT half of write-audit-publish: read ONLY the staged files —
+    the audit queries (DQ gates, row counts, invariants) run against
+    this isolated view before anything becomes visible to readers."""
+    import json
+
+    with open(os.path.join(table_dir, f"staged-{name}.json")) as fh:
+        m = json.load(fh)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in m["files"]]
+    )
+
+
+def snapshot_publish(table_dir: str, name: str) -> int:
+    """PUBLISH half of write-audit-publish: promote the staged file list
+    into the next cumulative manifest — one atomic rename, after which
+    readers see the audited rows.  The staged marker is consumed.
+    Metadata-only (the data files are already in place under data/)."""
+    import json
+
+    spath = os.path.join(table_dir, f"staged-{name}.json")
+    with open(spath) as fh:
+        staged = json.load(fh)
+    versions = snapshot_versions(table_dir)
+    new_v = (versions[-1] if versions else 0) + 1
+    prev: list[str] = []
+    seqs: dict = {}
+    carried: dict = {}
+    if versions:
+        with open(_manifest_path(table_dir, versions[-1])) as fh:
+            pm = json.load(fh)
+        prev = pm["files"]
+        seqs = dict(pm.get("file_seqs", {}))
+        if pm.get("delete_files"):
+            carried = {
+                "delete_files": pm["delete_files"],
+                "delete_seqs": pm.get("delete_seqs", {}),
+                "delete_parts": pm.get("delete_parts", {}),
+                "delete_key": pm["delete_key"],
+            }
+    seqs.update({f: new_v for f in staged["files"]})
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": new_v,
+                "files": prev + staged["files"],
+                "file_seqs": seqs,
+                "published_stage": name,
+                **carried,
+            },
+            fh,
+        )
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    os.remove(spath)
+    return new_v
+
+
+def discard_staged(table_dir: str, name: str) -> None:
+    """Reject an audited stage: drop the staged marker; the data files
+    become orphans (reclaimed by remove_orphan_files)."""
+    os.remove(os.path.join(table_dir, f"staged-{name}.json"))
+
+
 def snapshot_merge(
     spark: SparkSession, table_dir: str, source: DataFrame, key: str
 ) -> int:
@@ -1586,6 +1760,214 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "mg")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_snapshot_rollback",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('rb:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    WHERE event_id % 3 < 2
+    GROUP BY event_type
+    """,
+)
+def snapshot_rollback_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK AS A NEW COMMIT (Iceberg rollback_to_snapshot / Delta
+    RESTORE) — the recovery verb after a bad load: the fixture table
+    commits two good slices (event_id % 3 residues 0 and 1), then a
+    CORRUPT third commit (every row's type mangled to 'corrupt'), then
+    rolls back to version 2.  The query reads the LATEST snapshot.  The
+    DuckDB oracle is the two good residues: a hash match proves the
+    restore is content-exact AND the corrupt commit no longer leaks
+    into the live read — while history stays append-only (version 3 is
+    still readable for audit; the invariant test pins that and the
+    metadata-only cost).
+
+    100 TB: rollback publishes one manifest that POINTS at the old
+    version's files — no data is read, copied, or moved, so restore
+    time is independent of table size (the whole point of
+    manifest-versioned layouts)."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snaproll-{fp}")
+    versions = snapshot_versions(table_dir)
+    if versions != [1, 2, 3, 4]:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        for k in (0, 1):
+            snapshot_commit(
+                spark, table_dir, ev.filter(F.col("event_id") % 3 == k)
+            )
+        snapshot_commit(
+            spark,
+            table_dir,
+            ev.filter(F.col("event_id") % 3 == 2).select(
+                "event_id", F.lit("corrupt").alias("event_type")
+            ),
+        )
+        snapshot_rollback(spark, table_dir, to_version=2)
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "rb")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_orphan_cleanup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('oc:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def orphan_cleanup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-FILE CLEANUP (Iceberg remove_orphan_files / the untracked
+    half of Delta VACUUM): the fixture commits the full events table,
+    then simulates a CRASHED WRITER — data files landed under data/ but
+    the manifest rename never happened (the one failure mode the
+    atomic-publish protocol leaves on disk).  remove_orphan_files must
+    delete exactly those unreferenced files (the builder fail-stops if
+    it deleted none) and the query reads the table afterwards.  The
+    DuckDB oracle is the FULL events table: a hash match proves the
+    cleanup deleted only orphans — an over-eager unlink of a referenced
+    file would drop rows and flip the checksum.
+
+    100 TB: reconciliation is O(files) driver metadata (manifest union
+    vs directory walk) plus the unlinks; production runs it on a
+    schedule with an age threshold so in-flight writers are safe."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snaporph-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if not snapshot_versions(table_dir):
+        snapshot_commit(spark, table_dir, ev)
+        # crashed writer: data files, no manifest
+        ev.filter(F.col("event_id") % 5 == 0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(table_dir, "data", "commit-crashed"))
+        res = remove_orphan_files(table_dir)
+        if res["deleted_files"] == 0:
+            raise AssertionError(
+                "q_orphan_cleanup: expected the crashed commit's files "
+                "to be reclaimed — cleanup deleted nothing"
+            )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "oc")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_wap_publish",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('wp:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM (
+      SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, event_type FROM events
+      WHERE event_id % 2 = 1 AND event_id % 10 <> 3
+    )
+    GROUP BY event_type
+    """,
+)
+def wap_publish_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (Iceberg WAP / the branch-commit pattern —
+    the nightly-load discipline every governed lakehouse runs): a new
+    batch is STAGED invisibly (snapshot_stage), AUDITED in isolation
+    (staged_read + a data-quality gate), and only then PUBLISHED
+    atomically.  The fixture drives the full loop including the
+    rejection path: the incoming odd-key batch carries corrupt rows
+    (event_id % 10 = 3 mangled to type 'corrupt'); the audit counts
+    violations, DISCARDS the stage (its files become orphans —
+    reclaimed by the A23 verb), re-stages the cleaned batch, audits it
+    green, and publishes.  The query reads the post-publish table.
+
+    The DuckDB oracle replays the gate algebraically (evens ∪ odds
+    minus the % 10 = 3 corrupt keys): a hash match proves the corrupt
+    rows never became visible AND every clean row survived the
+    stage→audit→publish round trip.  The invariant test pins the
+    isolation half (readers see nothing between stage and publish).
+
+    100 TB: staging costs the data write you were doing anyway; audit
+    queries scan only the staged files; publish is one atomic manifest
+    rename — this is exactly why WAP is the production pattern instead
+    of write-then-delete-on-failure."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapwap-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if not versions:
+        snapshot_commit(spark, table_dir, ev.filter(F.col("event_id") % 2 == 0))
+        versions = [1]
+    if versions[-1] == 1:
+        dirty = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 3, F.lit("corrupt"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+        )
+        snapshot_stage(spark, table_dir, dirty, name="load1")
+        n_bad = (
+            staged_read(spark, table_dir, "load1")
+            .filter(F.col("event_type") == "corrupt")
+            .count()
+        )
+        if n_bad:  # audit REJECTS: discard, clean, re-stage
+            discard_staged(table_dir, "load1")
+            clean = dirty.filter(F.col("event_type") != "corrupt")
+            snapshot_stage(spark, table_dir, clean, name="load1_fixed")
+            n_bad2 = (
+                staged_read(spark, table_dir, "load1_fixed")
+                .filter(F.col("event_type") == "corrupt")
+                .count()
+            )
+            if n_bad2:
+                raise AssertionError("q_wap_publish: audit failed twice")
+            snapshot_publish(table_dir, "load1_fixed")
+        else:
+            snapshot_publish(table_dir, "load1")
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "wp")).alias(
             "checksum"
         ),
     )

@@ -2571,3 +2571,100 @@ def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, _ckpt("quality-gate"))
+
+
+@register(
+    "s_gdpr_deletes",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('gd:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    WHERE event_id % 17 <> 0
+    GROUP BY event_type
+    """,
+)
+def s_gdpr_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GDPR/RETENTION DELETE FEED into the lakehouse — the
+    C-surface twin of A15/A19: a stream of deletion requests (keys)
+    lands as files, and each micro-batch publishes ONE merge-on-read
+    equality-delete commit against the snapshot table
+    (foreachBatch → snapshot_delete_keys) — no data file rewritten,
+    O(batch keys) per commit, the exact architecture of a
+    right-to-be-forgotten pipeline on Iceberg v2 (delete files) or
+    Delta (deletion vectors).  maxFilesPerTrigger=1 forces multiple
+    micro-batches so the commits genuinely STACK (cumulative delete
+    files, one per batch), and the final read subtracts the union via
+    the sequence-scoped broadcast anti-join.
+
+    The DuckDB oracle replays the whole feed as ``event_id % 17 <> 0``:
+    a hash match proves every streamed key — across all batches — is
+    invisible and nothing else was lost.  Re-runs read, not re-delete
+    (version guard), so bench repeats are idempotent.
+
+    100 TB: each commit is O(keys in the batch) metadata + a tiny
+    parquet; reads pay one broadcast anti-join until compaction
+    materializes the deletes (q_delete_vectors' documented trade);
+    partition-scoped delete files (A20) bound what any pruned read
+    loads."""
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapgdpr-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        snapshot_commit(spark, table_dir, ev)
+        versions = [1]
+    if versions[-1] == 1:
+        # deletion-request landing: 3 parquet files → 3 micro-batches
+        feed_dir = _work_dir(sf_dir, f"gdprfeed-{fp}")
+        if not os.path.exists(os.path.join(feed_dir, "_SUCCESS")):
+            (
+                ev.filter(F.col("event_id") % 17 == 0)
+                .select("event_id")
+                .repartition(3)
+                .write.mode("overwrite")
+                .parquet(feed_dir)
+            )
+        src = (
+            spark.readStream.schema("event_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+
+        def apply_deletes(batch, _id):
+            if batch.isEmpty():
+                return
+            snapshot_delete_keys(
+                batch.sparkSession, table_dir, batch, key="event_id"
+            )
+
+        with stream_state_partitions(spark):
+            q = (
+                src.writeStream.foreachBatch(apply_deletes)
+                .option("checkpointLocation", _ckpt("gdpr"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            record_state_progress(q)
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "gd")).alias(
+            "checksum"
+        ),
+    )

@@ -617,3 +617,81 @@ def test_partition_scoped_delete_files(spark, tmp_path):
     assert {r["k"] for r in pr.collect()} == {10, 12, 13, 14}
     del_inputs = [f for f in pr.inputFiles() if "deletes-" in f]
     assert del_inputs and all("hour=1" in f for f in del_inputs)
+
+
+def test_snapshot_rollback_contract(spark, tmp_path):
+    """Rollback properties beyond the oracle: (1) the restored read is
+    exactly the target version's content; (2) history is append-only —
+    the bad commit stays readable for audit; (3) rollback is
+    metadata-only (no new data directory); (4) unknown target
+    fail-stops."""
+    import pytest
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    tdir = str(tmp_path / "roll")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    )
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(9, "corrupt")], "k bigint, v string")
+    )
+    v4 = snapshot_rollback(spark, tdir, to_version=2)
+    assert v4 == 4 and snapshot_versions(tdir) == [1, 2, 3, 4]
+
+    def rows(v=None):
+        return {
+            (r["k"], r["v"]) for r in snapshot_read(spark, tdir, v).collect()
+        }
+
+    assert rows() == {(1, "a"), (2, "b"), (3, "c")}          # restored
+    assert rows(3) == {(1, "a"), (2, "b"), (3, "c"), (9, "corrupt")}  # audit
+    assert not os.path.isdir(os.path.join(tdir, "data", "commit-4"))
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_rollback(spark, tdir, to_version=99)
+
+
+def test_wap_stage_isolation_discard_publish(spark, tmp_path):
+    """Write-audit-publish contract: (1) a staged batch is INVISIBLE to
+    table readers; (2) orphan cleanup spares a live stage's files;
+    (3) a discarded stage's files become orphans and are reclaimed;
+    (4) publish makes exactly the staged rows visible atomically."""
+    from data_pipeline_cursor_spark.catalog import (
+        discard_staged,
+        remove_orphan_files,
+        snapshot_commit,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_stage,
+        staged_read,
+    )
+
+    tdir = str(tmp_path / "wap")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    batch = spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, v string")
+    snapshot_stage(spark, tdir, batch, name="s1")
+    # isolation: readers see only the committed row
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {1}
+    # audit sees exactly the staged rows
+    assert {r["k"] for r in staged_read(spark, tdir, "s1").collect()} == {2, 3}
+    # a LIVE stage is not an orphan
+    assert remove_orphan_files(tdir)["deleted_files"] == 0
+    # reject: discard -> files become orphans -> reclaimed
+    discard_staged(tdir, "s1")
+    assert remove_orphan_files(tdir)["deleted_files"] > 0
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {1}
+    # accept path: re-stage and publish
+    snapshot_stage(spark, tdir, batch, name="s2")
+    v = snapshot_publish(tdir, "s2")
+    assert {r["k"] for r in snapshot_read(spark, tdir, v).collect()} == {1, 2, 3}
+    assert not os.path.exists(os.path.join(tdir, "staged-s2.json"))

@@ -162,6 +162,15 @@ SCALE_SLICE = [
     "q_merge_pruned",
     "q_mor_reinsert",
     "q_time_travel_sql",
+    # the lifecycle completions: rollback must restore 10M rows
+    # metadata-only; orphan reconciliation must spare every referenced
+    # file at size; WAP's reject→re-stage→publish loop must keep the
+    # gate algebra exact; the streamed delete feed's stacked MOR commits
+    # must subtract exactly across micro-batches
+    "q_snapshot_rollback",
+    "q_orphan_cleanup",
+    "q_wap_publish",
+    "s_gdpr_deletes",
 ]
 
 

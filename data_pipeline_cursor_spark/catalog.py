@@ -1101,6 +1101,164 @@ def snapshot_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_mv_snapshot_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           bit_xor(('0x' || substr(md5('mv2:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mv_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV REFRESH DRIVEN BY SNAPSHOT VERSIONS — the
+    composition A11 exists for (and the pattern behind Delta/Databricks
+    incremental materialized views): a per-type aggregate MV is
+    MATERIALIZED as of version 2, and the refresh to version 3 combines
+    the stored MV with the aggregate of ONLY the version-2→3 delta
+    files (snapshot_changes file-list diff) — COUNT adds, the
+    order-insensitive bit_xor checksum xors, so the merge is a pure
+    algebraic fold and never touches the base data.  Contrast with
+    q_mv_incremental's timestamp-cutoff variant: here the CHANGE
+    TRACKING is the table format's version line, which is exactly what
+    a production incremental-ETL consumer checkpoints.
+
+    The DuckDB oracle is the FULL events table at version 3: a hash
+    match proves the incremental path (stored MV ⊎ delta) is
+    EQUIVALENT to the full recompute — a missed delta file, double
+    count, or wrong combine rule flips it.  The plan half (the refresh
+    scans only the MV parquet + the delta files, never commit-1/2 data)
+    is pinned in tests/test_plans.py.
+
+    100 TB: refresh cost is O(delta + |MV|), not O(table) — the entire
+    reason snapshot-based change tracking beats scheduled full
+    recomputes for warehouse rollups."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    table_dir = snapshot_events_table(spark, sf_dir)
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    mv_dir = _work_dir(sf_dir, f"snapmv-{fp}")
+    mv_path = os.path.join(mv_dir, "mv_v2")
+
+    def agg(df, seed):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.bit_xor(phash(F.col("event_id").cast("string"), seed)).alias(
+                "checksum"
+            ),
+        )
+
+    if not os.path.exists(os.path.join(mv_path, "_SUCCESS")):
+        # one-time MV materialization as of version 2 (the checkpointed
+        # consumer's last refresh)
+        agg(snapshot_read(spark, table_dir, version=2), "mv2").write.mode(
+            "overwrite"
+        ).parquet(mv_path)
+    base = spark.read.parquet(mv_path).select(
+        "event_type",
+        F.col("n_events").alias("b_n"),
+        F.col("checksum").alias("b_c"),
+    )
+    delta = agg(
+        snapshot_changes(spark, table_dir, from_version=2, to_version=3),
+        "mv2",
+    ).select(
+        "event_type",
+        F.col("n_events").alias("d_n"),
+        F.col("checksum").alias("d_c"),
+    )
+    z = F.lit(0).cast("bigint")
+    return base.join(delta, on="event_type", how="full_outer").select(
+        "event_type",
+        (F.coalesce("b_n", z) + F.coalesce("d_n", z)).alias("n_events"),
+        # xor with 0 is identity, so absent sides coalesce to 0
+        (
+            F.coalesce("b_c", z).bitwiseXOR(F.coalesce("d_c", z))
+        ).alias("checksum"),
+    )
+
+
+@register(
+    "q_snapshot_history",
+    oracle="""
+    SELECT v AS version,
+           'append' AS operation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE event_id % 3 < v) AS n_rows
+    FROM (VALUES (1), (2), (3)) t(v)
+    """,
+)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE HISTORY AUDIT (Delta ``DESCRIBE HISTORY`` / Iceberg's
+    snapshots metadata table) with row-count lineage: one row per
+    committed version carrying the operation kind (inferred from the
+    manifest markers: append / compact / merge / delete / rollback /
+    publish) and the row count VISIBLE at that version.  The counts for
+    ALL versions come from ONE scan of the latest snapshot — each
+    commit of the fixture table is an event_id % 3 residue, so
+    "visible at v" is a conditional count, aggregated once and joined
+    to the driver-side manifest frame (O(versions) metadata).
+
+    The DuckDB oracle recomputes the per-version counts from the
+    residue algebra: a hash match proves the history reconstruction —
+    a manifest mis-read or a leaked later commit flips its version's
+    count.
+
+    100 TB: the metadata half is O(versions) driver-side; the count
+    lineage is one table scan with three conditional aggregates —
+    versus the naive one-scan-per-version audit."""
+    import json
+
+    table_dir = snapshot_events_table(spark, sf_dir)
+    versions = snapshot_versions(table_dir)[:SNAPSHOT_COMMITS]
+    ops = []
+    for v in versions:
+        with open(_manifest_path(table_dir, v)) as fh:
+            m = json.load(fh)
+        if m.get("compacted"):
+            op = "compact"
+        elif m.get("merged"):
+            op = "merge"
+        elif m.get("rolled_back_to") is not None:
+            op = "rollback"
+        elif m.get("published_stage"):
+            op = "publish"
+        else:
+            op = "append"
+        ops.append((v, op))
+    meta = spark.createDataFrame(ops, "version int, operation string")
+    snap = snapshot_read(spark, table_dir, version=versions[-1])
+    counts = snap.agg(
+        *[
+            F.count(F.when(F.col("event_id") % 3 < v, 1)).alias(f"n_{v}")
+            for v in versions
+        ]
+    )
+    long = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("version"),
+                        F.col(f"n_{v}").alias("n_rows"),
+                    )
+                    for v in versions
+                ]
+            )
+        ).alias("s")
+    ).select("s.version", "s.n_rows")
+    return meta.join(long, on="version").select(
+        "version", "operation", "n_rows"
+    )
+
+
 def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
     """SNAPSHOT-AWARE COMPACTION (Iceberg ``rewrite_data_files`` /
     Delta OPTIMIZE on the manifest-versioned layout): rewrite the LATEST

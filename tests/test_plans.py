@@ -855,3 +855,39 @@ def test_encoding_advisor_single_scan(spark):
     plan = _plan(df)
     assert plan.count("Scan parquet") <= 2, plan  # plain + distinct legs
     assert "Generate" in plan, plan
+
+
+def test_mv_snapshot_refresh_scans_delta_and_mv_only(spark):
+    """q_mv_snapshot_refresh: the refresh plan must read ONLY the stored
+    MV parquet and the version-2→3 delta files — a scan touching
+    commit-1/commit-2 data means the 'incremental' refresh silently
+    recomputes the base, the O(table) regression this pins out."""
+    df = get_queries()["q_mv_snapshot_refresh"](spark, SF_SMOKE)
+    files = df.inputFiles()
+    assert files, "expected a non-empty scan set"
+    for f in files:
+        assert ("mv_v2" in f) or ("commit-3" in f), (
+            f"refresh scanned a base data file: {f}"
+        )
+
+
+def test_time_travel_sql_view_pins_file_list(spark):
+    """q_time_travel_sql: the SQL view must plan exactly the pinned
+    version-2 file list — commit-3 leaking into the scan breaks
+    snapshot isolation through the SQL surface."""
+    df = get_queries()["q_time_travel_sql"](spark, SF_SMOKE)
+    files = df.inputFiles()
+    assert files and all("commit-3" not in f for f in files), files
+    assert any("commit-1" in f for f in files), files
+    assert any("commit-2" in f for f in files), files
+
+
+def test_gdpr_stream_read_is_broadcast_anti(spark):
+    """s_gdpr_deletes: after the streamed delete commits, the final
+    snapshot read must subtract the accumulated key set via a BROADCAST
+    anti-join (same contract as q_delete_vectors' plan pin)."""
+    df = get_queries()["s_gdpr_deletes"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

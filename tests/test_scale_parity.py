@@ -171,6 +171,10 @@ SCALE_SLICE = [
     "q_orphan_cleanup",
     "q_wap_publish",
     "s_gdpr_deletes",
+    # incremental ≡ full must hold when the delta carries 3.3M rows;
+    # the one-scan history audit must reconstruct counts at 10M rows
+    "q_mv_snapshot_refresh",
+    "q_snapshot_history",
 ]
 
 

@@ -1259,7 +1259,12 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    sort_by: str | None = None,
+    min_files: int = 1,
+) -> int:
     """SNAPSHOT-AWARE COMPACTION (Iceberg ``rewrite_data_files`` /
     Delta OPTIMIZE on the manifest-versioned layout): rewrite the LATEST
     snapshot's file list into byte-targeted larger files and publish
@@ -1275,10 +1280,19 @@ def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
     version instead of stacking rewrite commits — bench repeats and
     suite re-runs must not grow the table.
 
-    100 TB: the rewrite is a shuffle-free coalesce of one snapshot's
-    files; production drives it per-partition behind a small-file
-    threshold, and readers never block (the swap is one atomic
-    manifest publish)."""
+    ``sort_by`` makes the rewrite a SORT COMPACTION (Delta
+    ``OPTIMIZE ... ZORDER BY`` at one dimension / Iceberg's sort-order
+    rewrite): the data is range-repartitioned and sorted on that
+    column, so the rewritten files carry DISJOINT footer (min,max)
+    bounds — which is what turns snapshot_merge's bounds skip from a
+    no-op (interleaved commits overlap everywhere) into real file
+    pruning.  Costs one range shuffle instead of the shuffle-free
+    coalesce; the read story is identical.
+
+    100 TB: the plain rewrite is a shuffle-free coalesce of one
+    snapshot's files; production drives it per-partition behind a
+    small-file threshold, and readers never block (the swap is one
+    atomic manifest publish)."""
     import glob
     import json
 
@@ -1297,10 +1311,18 @@ def snapshot_compact(spark: SparkSession, table_dir: str) -> int:
     # manifest carries no delete_files
     df = snapshot_read(spark, table_dir, last)
     n_bytes = sum(os.path.getsize(p) for p in files)
-    target = max(1, -(-n_bytes // (32 * 1024 * 1024)))  # ceil to 32 MB files
+    # ceil to 32 MB files; min_files lets a sort compaction keep enough
+    # range-disjoint files for downstream skipping at fixture scale
+    target = max(min_files, -(-n_bytes // (32 * 1024 * 1024)))
     new_v = last + 1
     data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
-    df.coalesce(target).write.mode("overwrite").parquet(data_dir)
+    if sort_by is not None:
+        out = df.repartitionByRange(target, F.col(sort_by)).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        out = df.coalesce(target)
+    out.write.mode("overwrite").parquet(data_dir)
     rel = [
         os.path.join("data", f"commit-{new_v}", f)
         for f in sorted(os.listdir(data_dir))
@@ -1918,6 +1940,123 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "mg")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_sort_compact_merge",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 1
+                       AND event_id <= (SELECT MAX(event_id) // 8
+                                        FROM events)
+                  THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events
+      WHERE NOT (event_id % 5 = 0
+                 AND event_id <= (SELECT MAX(event_id) // 8 FROM events))
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, 'ins'
+      FROM events
+      WHERE event_id % 7 = 3
+        AND event_id <= (SELECT MAX(event_id) // 8 FROM events)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('so:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM merged GROUP BY event_type
+    """,
+)
+def sort_compact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT COMPACTION ENABLING MERGE FILE-SKIPPING — the maintenance
+    chain Delta's ``OPTIMIZE ... ZORDER BY`` + MERGE data skipping
+    sells: the base table is committed in three RESIDUE commits
+    (event_id % 3 — every file spans the whole key range, so footer
+    bounds overlap everywhere and q_merge_pruned's file skip is a
+    NO-OP on this layout), then sort-compacted on the merge key
+    (range-repartition + sortWithinPartitions → disjoint per-file
+    bounds), and THEN the clustered low-eighth change batch merges.
+    The builder fail-stops unless the post-compaction merge carried
+    files by reference — the pruning that the layout, not the merge
+    code, had been blocking.
+
+    The DuckDB oracle replays the scoped clauses algebraically (same
+    algebra as q_merge_pruned, its own seed): a hash match proves the
+    sort rewrite was lossless AND the clause semantics survived the
+    compact-then-merge chain.
+
+    100 TB: this is the operational answer to 'my change batches are
+    clustered but my table layout is not' — one range-shuffle rewrite
+    converts every subsequent clustered MERGE from O(table) to
+    O(touched files); production schedules exactly this pairing."""
+    import json
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapsort-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if len(versions) < 3:
+        for k in range(len(versions), 3):
+            snapshot_commit(
+                spark, table_dir, ev.filter(F.col("event_id") % 3 == k)
+            )
+        versions = snapshot_versions(table_dir)
+    if versions[-1] == 3:
+        v = snapshot_compact(
+            spark, table_dir, sort_by="event_id", min_files=8
+        )
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        if max_id >= MERGE_INSERT_OFFSET:
+            raise ValueError(
+                f"max event_id {max_id} >= MERGE_INSERT_OFFSET "
+                f"{MERGE_INSERT_OFFSET}: insert keys would collide"
+            )
+        cut = max_id // 8
+        low = ev.filter(F.col("event_id") <= cut)
+        deletes = low.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(True).alias("_delete"),
+        )
+        updates = low.filter(F.col("event_id") % 5 == 1).select(
+            "event_id",
+            F.concat(F.lit("upd_"), F.col("event_type")).alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        inserts = low.filter(F.col("event_id") % 7 == 3).select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("event_id"),
+            F.lit("ins").alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        mv = snapshot_merge(
+            spark,
+            table_dir,
+            deletes.unionByName(updates).unionByName(inserts),
+            key="event_id",
+        )
+        with open(_manifest_path(table_dir, mv)) as fh:
+            m = json.load(fh)
+        carried = [f for f in m["files"] if f"commit-{mv}" not in f]
+        if not carried:
+            raise AssertionError(
+                "q_sort_compact_merge: post-compaction merge carried no "
+                "file — the sort rewrite failed to enable skipping"
+            )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "so")).alias(
             "checksum"
         ),
     )

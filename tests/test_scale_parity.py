@@ -175,6 +175,10 @@ SCALE_SLICE = [
     # the one-scan history audit must reconstruct counts at 10M rows
     "q_mv_snapshot_refresh",
     "q_snapshot_history",
+    # the sort rewrite must stay lossless at 10M rows AND still enable
+    # the post-compaction merge to carry files (the fail-stop fires
+    # inside the builder if not)
+    "q_sort_compact_merge",
 ]
 
 

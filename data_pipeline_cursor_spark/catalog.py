@@ -1484,7 +1484,13 @@ def _file_key_bounds(
     driver-side O(files) metadata, the same column bounds Iceberg stores
     in its manifests (and Delta in its file stats) to skip files during
     row-level operations.  A file with no usable stats maps to None
-    (= cannot be skipped)."""
+    (= cannot be skipped).
+
+    Ordering caveat: bounds comparisons assume the key's Python
+    ordering matches parquet's stats ordering — exact for integer and
+    ASCII-string keys (parquet string stats are byte-lexicographic and
+    writers keep truncated stats as VALID bounds); for non-ASCII string
+    keys prefer an integer surrogate key."""
     import pyarrow.parquet as pq
 
     out: dict[str, tuple | None] = {}

@@ -695,3 +695,51 @@ def test_wap_stage_isolation_discard_publish(spark, tmp_path):
     v = snapshot_publish(tdir, "s2")
     assert {r["k"] for r in snapshot_read(spark, tdir, v).collect()} == {1, 2, 3}
     assert not os.path.exists(os.path.join(tdir, "staged-s2.json"))
+
+
+def test_merge_over_mor_deletes_materializes_and_carries(spark, tmp_path):
+    """The MERGE x MOR-delete interaction: a merge whose touched files
+    carry pending equality deletes must (1) NOT resurrect the deleted
+    rows in the rewrite (deletes applied during the touched-file read,
+    i.e. materialized); (2) carry the delete files forward for the
+    UNTOUCHED files so their deletions still apply; (3) not let the
+    carried deletes mask the rewritten (newer-sequence) files."""
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "mergemor")
+    snapshot_commit(
+        spark,
+        tdir,
+        spark.createDataFrame([(i, "lo") for i in range(10)], "k bigint, v string"),
+    )  # seq 1, bounds [0, 9]
+    snapshot_commit(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(i, "hi") for i in range(10, 20)], "k bigint, v string"
+        ),
+    )  # seq 2, bounds [10, 19]
+    # MOR deletes spanning BOTH ranges: 2 (low, will be in touched files)
+    # and 15 (high, stays in carried files)
+    snapshot_delete_keys(
+        spark, tdir, spark.createDataFrame([(2,), (15,)], "k bigint"), key="k"
+    )
+    # merge touches ONLY the low range: update 3, delete 4, insert 2
+    # (re-insert of the MOR-deleted key 2 — NOT MATCHED because the MOR
+    # read hides it, so it INSERTS, and the carried delete must not
+    # mask the new higher-sequence file)
+    src = spark.createDataFrame(
+        [(3, "U", False), (4, None, True), (2, "back", False)],
+        "k bigint, v string, _delete boolean",
+    )
+    v = snapshot_merge(spark, tdir, src, key="k")
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, tdir, v).collect()}
+    want = {(i, "lo") for i in range(10) if i not in (2, 3, 4)}
+    want |= {(3, "U"), (2, "back")}
+    want |= {(i, "hi") for i in range(10, 20) if i != 15}  # 15 still deleted
+    assert got == want, got ^ want

@@ -721,6 +721,57 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNAPSHOT_COMMITS = 3  # the fixture table's commit count
 
 
+def _footer_column_bounds(path: str) -> dict:
+    """All-column (min, max) bounds from ONE parquet footer, restricted to
+    JSON-safe scalar types (int/float/str/bool) — computed ONCE at write
+    time and persisted in the manifest, exactly Iceberg's per-file
+    lower_bounds/upper_bounds (manifest entry fields 121/122) and Delta's
+    file stats.  A column with any row group missing min/max stats is
+    omitted (= cannot be used to skip); an unreadable footer yields {}.
+
+    Same ordering caveat as the old footer pass: bounds comparisons are
+    exact for integer and ASCII-string keys; for non-ASCII string keys
+    prefer an integer surrogate."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if (
+            ok
+            and isinstance(lo, (int, float, str, bool))
+            and isinstance(hi, (int, float, str, bool))
+        ):
+            out[name] = [lo, hi]
+    return out
+
+
+def _collect_file_bounds(table_dir: str, rel_files: list[str]) -> dict:
+    """Manifest ``file_bounds`` entries for freshly written files: one
+    footer read per NEW file, at write time, while the writer already
+    holds the files — never again at plan time.  A file maps to {} when
+    no column has usable stats (e.g. a zero-row part file): that is a
+    KNOWN no-stats record, distinct from a legacy manifest with no entry
+    at all (which falls back to a footer read)."""
+    return {
+        f: _footer_column_bounds(os.path.join(table_dir, f))
+        for f in rel_files
+    }
+
+
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Append ``df`` as the next commit of a manifest-versioned table and
     return the new version.  Data files land under data/commit-<N>/;
@@ -746,12 +797,14 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     ]
     prev: list[str] = []
     seqs: dict = {}
+    bounds: dict = {}
     carried: dict = {}
     if versions:
         with open(_manifest_path(table_dir, versions[-1])) as fh:
             pm = json.load(fh)
         prev = pm["files"]
         seqs = dict(pm.get("file_seqs", {}))
+        bounds = dict(pm.get("file_bounds", {}))
         # merge-on-read deletes survive appends: an append commit must
         # carry the delete files forward or deleted rows resurrect —
         # but they keep their OWN sequence numbers, so they do not
@@ -764,11 +817,15 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
                 "delete_key": pm["delete_key"],
             }
     seqs.update({f: new_v for f in rel})
+    # per-file column bounds recorded AT WRITE TIME (one footer read per
+    # new file, while the writer holds them) — Iceberg's manifest stats;
+    # plan-time consumers (snapshot_merge) never reopen footers
+    bounds.update(_collect_file_bounds(table_dir, rel))
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {"version": new_v, "files": prev + rel, "file_seqs": seqs,
-             **carried},
+             "file_bounds": bounds, **carried},
             fh,
         )
     os.replace(tmp, _manifest_path(table_dir, new_v))
@@ -1335,6 +1392,7 @@ def snapshot_compact(
                 "version": new_v,
                 "files": rel,
                 "file_seqs": {f: new_v for f in rel},
+                "file_bounds": _collect_file_bounds(table_dir, rel),
                 "compacted": True,
             },
             fh,
@@ -1478,43 +1536,43 @@ def snapshot_expire_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _file_key_bounds(
-    table_dir: str, files: list[str], key: str
+    table_dir: str,
+    files: list[str],
+    key: str,
+    manifest: dict | None = None,
 ) -> dict[str, tuple | None]:
-    """Per-file (min, max) of ``key`` from parquet footer statistics —
-    driver-side O(files) metadata, the same column bounds Iceberg stores
-    in its manifests (and Delta in its file stats) to skip files during
-    row-level operations.  A file with no usable stats maps to None
-    (= cannot be skipped).
+    """Per-file (min, max) of ``key`` for plan-time file skipping,
+    MANIFEST-FIRST: a file with a ``file_bounds`` record in the manifest
+    resolves from that record alone — pure driver-side metadata, zero
+    file I/O — exactly how Iceberg plans row-level operations from
+    manifest lower/upper bounds (and Delta from its file stats) without
+    ever touching data files.  Only files a LEGACY manifest never
+    recorded (pre-round-12 tables) fall back to one parquet-footer read
+    each.  A file with no usable stats maps to None (= cannot be
+    skipped; a recorded-but-statless file — e.g. a zero-row part — is
+    None WITHOUT a footer read).
+
+    At 100 TB this is the difference between O(1 manifest read) and
+    minutes of sequential footer I/O per MERGE on a 10^5-10^6-file
+    table.
 
     Ordering caveat: bounds comparisons assume the key's Python
     ordering matches parquet's stats ordering — exact for integer and
     ASCII-string keys (parquet string stats are byte-lexicographic and
     writers keep truncated stats as VALID bounds); for non-ASCII string
     keys prefer an integer surrogate key."""
-    import pyarrow.parquet as pq
-
+    recorded = (manifest or {}).get("file_bounds", {})
     out: dict[str, tuple | None] = {}
+    legacy = []
     for f in files:
-        lo = hi = None
-        try:
-            md = pq.ParquetFile(os.path.join(table_dir, f)).metadata
-            idx = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }
-            ci = idx.get(key)
-            if ci is None:
-                out[f] = None
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    lo = hi = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        except Exception:
-            lo = hi = None
-        out[f] = None if lo is None else (lo, hi)
+        if f in recorded:
+            b = recorded[f].get(key)
+            out[f] = tuple(b) if b else None
+        else:
+            legacy.append(f)
+    for f in legacy:
+        b = _footer_column_bounds(os.path.join(table_dir, f)).get(key)
+        out[f] = tuple(b) if b else None
     return out
 
 
@@ -1547,6 +1605,7 @@ def snapshot_rollback(
         in (
             "files",
             "file_seqs",
+            "file_bounds",
             "delete_files",
             "delete_seqs",
             "delete_parts",
@@ -1623,7 +1682,16 @@ def snapshot_stage(
     ]
     tmp = os.path.join(table_dir, f".staged-{name}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"stage": name, "files": rel}, fh)
+        json.dump(
+            {
+                "stage": name,
+                "files": rel,
+                # bounds recorded at stage-write time so PUBLISH stays
+                # purely metadata (no footer reads at promote time)
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+            },
+            fh,
+        )
     os.replace(tmp, os.path.join(table_dir, f"staged-{name}.json"))
     return name
 
@@ -1655,12 +1723,14 @@ def snapshot_publish(table_dir: str, name: str) -> int:
     new_v = (versions[-1] if versions else 0) + 1
     prev: list[str] = []
     seqs: dict = {}
+    bounds: dict = {}
     carried: dict = {}
     if versions:
         with open(_manifest_path(table_dir, versions[-1])) as fh:
             pm = json.load(fh)
         prev = pm["files"]
         seqs = dict(pm.get("file_seqs", {}))
+        bounds = dict(pm.get("file_bounds", {}))
         if pm.get("delete_files"):
             carried = {
                 "delete_files": pm["delete_files"],
@@ -1669,6 +1739,12 @@ def snapshot_publish(table_dir: str, name: str) -> int:
                 "delete_key": pm["delete_key"],
             }
     seqs.update({f: new_v for f in staged["files"]})
+    # bounds were computed at snapshot_stage write time; legacy staged
+    # manifests (no file_bounds) get one footer pass now, at publish
+    bounds.update(
+        staged.get("file_bounds")
+        or _collect_file_bounds(table_dir, staged["files"])
+    )
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -1676,6 +1752,7 @@ def snapshot_publish(table_dir: str, name: str) -> int:
                 "version": new_v,
                 "files": prev + staged["files"],
                 "file_seqs": seqs,
+                "file_bounds": bounds,
                 "published_stage": name,
                 **carried,
             },
@@ -1701,10 +1778,13 @@ def snapshot_merge(
     production COW shape (Delta's merge / Iceberg's copy-on-write
     row-level ops), not a full-table rewrite:
 
-      1. FILE SKIP (metadata): per-file key (min, max) from parquet
-         footers — the bounds Iceberg keeps in manifests — joined
-         against the source keys; files whose range contains no source
-         key are CANDIDATE-pruned without reading data.
+      1. FILE SKIP (metadata): per-file key (min, max) read from the
+         MANIFEST — recorded once at write time by every committer,
+         exactly Iceberg's manifest lower/upper bounds — joined against
+         the source keys; files whose range contains no source key are
+         CANDIDATE-pruned with zero file I/O (parquet footers are
+         consulted only for legacy manifests that predate recorded
+         bounds).
       2. TOUCHED-FILE SCAN (exact): one key-column scan of the
          candidates tagged with ``_metadata.file_path``, semi-joined
          to the source keys — Delta's touched-file detection join.
@@ -1760,8 +1840,9 @@ def snapshot_merge(
         )
     src_keys = source.select(key)
 
-    # 1. metadata file skip on footer key bounds
-    bounds = _file_key_bounds(table_dir, all_files, key)
+    # 1. metadata file skip on MANIFEST key bounds (recorded at write
+    #    time; footer fallback only for legacy manifests)
+    bounds = _file_key_bounds(table_dir, all_files, key, manifest)
     cand = [f for f in all_files if bounds[f] is None]
     bounded = [(f, *bounds[f]) for f in all_files if bounds[f] is not None]
     if bounded:
@@ -1837,10 +1918,16 @@ def snapshot_merge(
     ]
     new_seqs = {f: fseqs.get(f, 0) for f in untouched}
     new_seqs.update({f: new_v for f in rel})
+    prev_bounds = manifest.get("file_bounds", {})
+    new_bounds = {
+        f: prev_bounds[f] for f in untouched if f in prev_bounds
+    }
+    new_bounds.update(_collect_file_bounds(table_dir, rel))
     out = {
         "version": new_v,
         "files": untouched + rel,
         "file_seqs": new_seqs,
+        "file_bounds": new_bounds,
         "merged": True,
     }
     # carried untouched files may still need the old delete files (their
@@ -2552,6 +2639,7 @@ def snapshot_delete_keys(
                 "version": new_v,
                 "files": manifest["files"],
                 "file_seqs": manifest.get("file_seqs", {}),
+                "file_bounds": manifest.get("file_bounds", {}),
                 "delete_files": manifest.get("delete_files", []) + rel,
                 "delete_seqs": dseqs,
                 "delete_parts": parts,

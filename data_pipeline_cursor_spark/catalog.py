@@ -850,6 +850,20 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _parse_part_dir(s: str) -> tuple[str, str]:
+    """Split a recorded partition-dir segment ``col=value`` and UNDO the
+    path escaping Spark applies when writing partition directories
+    (ExternalCatalogUtils.escapePathName percent-encodes ``:/ #%`` etc.)
+    — comparing or replaying the RAW dir string against an unescaped
+    value silently mismatches for any special-character partition value,
+    which would make a pruned read skip its own partition's delete
+    files and resurrect deleted rows."""
+    from urllib.parse import unquote
+
+    col, _, raw = s.partition("=")
+    return col, unquote(raw)
+
+
 def _applicable_delete_files(
     manifest: dict, partition: tuple | None = None
 ) -> list[tuple[str, int | None]]:
@@ -866,7 +880,7 @@ def _applicable_delete_files(
     for f in manifest.get("delete_files", []):
         if partition is not None and f in dparts:
             col, val = partition
-            if dparts[f] != f"{col}={val}":
+            if _parse_part_dir(dparts[f]) != (col, str(val)):
                 continue
         out.append((f, dseqs.get(f)))
     return out
@@ -886,11 +900,20 @@ def _read_files_with_deletes(
     visible again.  Data files are grouped by their applicable delete
     set (#groups <= #commits, driver-side metadata); each group
     anti-joins its delete keys — small by contract, AQE plans a
-    broadcast anti-join — and the groups union back."""
+    broadcast anti-join — and the groups union back.
+
+    PARTITION-scoped delete files (delete_parts) apply only to rows OF
+    THAT PARTITION — Iceberg restricts a partition-scoped delete file
+    to its partition's data.  On an unpruned read the scoped key sets
+    are replayed with their recorded (unescaped) partition value and
+    anti-joined on (key, partition_col), so a key deleted in hour=1
+    never masks the same key's rows in hour=2; unscoped table-wide
+    deletes anti-join on the key alone as before."""
     from functools import reduce
 
     dels = _applicable_delete_files(manifest, partition)
     fseqs = manifest.get("file_seqs", {})
+    dparts = manifest.get("delete_parts", {})
 
     def full(paths):
         return spark.read.parquet(
@@ -911,9 +934,36 @@ def _read_files_with_deletes(
         parts = []
         for applicable, flist in groups.items():
             g = full(flist)
-            if applicable:
-                kd = full(list(applicable)).select(key).distinct()
+            unscoped = [d for d in applicable if d not in dparts]
+            scoped = [d for d in applicable if d in dparts]
+            if unscoped:
+                kd = full(unscoped).select(key).distinct()
                 g = g.join(kd, on=key, how="left_anti")
+            if scoped:
+                by_part: dict[str, list[str]] = {}
+                for d in scoped:
+                    by_part.setdefault(dparts[d], []).append(d)
+                pcols = {_parse_part_dir(p)[0] for p in by_part}
+                if len(pcols) != 1:
+                    raise ValueError(
+                        f"mixed partition columns in delete files: {pcols}"
+                    )
+                pcol = pcols.pop()
+                ptype = dict(g.dtypes)[pcol]
+                scoped_keys = reduce(
+                    DataFrame.unionByName,
+                    [
+                        full(fl)
+                        .select(key)
+                        .distinct()
+                        .withColumn(
+                            pcol,
+                            F.lit(_parse_part_dir(p)[1]).cast(ptype),
+                        )
+                        for p, fl in by_part.items()
+                    ],
+                )
+                g = g.join(scoped_keys, on=[key, pcol], how="left_anti")
             parts.append(g)
         df = reduce(DataFrame.unionByName, parts)
     if partition is not None:

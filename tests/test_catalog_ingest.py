@@ -827,3 +827,86 @@ def test_merge_plans_from_manifest_bounds_zero_footer_io(
         m3 = json.load(fh)
     new_files = [f for f in m3["files"] if f"commit-{v3}" in f]
     assert all(f in m3["file_bounds"] for f in new_files)
+
+
+def test_partition_scoped_delete_is_partition_local(spark, tmp_path):
+    """ADVICE r11 (medium): a partition-scoped delete file applies ONLY
+    to its own partition's rows.  Keys here repeat across partitions —
+    deleting key k=7 scoped to hour=1 must NOT remove the k=7 rows of
+    hour=0 / hour=2 on an UNPRUNED read (Iceberg restricts a
+    partition-scoped delete file to its partition's data)."""
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "partlocal")
+    # same key set {0..4} in every partition
+    base = spark.createDataFrame(
+        [(k, h, f"h{h}k{k}") for h in range(3) for k in range(5)],
+        "k bigint, hour int, v string",
+    )
+    snapshot_commit(spark, tdir, base)
+    dels = spark.createDataFrame([(2, 1), (3, 1)], "k bigint, hour int")
+    snapshot_delete_keys(spark, tdir, dels, key="k", partition_col="hour")
+
+    got = {
+        (r["k"], r["hour"]) for r in snapshot_read(spark, tdir).collect()
+    }
+    expect = {
+        (k, h) for h in range(3) for k in range(5)
+    } - {(2, 1), (3, 1)}
+    assert got == expect, (
+        f"scoped delete leaked across partitions: missing "
+        f"{expect - got}, extra {got - expect}"
+    )
+    # pruned reads agree with the unpruned view per partition
+    for h in range(3):
+        pr = {
+            r["k"]
+            for r in snapshot_read(
+                spark, tdir, partition=("hour", h)
+            ).collect()
+        }
+        assert pr == {k for (k, hh) in expect if hh == h}
+
+
+def test_partition_scoped_delete_special_char_value(spark, tmp_path):
+    """ADVICE r11 (low): Spark URL-escapes special characters in
+    partition directory names ('2024-01-01 10:00' -> '...10%3A00'); the
+    recorded delete_parts dir string must be UNESCAPED before comparing
+    against the caller's raw partition value, or a pruned read skips
+    its own partition's delete files and resurrects deleted rows."""
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "specialpart")
+    hours = ["2024-01-01 10:00", "2024-01-01 11:00"]
+    base = spark.createDataFrame(
+        [(k, h, "x") for h in hours for k in range(4)],
+        "k bigint, hr string, v string",
+    )
+    snapshot_commit(spark, tdir, base)
+    dels = spark.createDataFrame([(1, hours[0])], "k bigint, hr string")
+    snapshot_delete_keys(spark, tdir, dels, key="k", partition_col="hr")
+
+    # pruned read of the partition WITH the delete applies it
+    pr0 = {
+        r["k"]
+        for r in snapshot_read(spark, tdir, partition=("hr", hours[0])).collect()
+    }
+    assert pr0 == {0, 2, 3}, pr0
+    # the sibling partition keeps its k=1 row, pruned and unpruned
+    pr1 = {
+        r["k"]
+        for r in snapshot_read(spark, tdir, partition=("hr", hours[1])).collect()
+    }
+    assert pr1 == {0, 1, 2, 3}, pr1
+    got = {(r["k"], r["hr"]) for r in snapshot_read(spark, tdir).collect()}
+    assert got == {
+        (k, h) for h in hours for k in range(4)
+    } - {(1, hours[0])}

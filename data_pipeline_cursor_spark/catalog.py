@@ -1081,6 +1081,7 @@ def read_snapshot_sql(
     table_dir: str,
     version: int | None = None,
     view: str = "snapshot_asof",
+    ref: str | None = None,
 ) -> str:
     """Expose a pinned snapshot to ``spark.sql`` users: registers the
     versioned read (snapshot_read — exact file list, MOR deletes
@@ -1088,9 +1089,16 @@ def read_snapshot_sql(
     ``SELECT ... FROM t VERSION AS OF v`` syntax the reference's users
     get from Trino on Iceberg (/root/reference/README.md time-travel
     examples), approximated for SQL sessions without the Iceberg jars.
-    The view holds the LOGICAL plan, so later commits cannot leak in
-    (the file list is resolved at registration) and every SQL query
+    ``ref=`` resolves a branch/tag name instead (Iceberg's
+    ``FOR VERSION AS OF 'ref'`` string form); mutually exclusive with
+    ``version``.  The view holds the LOGICAL plan, so later commits —
+    and later RETARGETS of the ref — cannot leak in (both the ref and
+    the file list are resolved at registration) and every SQL query
     over it keeps pushdown/pruning."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        version = resolve_ref(table_dir, ref)
     snapshot_read(spark, table_dir, version).createOrReplaceTempView(view)
     return view
 
@@ -1819,6 +1827,134 @@ def discard_staged(table_dir: str, name: str) -> None:
     os.remove(os.path.join(table_dir, f"staged-{name}.json"))
 
 
+# ---------------------------------------------------------------------------
+# Branch / tag refs over the snapshot line (Iceberg refs: named pointers
+# snapshot-ref entries in table metadata — `CREATE BRANCH` / `CREATE TAG` /
+# `FOR VERSION AS OF 'ref'`).  A ref is a NAME → VERSION pointer stored in
+# refs.json next to the manifests and updated by one atomic file replace:
+# a BRANCH may be retargeted (fast-forward after an audit, reset after a
+# bad load), a TAG is immutable once created (the governed release marker).
+# Readers pinned to a ref are isolated from every other ref's movement —
+# publishing new commits to an "audit" branch never moves "main"'s read
+# until main is explicitly fast-forwarded, which is Iceberg's
+# write-audit-publish-to-branch workflow (the staging half is A24).
+#
+# Model note: manifests form ONE linear version history here (like git
+# refs over a linear log), so a branch point never diverges — the subset
+# of Iceberg refs that WAP, release tagging, and audit isolation actually
+# use.  Divergent branch lines would need per-ref manifest chains; the
+# gated Iceberg DDL remains the production rung for that.
+# ---------------------------------------------------------------------------
+
+
+def _refs_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "refs.json")
+
+
+def snapshot_refs(table_dir: str) -> dict:
+    """All refs: {name: {"version": V, "kind": "branch"|"tag"}}."""
+    import json
+
+    p = _refs_path(table_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_refs(table_dir: str, refs: dict) -> None:
+    import json
+
+    tmp = os.path.join(table_dir, ".refs.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, _refs_path(table_dir))  # atomic publish, like manifests
+
+
+def create_ref(
+    table_dir: str, name: str, version: int | None = None,
+    kind: str = "branch",
+) -> int:
+    """CREATE BRANCH/TAG at ``version`` (None = latest committed).
+    Fail-stops on an existing name (retarget_ref is the explicit verb
+    for moving a branch) or an uncommitted version."""
+    if kind not in ("branch", "tag"):
+        raise ValueError(f"ref kind must be branch|tag, got {kind!r}")
+    _check_ident(name)
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    refs = snapshot_refs(table_dir)
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists ({refs[name]})")
+    refs[name] = {"version": v, "kind": kind}
+    _write_refs(table_dir, refs)
+    return v
+
+
+def retarget_ref(table_dir: str, name: str, version: int) -> int:
+    """Move a BRANCH to ``version`` (fast-forward after a green audit,
+    or reset after a bad load) — one atomic refs.json replace, so a
+    concurrent reader resolves either the old or the new target, never
+    a torn state.  A TAG is immutable: retargeting one fail-stops
+    (Iceberg tags carry the same guarantee)."""
+    refs = snapshot_refs(table_dir)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r}")
+    if refs[name]["kind"] == "tag":
+        raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+    versions = snapshot_versions(table_dir)
+    if version not in versions:
+        raise ValueError(f"version {version} not committed (have {versions})")
+    refs[name]["version"] = version
+    _write_refs(table_dir, refs)
+    return version
+
+
+def drop_ref(table_dir: str, name: str) -> None:
+    """Drop a ref (branch or tag); the snapshots it pointed at stay
+    committed and readable by version — refs are pure metadata."""
+    refs = snapshot_refs(table_dir)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r}")
+    del refs[name]
+    _write_refs(table_dir, refs)
+
+
+def resolve_ref(table_dir: str, name: str) -> int:
+    """Ref name → pinned version (fail-stop on unknown name)."""
+    refs = snapshot_refs(table_dir)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r} (have {sorted(refs)})")
+    return refs[name]["version"]
+
+
+def publish_to_branch(table_dir: str, stage: str, branch: str) -> int:
+    """WAP composed with refs: promote a staged write (A24's audit
+    object) into the next committed version AND point ``branch`` at it —
+    Iceberg's write-audit-publish-to-branch (`spark.wap.branch`).
+    Readers of every OTHER ref (e.g. "main") are untouched until an
+    explicit retarget_ref fast-forward — the audit isolation the
+    governed-load workflow needs.  Returns the new version."""
+    refs = snapshot_refs(table_dir)
+    if branch in refs and refs[branch]["kind"] == "tag":
+        # validate BEFORE publishing: a failed call must not leave a
+        # committed version behind with its stage consumed
+        raise ValueError(f"ref {branch!r} is a tag — cannot publish to it")
+    _check_ident(branch)
+    new_v = snapshot_publish(table_dir, stage)
+    refs = snapshot_refs(table_dir)
+    if branch in refs:
+        refs[branch]["version"] = new_v
+        _write_refs(table_dir, refs)
+    else:
+        create_ref(table_dir, branch, new_v, kind="branch")
+    return new_v
+
+
 def snapshot_merge(
     spark: SparkSession, table_dir: str, source: DataFrame, key: str
 ) -> int:
@@ -2408,6 +2544,100 @@ def wap_publish_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "wp")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_branch_read",
+    oracle="""
+    WITH u AS (
+      SELECT 'main' AS branch, event_id, event_type
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'audit' AS branch, event_id, event_type FROM events
+    )
+    SELECT branch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('br:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM u GROUP BY branch, event_type
+    """,
+)
+def branch_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH/TAG REFS over the snapshot line (Iceberg snapshot refs —
+    `CREATE BRANCH`/`CREATE TAG`/`FOR VERSION AS OF 'ref'` — composed
+    with write-audit-publish: `spark.wap.branch`).  The fixture drives
+    the governed-load workflow the reference's format_version=2 tables
+    anchor (trino/sql/init-tables.sql:9): the even-key base is committed
+    and branch "main" plus release tag "rel_v1" pin version 1; the
+    odd-key nightly batch is STAGED, then published TO THE "audit"
+    BRANCH (publish_to_branch) — main's pointer never moves, so its
+    readers keep seeing exactly the base while audit readers see
+    base + nightly.
+
+    The query reads BOTH refs through the SQL surface
+    (read_snapshot_sql ref=) and unions them labeled: the DuckDB oracle
+    replays main as the even-key residue and audit as the full table —
+    one hash proves BOTH reads exact SIMULTANEOUSLY, i.e. ref isolation
+    itself (a leak of the nightly batch into main, or a stale audit
+    read, flips one branch's counts/checksums).  Tag immutability,
+    atomic retarget (fast-forward), and fail-stops are pinned by the
+    invariant test.
+
+    100 TB: refs are O(1) metadata on top of O(files) manifests —
+    creating, reading, and retargeting never touch data files, which is
+    why Iceberg WAP-to-branch costs nothing over the write itself."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapbranch-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        snapshot_commit(spark, table_dir, ev.filter(F.col("event_id") % 2 == 0))
+        create_ref(table_dir, "main", 1, kind="branch")
+        create_ref(table_dir, "rel_v1", 1, kind="tag")
+        versions = [1]
+    refs = snapshot_refs(table_dir)
+    if versions[-1] == 1 and "audit" in refs:
+        # refs exist but the audit publish never landed: half-built
+        raise RuntimeError(
+            f"q_branch_read: half-built fixture at {table_dir} "
+            "(audit ref without its commit) — clear the directory"
+        )
+    if "audit" not in refs:
+        if versions[-1] != 1 or "main" not in refs:
+            raise RuntimeError(
+                f"q_branch_read: half-built fixture at {table_dir} "
+                f"(versions={versions}, refs={sorted(refs)}) — clear the "
+                "directory"
+            )
+        snapshot_stage(
+            spark, table_dir, ev.filter(F.col("event_id") % 2 == 1),
+            name="nightly",
+        )
+        publish_to_branch(table_dir, "nightly", "audit")
+    main_view = read_snapshot_sql(
+        spark, table_dir, ref="main", view="branch_main"
+    )
+    audit_view = read_snapshot_sql(
+        spark, table_dir, ref="audit", view="branch_audit"
+    )
+    u = spark.table(main_view).withColumn(
+        "branch", F.lit("main")
+    ).unionByName(
+        spark.table(audit_view).withColumn("branch", F.lit("audit"))
+    )
+    return u.groupBy("branch", "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "br")).alias(
             "checksum"
         ),
     )

@@ -910,3 +910,77 @@ def test_partition_scoped_delete_special_char_value(spark, tmp_path):
     assert got == {
         (k, h) for h in hours for k in range(4)
     } - {(1, hours[0])}
+
+
+def test_snapshot_refs_contract(spark, tmp_path):
+    """Branch/tag refs (round-12 item 3) beyond the oracle: (1) a ref
+    reader is pinned — publishing to another branch never moves it;
+    (2) retarget (fast-forward) is explicit and atomic, and moves the
+    branch's read; (3) tags are immutable; (4) unknown names and
+    uncommitted versions fail-stop; (5) a registered SQL view resolves
+    the ref AT REGISTRATION (a later retarget cannot leak in);
+    (6) drop_ref leaves the snapshots readable by version."""
+    import pytest
+
+    from data_pipeline_cursor_spark.catalog import (
+        create_ref,
+        drop_ref,
+        publish_to_branch,
+        read_snapshot_sql,
+        resolve_ref,
+        retarget_ref,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_refs,
+        snapshot_stage,
+    )
+
+    tdir = str(tmp_path / "refs")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    create_ref(tdir, "main", kind="branch")      # -> v1 (latest)
+    create_ref(tdir, "rel1", 1, kind="tag")
+    assert resolve_ref(tdir, "main") == 1 and resolve_ref(tdir, "rel1") == 1
+
+    # stage + publish to an audit branch; main must not move
+    snapshot_stage(
+        spark, tdir,
+        spark.createDataFrame([(2, "b")], "k bigint, v string"),
+        name="load",
+    )
+    # pin the main view BEFORE the branch publish (resolves at registration)
+    view = read_snapshot_sql(spark, tdir, ref="main", view="refs_main_pin")
+    v2 = publish_to_branch(tdir, "load", "audit")
+    assert v2 == 2
+    assert resolve_ref(tdir, "audit") == 2
+    assert resolve_ref(tdir, "main") == 1  # isolation
+    assert {r["k"] for r in snapshot_read(spark, tdir, resolve_ref(tdir, "main")).collect()} == {1}
+    assert {r["k"] for r in snapshot_read(spark, tdir, resolve_ref(tdir, "audit")).collect()} == {1, 2}
+
+    # explicit fast-forward moves main; the pre-registered view does NOT move
+    retarget_ref(tdir, "main", v2)
+    assert resolve_ref(tdir, "main") == 2
+    assert {r["k"] for r in spark.table(view).collect()} == {1}
+
+    # tag immutability + fail-stops
+    with pytest.raises(ValueError, match="immutable"):
+        retarget_ref(tdir, "rel1", v2)
+    snapshot_stage(
+        spark, tdir,
+        spark.createDataFrame([(3, "c")], "k bigint, v string"),
+        name="bad",
+    )
+    with pytest.raises(ValueError, match="cannot publish"):
+        publish_to_branch(tdir, "bad", "rel1")
+    with pytest.raises(KeyError):
+        resolve_ref(tdir, "nope")
+    with pytest.raises(ValueError, match="not committed"):
+        create_ref(tdir, "future", 99)
+    with pytest.raises(ValueError, match="already exists"):
+        create_ref(tdir, "main", 1)
+
+    # drop: metadata-only
+    drop_ref(tdir, "rel1")
+    assert "rel1" not in snapshot_refs(tdir)
+    assert {r["k"] for r in snapshot_read(spark, tdir, 1).collect()} == {1}

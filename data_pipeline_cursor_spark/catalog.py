@@ -1955,6 +1955,187 @@ def publish_to_branch(table_dir: str, stage: str, branch: str) -> int:
     return new_v
 
 
+# ---------------------------------------------------------------------------
+# Partition-transform evolution (Iceberg partition-spec evolution): the
+# reference's lakehouse is laid out hour(ts) (trino/sql/init-tables.sql:11);
+# a table that later REGRAINS to day(ts) must keep old commits readable —
+# Iceberg never rewrites old data on a spec change; each manifest entry
+# remembers the spec its file was written under, and split planning prunes
+# each generation BY ITS OWN TRANSFORM.  Same mechanism here: each
+# partitioned commit records, per file, the transform + partition value it
+# was written under; a time-range read prunes every file against its own
+# generation's grain, driver-side from the manifest, before the scan.
+# ---------------------------------------------------------------------------
+
+# transform -> (Spark date_format pattern, strptime pattern, seconds/grain)
+PARTITION_TRANSFORMS = {
+    "hour": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H", 3600),
+    "day": ("yyyy-MM-dd", "%Y-%m-%d", 86400),
+}
+
+
+def snapshot_commit_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    transform: str,
+    ts_col: str = "ts",
+) -> int:
+    """Append ``df`` as the next commit, laid out by ``transform(ts_col)``
+    (hour | day) — data files land under
+    data/commit-<N>/_part=<value>/, and the manifest records EACH FILE's
+    transform + partition value (``file_partitions``), which is exactly
+    the spec-id + partition tuple an Iceberg manifest entry carries.
+    Different commits may use different transforms; readers prune each
+    file by its own recorded grain (snapshot_read_time_range).
+
+    The input is repartitioned on the derived partition value before the
+    write (PLANS.md rewrite 3) so T tasks x P partitions cannot open
+    T*P tiny files."""
+    import json
+
+    spec = PARTITION_TRANSFORMS.get(transform)
+    if spec is None:
+        raise ValueError(
+            f"unknown transform {transform!r} "
+            f"(have {sorted(PARTITION_TRANSFORMS)})"
+        )
+    fmt_spark = spec[0]
+    versions = snapshot_versions(table_dir)
+    new_v = (versions[-1] if versions else 0) + 1
+    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    part = F.date_format(F.col(ts_col), fmt_spark).alias("_part")
+    (
+        df.withColumn("_part", part)
+        .repartition(F.col("_part"))
+        .write.mode("overwrite")
+        .partitionBy("_part")
+        .parquet(data_dir)
+    )
+    rel: list[str] = []
+    fparts: dict[str, dict] = {}
+    for pdir in sorted(os.listdir(data_dir)):
+        if not pdir.startswith("_part="):
+            continue
+        _, pval = _parse_part_dir(pdir)
+        for f in sorted(os.listdir(os.path.join(data_dir, pdir))):
+            if f.endswith(".parquet"):
+                r = os.path.join("data", f"commit-{new_v}", pdir, f)
+                rel.append(r)
+                fparts[r] = {"transform": transform, "value": pval}
+    prev: list[str] = []
+    seqs: dict = {}
+    bounds: dict = {}
+    carried: dict = {}
+    prev_fparts: dict = {}
+    if versions:
+        with open(_manifest_path(table_dir, versions[-1])) as fh:
+            pm = json.load(fh)
+        prev = pm["files"]
+        seqs = dict(pm.get("file_seqs", {}))
+        bounds = dict(pm.get("file_bounds", {}))
+        prev_fparts = dict(pm.get("file_partitions", {}))
+        if pm.get("delete_files"):
+            carried = {
+                "delete_files": pm["delete_files"],
+                "delete_seqs": pm.get("delete_seqs", {}),
+                "delete_parts": pm.get("delete_parts", {}),
+                "delete_key": pm["delete_key"],
+            }
+    seqs.update({f: new_v for f in rel})
+    bounds.update(_collect_file_bounds(table_dir, rel))
+    prev_fparts.update(fparts)
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": new_v,
+                "files": prev + rel,
+                "file_seqs": seqs,
+                "file_bounds": bounds,
+                "file_partitions": prev_fparts,
+                **carried,
+            },
+            fh,
+        )
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+def _time_range_files(
+    manifest: dict, lo, hi
+) -> tuple[list[str], list[str]]:
+    """Manifest-driven split planning for a half-open [lo, hi) time-range
+    read: each file with a recorded (transform, value) is kept only if
+    its OWN grain's interval intersects the range — the hour-generation
+    files prune at hour grain, the day-generation files at day grain,
+    in one pass, exactly Iceberg's per-spec partition pruning.  Files
+    with no recorded partition (unpartitioned generations) cannot be
+    pruned and are always kept.  Returns (kept, pruned) relpaths —
+    pure driver-side metadata, no file I/O."""
+    from datetime import datetime, timedelta
+
+    fparts = manifest.get("file_partitions", {})
+    kept, pruned = [], []
+    for f in manifest["files"]:
+        rec = fparts.get(f)
+        if rec is None:
+            kept.append(f)
+            continue
+        _, fmt_py, secs = PARTITION_TRANSFORMS[rec["transform"]]
+        start = datetime.strptime(rec["value"], fmt_py)
+        end = start + timedelta(seconds=secs)
+        (kept if (start < hi and end > lo) else pruned).append(f)
+    return kept, pruned
+
+
+def snapshot_read_time_range(
+    spark: SparkSession,
+    table_dir: str,
+    lo: str,
+    hi: str,
+    ts_col: str = "ts",
+    version: int | None = None,
+) -> DataFrame:
+    """Time-range read over a table whose partition transform EVOLVED
+    (hour(ts) commits followed by day(ts) commits — Iceberg
+    partition-spec evolution on the reference's hour layout): files are
+    pruned driver-side from the manifest, EACH BY ITS OWN generation's
+    transform, then the surviving files are scanned (MOR deletes
+    applied) with the exact half-open predicate as the residual filter.
+    ``lo``/``hi`` are 'YYYY-MM-DD HH:MM:SS' strings, interpreted in the
+    session timezone exactly like the residual predicate itself.
+
+    100 TB: split planning is O(files) manifest metadata; the scan
+    reads only intersecting partitions of BOTH generations — a regrain
+    never forces a rewrite and never disables pruning on either side
+    (the two failure modes of hand-rolled layout migrations)."""
+    import json
+    from datetime import datetime
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    lo_dt = datetime.strptime(lo, "%Y-%m-%d %H:%M:%S")
+    hi_dt = datetime.strptime(hi, "%Y-%m-%d %H:%M:%S")
+    kept, _ = _time_range_files(manifest, lo_dt, hi_dt)
+    if not kept:
+        return (
+            _read_files_with_deletes(
+                spark, table_dir, manifest["files"], manifest
+            )
+            .filter(F.lit(False))
+        )
+    df = _read_files_with_deletes(spark, table_dir, kept, manifest)
+    return df.filter(
+        (F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(hi).cast("timestamp"))
+    )
+
+
 def snapshot_merge(
     spark: SparkSession, table_dir: str, source: DataFrame, key: str
 ) -> int:
@@ -2638,6 +2819,79 @@ def branch_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("branch", "event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "br")).alias(
+            "checksum"
+        ),
+    )
+
+
+EVOLUTION_SPLIT = "2024-01-16 00:00:00"  # hour-grain commits before, day after
+EVOLUTION_RANGE = ("2024-01-14 00:00:00", "2024-01-18 00:00:00")
+
+
+@register(
+    "q_partition_evolution",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('pe:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    WHERE ts >= TIMESTAMP '{EVOLUTION_RANGE[0]}'
+      AND ts <  TIMESTAMP '{EVOLUTION_RANGE[1]}'
+    GROUP BY event_type
+    """,
+)
+def partition_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-TRANSFORM EVOLUTION READ (Iceberg partition-spec
+    evolution; the reference's hour(ts) layout,
+    trino/sql/init-tables.sql:11, regrained to day(ts)): the fixture
+    commits the month's first half hour-partitioned and the second half
+    day-partitioned — the exact state of a production table that
+    outgrew hourly partitions — then reads a time range SPANNING the
+    regrain boundary.  Split planning prunes each file by its OWN
+    generation's transform from the manifest (no data rewrite, no
+    pruning loss on either side).
+
+    The DuckDB oracle is the plain half-open ts predicate over the full
+    events table: a hash match proves the two-generation read returns
+    exactly the single-layout answer — rows lost by over-pruning or
+    doubled across generations flip count/checksum.  The plan-shape
+    test pins that each generation pruned at its own grain
+    (out-of-range hour dirs AND out-of-range day dirs absent from
+    inputFiles)."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapevol-{fp}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    split = F.lit(EVOLUTION_SPLIT).cast("timestamp")
+    versions = snapshot_versions(table_dir)
+    if len(versions) == 1:
+        raise RuntimeError(
+            f"q_partition_evolution: half-built fixture at {table_dir} "
+            "(hour generation committed, day generation missing) — clear "
+            "the directory"
+        )
+    if not versions:
+        snapshot_commit_partitioned(
+            spark, table_dir, ev.filter(F.col("ts") < split), "hour"
+        )
+        snapshot_commit_partitioned(
+            spark, table_dir, ev.filter(F.col("ts") >= split), "day"
+        )
+    snap = snapshot_read_time_range(
+        spark, table_dir, EVOLUTION_RANGE[0], EVOLUTION_RANGE[1]
+    )
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "pe")).alias(
             "checksum"
         ),
     )

@@ -891,3 +891,26 @@ def test_gdpr_stream_read_is_broadcast_anti(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_partition_evolution_prunes_each_generation_at_own_grain(spark):
+    """q_partition_evolution: the [2024-01-14, 2024-01-18) read spans
+    the hour->day regrain; the scanned file set must (1) contain files
+    from BOTH generations, (2) contain NO hour-generation dir outside
+    the range's hours, (3) contain NO day-generation dir outside its
+    days — i.e. each generation was pruned by ITS OWN transform, from
+    manifest metadata alone."""
+    df = get_queries()["q_partition_evolution"](spark, SF_SMOKE)
+    files = df.inputFiles()
+    hour_files = [f for f in files if "commit-1/" in f]
+    day_files = [f for f in files if "commit-2/" in f]
+    assert hour_files and day_files, files
+
+    def pval(f):
+        seg = [s for s in f.split("/") if s.startswith("_part=")][0]
+        return seg.split("=", 1)[1]
+
+    for f in hour_files:  # hour grain: 2024-01-14-00 .. 2024-01-15-23
+        assert "2024-01-14-00" <= pval(f) <= "2024-01-15-23", f
+    for f in day_files:   # day grain: 2024-01-16 .. 2024-01-17
+        assert "2024-01-16" <= pval(f) <= "2024-01-17", f

@@ -2136,6 +2136,109 @@ def snapshot_read_time_range(
     )
 
 
+def _merge_check_source(source: DataFrame, key: str) -> DataFrame:
+    """Materialize the MERGE source once (localCheckpoint — it has four
+    consumers, same reason Delta materializes MERGE sources) and enforce
+    the unique-source-key precondition (a multiply-matched target row
+    makes MERGE nondeterministic; Delta/Iceberg raise the same way)."""
+    source = source.localCheckpoint(eager=True)
+    dup = (
+        source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "snapshot_merge: duplicate source keys — MERGE requires a "
+            "unique source key per target row"
+        )
+    return source
+
+
+def _merge_detect_touched(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    source: DataFrame,
+    key: str,
+) -> tuple[list[str], list[str]]:
+    """Steps 1+2 of the COW merge, shared by the plain and bucketed
+    paths: (1) manifest-bounds file skip (zero file I/O), (2) exact
+    touched-file detection via a one-column semi-join scan of the
+    candidates.  Returns (touched, untouched) relpaths."""
+    import re
+
+    all_files = manifest["files"]
+    src_keys = source.select(key)
+
+    # 1. metadata file skip on MANIFEST key bounds (recorded at write
+    #    time; footer fallback only for legacy manifests)
+    bounds = _file_key_bounds(table_dir, all_files, key, manifest)
+    cand = [f for f in all_files if bounds[f] is None]
+    bounded = [(f, *bounds[f]) for f in all_files if bounds[f] is not None]
+    if bounded:
+        key_type = dict(source.dtypes)[key]
+        bdf = spark.createDataFrame(
+            bounded, f"_bfile string, _blo {key_type}, _bhi {key_type}"
+        )
+        hits = (
+            F.broadcast(bdf)
+            .join(
+                src_keys,
+                (F.col(key) >= F.col("_blo")) & (F.col(key) <= F.col("_bhi")),
+                "left_semi",
+            )
+            .select("_bfile")
+            .distinct()
+            .collect()
+        )
+        cand += [r["_bfile"] for r in hits]
+
+    # 2. exact touched-file detection: key-column scan of candidates
+    touched: list[str] = []
+    if cand:
+        rel_of = {
+            os.path.abspath(os.path.join(table_dir, f)): f for f in cand
+        }
+        scan = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in cand]
+        ).select(
+            F.col(key), F.col("_metadata.file_path").alias("_fp")
+        )
+        fps = (
+            scan.join(src_keys, on=key, how="left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        )
+        for r in fps:
+            p = os.path.abspath(re.sub(r"^file:/*", "/", r["_fp"]))
+            touched.append(rel_of[p])
+    touched_set = set(touched)
+    untouched = [f for f in all_files if f not in touched_set]
+    return touched, untouched
+
+
+def _merge_clause_resolve(
+    target: DataFrame, source: DataFrame, key: str
+) -> DataFrame:
+    """The three standard MERGE clauses resolved with ONE full-outer
+    equi-join (matched+_delete → drop, matched → update set *, not
+    matched AND NOT _delete → insert *), shared by the plain and
+    bucketed merge paths."""
+    data_cols = [c for c in target.columns if c != key]
+    t = target.alias("t")
+    s = source.alias("s").withColumn("_s", F.lit(True))
+    j = t.join(s, on=key, how="full_outer")
+    in_s = F.coalesce(F.col("_s"), F.lit(False))
+    dele = F.coalesce(F.col("_delete"), F.lit(False))
+    return j.filter(~(in_s & dele)).select(
+        F.col(key),
+        *[
+            F.when(in_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in data_cols
+        ],
+    )
+
+
 def snapshot_merge(
     spark: SparkSession, table_dir: str, source: DataFrame, key: str
 ) -> int:
@@ -2196,62 +2299,10 @@ def snapshot_merge(
         manifest = json.load(fh)
     all_files = manifest["files"]
     fseqs = manifest.get("file_seqs", {})
-    source = source.localCheckpoint(eager=True)
-    dup = (
-        source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    source = _merge_check_source(source, key)
+    touched, untouched = _merge_detect_touched(
+        spark, table_dir, manifest, source, key
     )
-    if dup:
-        raise ValueError(
-            "snapshot_merge: duplicate source keys — MERGE requires a "
-            "unique source key per target row"
-        )
-    src_keys = source.select(key)
-
-    # 1. metadata file skip on MANIFEST key bounds (recorded at write
-    #    time; footer fallback only for legacy manifests)
-    bounds = _file_key_bounds(table_dir, all_files, key, manifest)
-    cand = [f for f in all_files if bounds[f] is None]
-    bounded = [(f, *bounds[f]) for f in all_files if bounds[f] is not None]
-    if bounded:
-        key_type = dict(source.dtypes)[key]
-        bdf = spark.createDataFrame(
-            bounded, f"_bfile string, _blo {key_type}, _bhi {key_type}"
-        )
-        hits = (
-            F.broadcast(bdf)
-            .join(
-                src_keys,
-                (F.col(key) >= F.col("_blo")) & (F.col(key) <= F.col("_bhi")),
-                "left_semi",
-            )
-            .select("_bfile")
-            .distinct()
-            .collect()
-        )
-        cand += [r["_bfile"] for r in hits]
-
-    # 2. exact touched-file detection: key-column scan of candidates
-    touched: list[str] = []
-    if cand:
-        rel_of = {
-            os.path.abspath(os.path.join(table_dir, f)): f for f in cand
-        }
-        scan = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in cand]
-        ).select(
-            F.col(key), F.col("_metadata.file_path").alias("_fp")
-        )
-        fps = (
-            scan.join(src_keys, on=key, how="left_semi")
-            .select("_fp")
-            .distinct()
-            .collect()
-        )
-        for r in fps:
-            p = os.path.abspath(re.sub(r"^file:/*", "/", r["_fp"]))
-            touched.append(rel_of[p])
-    touched_set = set(touched)
-    untouched = [f for f in all_files if f not in touched_set]
 
     # 3. rewrite touched files only (MOR deletes materialized for them)
     if touched:
@@ -2262,19 +2313,7 @@ def snapshot_merge(
         target = _read_files_with_deletes(
             spark, table_dir, all_files, manifest
         ).limit(0)
-    data_cols = [c for c in target.columns if c != key]
-    t = target.alias("t")
-    s = source.alias("s").withColumn("_s", F.lit(True))
-    j = t.join(s, on=key, how="full_outer")
-    in_s = F.coalesce(F.col("_s"), F.lit(False))
-    dele = F.coalesce(F.col("_delete"), F.lit(False))
-    merged = j.filter(~(in_s & dele)).select(
-        F.col(key),
-        *[
-            F.when(in_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            for c in data_cols
-        ],
-    )
+    merged = _merge_clause_resolve(target, source, key)
     new_v = last + 1
     data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
     merged.write.mode("overwrite").parquet(data_dir)
@@ -2304,6 +2343,288 @@ def snapshot_merge(
         out["delete_seqs"] = manifest.get("delete_seqs", {})
         out["delete_parts"] = manifest.get("delete_parts", {})
         out["delete_key"] = manifest["delete_key"]
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(out, fh)
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+# ---------------------------------------------------------------------------
+# Bucketed snapshot layout → shuffle-free MERGE clause join (round-12
+# item 5).  At 100 TB the clause join is the COW merge's ONLY shuffle:
+# both sides hash-exchange on the key before the full-outer join.  With
+# the table's data files written through Spark's bucketed writer (bucket
+# id in the file name — the layout Iceberg's bucket(N, key) transform
+# and Delta's clustered layouts standardize) and the source staged into
+# the same bucket spec, the join reads both sides already co-located:
+# ZERO Exchange nodes (plan-asserted).  Composes with A18/A29 pruning:
+# commits stay key-RANGE-clustered across commits (bounds skip prunes
+# whole commits) while files are hash-bucketed WITHIN a commit (the
+# clause join over the touched subset is shuffle-free).
+#
+# Local-fs mechanics: a pruned subset of bucket files is exposed to the
+# bucketed reader by symlinking exactly the touched files into a scratch
+# dir and declaring an external CLUSTERED BY table over it (bucket ids
+# travel in the file names, so the subset keeps its bucketing).  On an
+# object store the same contract is the table format's metadata-defined
+# scan (Iceberg storage-partitioned joins); the symlink dir is the
+# sandbox stand-in for that manifest-scoped scan.
+# ---------------------------------------------------------------------------
+
+LAST_BUCKETED_MERGE_PLAN: str | None = None  # plan-test capture
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _write_bucketed_files(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    buckets: int,
+    dest_dir: str,
+    tag: str,
+    pre_shuffle: bool = True,
+) -> None:
+    """Write ``df`` into ``dest_dir`` as BUCKET FILES (bucket id in the
+    file name) via a transient external CLUSTERED BY table — Spark only
+    emits bucketed layouts through the catalog writer.  Dropping the
+    transient table keeps the files (explicit LOCATION = external).
+
+    ``pre_shuffle`` repartitions on the bucket hash first (Murmur3 —
+    the same function the bucketed writer assigns buckets with), so
+    each task holds exactly one bucket and the commit lands <=1 file
+    per bucket instead of tasks x buckets tiny files (the PLANS.md
+    rewrite-3 discipline).  Pass False when the input is ALREADY
+    bucket-distributed (the merge rewrite: SMJ output over co-located
+    buckets) — there the extra exchange would be pure waste."""
+    tbl = f"snap_bkt_w_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({_schema_ddl(df)}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+        f"LOCATION '{dest_dir}'"
+    )
+    if pre_shuffle:
+        df = df.repartition(buckets, F.col(key))
+    df.write.insertInto(tbl)
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def _bucketed_files_table(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    schema_ddl: str,
+    key: str,
+    buckets: int,
+    tag: str,
+) -> tuple[str, str]:
+    """Expose an arbitrary SUBSET of a bucketed snapshot's files (e.g.
+    the merge's touched set, possibly spanning commits) as a bucketed
+    catalog table: symlink the files into a scratch dir (names carry
+    the bucket ids) and declare an external CLUSTERED BY table over it.
+    Returns (table_name, scratch_dir); caller drops/removes both."""
+    link_dir = os.path.join(table_dir, f".bktview-{tag}")
+    shutil.rmtree(link_dir, ignore_errors=True)
+    os.makedirs(link_dir)
+    for f in files:
+        os.symlink(
+            os.path.abspath(os.path.join(table_dir, f)),
+            os.path.join(link_dir, os.path.basename(f)),
+        )
+    tbl = f"snap_bkt_r_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+        f"LOCATION '{link_dir}'"
+    )
+    spark.catalog.refreshTable(tbl)
+    return tbl, link_dir
+
+
+def snapshot_commit_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    key: str,
+    buckets: int,
+) -> int:
+    """Append ``df`` as the next commit with its data files HASH-BUCKETED
+    on ``key`` (Iceberg ``bucket(N, key)`` transform / Delta clustered
+    layout): the manifest records the table-level bucket spec, every
+    later snapshot_merge_bucketed clause join runs shuffle-free, and
+    reads through snapshot_read are plain parquet scans (bucket files
+    are ordinary parquet).  The spec is fixed at first use — mixed
+    specs across commits would break co-location and fail-stop."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    new_v = (versions[-1] if versions else 0) + 1
+    prev: list[str] = []
+    seqs: dict = {}
+    bounds: dict = {}
+    spec = {"key": key, "buckets": buckets, "schema": _schema_ddl(df)}
+    if versions:
+        with open(_manifest_path(table_dir, versions[-1])) as fh:
+            pm = json.load(fh)
+        prev_spec = pm.get("bucket_spec")
+        if prev_spec and (
+            prev_spec["key"] != key or prev_spec["buckets"] != buckets
+        ):
+            raise ValueError(
+                f"bucket spec mismatch: table uses {prev_spec}, got "
+                f"key={key} buckets={buckets}"
+            )
+        if pm.get("delete_files"):
+            raise ValueError(
+                "snapshot_commit_bucketed: table carries merge-on-read "
+                "delete files — compact first (snapshot_compact)"
+            )
+        prev = pm["files"]
+        seqs = dict(pm.get("file_seqs", {}))
+        bounds = dict(pm.get("file_bounds", {}))
+        spec = prev_spec or spec
+    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    _write_bucketed_files(
+        spark, df, key, buckets, data_dir, f"c{new_v}_{abs(hash(table_dir)) % 10**8}"
+    )
+    rel = [
+        os.path.join("data", f"commit-{new_v}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    seqs.update({f: new_v for f in rel})
+    bounds.update(_collect_file_bounds(table_dir, rel))
+    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": new_v,
+                "files": prev + rel,
+                "file_seqs": seqs,
+                "file_bounds": bounds,
+                "bucket_spec": spec,
+            },
+            fh,
+        )
+    os.replace(tmp, _manifest_path(table_dir, new_v))
+    return new_v
+
+
+def snapshot_merge_bucketed(
+    spark: SparkSession, table_dir: str, source: DataFrame, key: str
+) -> int:
+    """snapshot_merge over a BUCKETED snapshot layout: identical
+    semantics and pruning (manifest-bounds skip + exact touched-file
+    join), but the clause join runs with ZERO Exchange nodes — the
+    touched bucket files are exposed as a bucketed table (bucket ids in
+    the names), the source is staged once into the same bucket spec,
+    and the full-outer sort-merge join reads both sides co-located.
+    The rewrite itself lands bucketed, so the layout — and every later
+    merge's shuffle-freedom — is preserved.  The executed clause-join
+    plan is captured in LAST_BUCKETED_MERGE_PLAN for the plan test.
+
+    Requires a delete-free manifest (fail-stop → snapshot_compact):
+    interleaving per-group MOR anti-joins would fragment the single
+    bucketed scan the zero-exchange plan depends on — the same reason
+    production COW merges schedule compaction before heavy merge
+    traffic.
+
+    100 TB: bounds skip prunes whole range-clustered commits; the
+    clause join — the merge's ONLY shuffle on a plain layout — moves no
+    rows at all; the rewrite is O(touched buckets)."""
+    import json
+
+    global LAST_BUCKETED_MERGE_PLAN
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    last = versions[-1]
+    with open(_manifest_path(table_dir, last)) as fh:
+        manifest = json.load(fh)
+    spec = manifest.get("bucket_spec")
+    if not spec or spec["key"] != key:
+        raise ValueError(
+            f"snapshot_merge_bucketed: table is not bucketed on {key!r} "
+            f"(spec={spec}) — use snapshot_merge or rewrite the layout"
+        )
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "snapshot_merge_bucketed: table carries merge-on-read delete "
+            "files — compact first (snapshot_compact)"
+        )
+    buckets = spec["buckets"]
+    fseqs = manifest.get("file_seqs", {})
+    source = _merge_check_source(source, key)
+    touched, untouched = _merge_detect_touched(
+        spark, table_dir, manifest, source, key
+    )
+    new_v = last + 1
+    tag = f"m{new_v}_{abs(hash(table_dir)) % 10**8}"
+
+    # target side: touched bucket files as a bucketed table (empty
+    # touched set -> empty view over zero symlinks, same schema)
+    tgt_tbl, link_dir = _bucketed_files_table(
+        spark, table_dir, sorted(touched), spec["schema"], key, buckets, tag
+    )
+    # source side: staged ONCE into the same bucket spec; the stage dir
+    # is scratch (removed after the commit publishes)
+    stage_dir = os.path.join(table_dir, f".bktsrc-{tag}")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    src_tbl = f"snap_bkt_s_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {src_tbl}")
+    spark.sql(
+        f"CREATE TABLE {src_tbl} ({_schema_ddl(source)}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {buckets} BUCKETS "
+        f"LOCATION '{stage_dir}'"
+    )
+    source.write.insertInto(src_tbl)
+    spark.catalog.refreshTable(src_tbl)
+
+    try:
+        target = spark.table(tgt_tbl)
+        staged_src = spark.table(src_tbl)
+        merged = _merge_clause_resolve(
+            target.hint("merge"), staged_src, key
+        )
+        LAST_BUCKETED_MERGE_PLAN = (
+            merged._jdf.queryExecution().executedPlan().toString()
+        )
+        data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+        _write_bucketed_files(
+            spark, merged, key, buckets, data_dir, f"o{tag}",
+            pre_shuffle=False,  # SMJ output is already bucket-distributed
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tgt_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {src_tbl}")
+        shutil.rmtree(link_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    rel = [
+        os.path.join("data", f"commit-{new_v}", f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    new_seqs = {f: fseqs.get(f, 0) for f in untouched}
+    new_seqs.update({f: new_v for f in rel})
+    prev_bounds = manifest.get("file_bounds", {})
+    new_bounds = {f: prev_bounds[f] for f in untouched if f in prev_bounds}
+    new_bounds.update(_collect_file_bounds(table_dir, rel))
+    out = {
+        "version": new_v,
+        "files": untouched + rel,
+        "file_seqs": new_seqs,
+        "file_bounds": new_bounds,
+        "bucket_spec": spec,
+        "merged": True,
+    }
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
@@ -3018,6 +3339,133 @@ def merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(phash(F.col("event_id").cast("string"), "mp")).alias(
+            "checksum"
+        ),
+    )
+
+
+@register(
+    "q_merge_bucketed",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 1
+                       AND event_id <= (SELECT MAX(event_id) // 8
+                                        FROM events)
+                  THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events
+      WHERE NOT (event_id % 5 = 0
+                 AND event_id <= (SELECT MAX(event_id) // 8 FROM events))
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, 'ins'
+      FROM events
+      WHERE event_id % 7 = 3
+        AND event_id <= (SELECT MAX(event_id) // 8 FROM events)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('mb:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM merged GROUP BY event_type
+    """,
+)
+def merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE COW MERGE on a BUCKETED snapshot layout —
+    q_merge_pruned's exact clause algebra (update %5=1 / delete %5=0 /
+    insert %7=3, all gated on the lowest key eighth) on a fixture twin
+    whose {MERGE_PRUNE_COMMITS} range-clustered commits are each
+    hash-bucketed on event_id (snapshot_commit_bucketed).  The two
+    prunings COMPOSE: manifest bounds skip the ~7/8 untouched commits
+    (range clustering ACROSS commits), and the clause join over the
+    touched bucket files runs with ZERO Exchange nodes (hash bucketing
+    WITHIN commits + the source staged into the same spec) — at 100 TB
+    that join is the merge's only shuffle on a plain layout, and here
+    it moves no rows at all.  Plan-pinned in tests/test_plans.py; the
+    identical-semantics claim is the oracle itself (same algebra as
+    q_merge_pruned, different seed).
+
+    100 TB: pay the bucket shuffle once per commit write; every later
+    merge is O(touched buckets) I/O with a shuffle-free clause join —
+    Iceberg's bucket(N, key) transform + storage-partitioned join,
+    Delta's clustered-layout merge."""
+    import json
+
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapbktmrg-{fp}")
+    versions = snapshot_versions(table_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if len(versions) < MERGE_PRUNE_COMMITS:
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        if max_id >= MERGE_INSERT_OFFSET:
+            raise ValueError(
+                f"max event_id {max_id} >= MERGE_INSERT_OFFSET "
+                f"{MERGE_INSERT_OFFSET}: insert keys would collide"
+            )
+        for k in range(len(versions), MERGE_PRUNE_COMMITS):
+            lo = k * (max_id + 1) // MERGE_PRUNE_COMMITS
+            hi = (k + 1) * (max_id + 1) // MERGE_PRUNE_COMMITS
+            snapshot_commit_bucketed(
+                spark,
+                table_dir,
+                ev.filter(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                ),
+                key="event_id",
+                buckets=4,
+            )
+        versions = snapshot_versions(table_dir)
+    if versions[-1] == MERGE_PRUNE_COMMITS:
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        cut = max_id // 8
+        low = ev.filter(F.col("event_id") <= cut)
+        deletes = low.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(True).alias("_delete"),
+        )
+        updates = low.filter(F.col("event_id") % 5 == 1).select(
+            "event_id",
+            F.concat(F.lit("upd_"), F.col("event_type")).alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        inserts = low.filter(F.col("event_id") % 7 == 3).select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("event_id"),
+            F.lit("ins").alias("event_type"),
+            F.lit(False).alias("_delete"),
+        )
+        v = snapshot_merge_bucketed(
+            spark,
+            table_dir,
+            deletes.unionByName(updates).unionByName(inserts),
+            key="event_id",
+        )
+        with open(_manifest_path(table_dir, v)) as fh:
+            m = json.load(fh)
+        carried = [f for f in m["files"] if f"commit-{v}" not in f]
+        if not carried:
+            raise AssertionError(
+                "q_merge_bucketed: merge carried no file by reference — "
+                "COW file pruning regressed to a full rewrite"
+            )
+        if LAST_BUCKETED_MERGE_PLAN and (
+            "Exchange" in LAST_BUCKETED_MERGE_PLAN
+        ):
+            raise AssertionError(
+                "q_merge_bucketed: clause join planned an Exchange — "
+                "the bucketed co-location regressed"
+            )
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "mb")).alias(
             "checksum"
         ),
     )

@@ -914,3 +914,48 @@ def test_partition_evolution_prunes_each_generation_at_own_grain(spark):
         assert "2024-01-14-00" <= pval(f) <= "2024-01-15-23", f
     for f in day_files:   # day grain: 2024-01-16 .. 2024-01-17
         assert "2024-01-16" <= pval(f) <= "2024-01-17", f
+
+
+def test_bucketed_merge_clause_join_has_no_exchange(spark):
+    """q_merge_bucketed: the COW merge's clause join (full-outer SMJ of
+    touched bucket files vs the bucketed source stage) must plan with
+    ZERO Exchange nodes — at 100 TB that join is the merge's only
+    shuffle on a plain layout.  Also pins the composition with bounds
+    pruning: the merge carried most files by reference."""
+    import json
+    import os
+
+    from data_pipeline_cursor_spark import catalog as C
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    # reset the capture so a fixture REUSE (merge already committed in a
+    # prior call) cannot satisfy the assert with a stale plan
+    C.LAST_BUCKETED_MERGE_PLAN = None
+    fp = tree_fingerprint(table_path(SF_SMOKE, "events")).replace("-", "_")
+    table_dir = _work_dir(SF_SMOKE, f"snapbktmrg-{fp}")
+    import shutil
+
+    shutil.rmtree(table_dir, ignore_errors=True)  # force a fresh merge
+    df = get_queries()["q_merge_bucketed"](spark, SF_SMOKE)
+    assert df.count() > 0
+    plan = C.LAST_BUCKETED_MERGE_PLAN
+    assert plan is not None
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    with open(
+        os.path.join(
+            table_dir,
+            f"manifest-{C.snapshot_versions(table_dir)[-1]}.json",
+        )
+    ) as fh:
+        m = json.load(fh)
+    last_v = m["version"]
+    carried = [f for f in m["files"] if f"commit-{last_v}" not in f]
+    rewritten = [f for f in m["files"] if f"commit-{last_v}" in f]
+    # bounds pruning composed: most of the 8 range-clustered commits
+    # carried by reference, only the touched low-range buckets rewritten
+    assert len(carried) > len(rewritten), (carried, rewritten)

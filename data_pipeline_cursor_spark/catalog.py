@@ -1506,7 +1506,8 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
     files — which is exactly what a compaction commit does; the
     compact-then-expire pairing is how the original small files are
     reclaimed in production.  Metadata-only except for the unlink
-    calls: O(files) driver-side, no executor involvement.
+    calls; listing/unlinking fan out over the maintenance thread pool
+    sharded by commit dir (_list_data_parquet).
 
     Returns {"expired_versions": [...], "deleted_files": n}."""
     import json
@@ -1525,15 +1526,8 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
         keep.update(m["files"])
         # a retained MOR manifest still needs its delete files at read time
         keep.update(m.get("delete_files", []))
-    deleted = 0
-    data_root = os.path.join(table_dir, "data")
-    for root, _dirs, files in os.walk(data_root):
-        for f in files:
-            full = os.path.join(root, f)
-            rel = os.path.relpath(full, table_dir)
-            if f.endswith(".parquet") and rel not in keep:
-                os.remove(full)
-                deleted += 1
+    stale = [f for f in _list_data_parquet(table_dir) if f not in keep]
+    deleted = _parallel_unlink(table_dir, stale)
     for v in expired:
         os.remove(_manifest_path(table_dir, v))
     return {"expired_versions": expired, "deleted_files": deleted}
@@ -1684,6 +1678,74 @@ def snapshot_rollback(
     return new_v
 
 
+ORPHAN_LIST_THREADS = 16  # listing/unlink pool width for maintenance verbs
+
+
+def _list_data_parquet(table_dir: str) -> list[str]:
+    """Every .parquet under data/, as table-relative paths, listed with
+    a THREAD POOL fanned out over data/'s first-level directories (one
+    commit/deletes/staged dir each) — the listing is the real cost of
+    maintenance verbs at 10^5-10^6 files, and it parallelizes cleanly
+    because the layout shards by commit.  Local-fs rung of the
+    production pattern: on an object store the same fan-out is a
+    DISTRIBUTED listing (Iceberg's remove_orphan_files runs it as a
+    Spark job over prefixes; S3 ListObjects pages per prefix)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    data_root = os.path.join(table_dir, "data")
+    if not os.path.isdir(data_root):
+        return []
+    subdirs = [
+        os.path.join(data_root, d)
+        for d in os.listdir(data_root)
+        if os.path.isdir(os.path.join(data_root, d))
+    ]
+
+    def walk_one(sub: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(sub):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), table_dir)
+                    )
+        return out
+
+    with ThreadPoolExecutor(max_workers=ORPHAN_LIST_THREADS) as ex:
+        lists = list(ex.map(walk_one, subdirs))
+    # stray parquet directly under data/ (no commit dir) — rare but real
+    lists.append(
+        [
+            os.path.relpath(os.path.join(data_root, f), table_dir)
+            for f in os.listdir(data_root)
+            if f.endswith(".parquet")
+        ]
+    )
+    return [f for sub in lists for f in sub]
+
+
+def _parallel_unlink(table_dir: str, rels: list[str]) -> int:
+    """Unlink ``rels`` with the same thread pool (deletes are
+    independent; on S3 this is the batched DeleteObjects call).  Files
+    already gone are counted as deleted — maintenance must be
+    idempotent under concurrent runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rm(rel: str) -> int:
+        try:
+            os.remove(os.path.join(table_dir, rel))
+            return 1
+        except FileNotFoundError:
+            return 1
+        except OSError:
+            return 0
+
+    if not rels:
+        return 0
+    with ThreadPoolExecutor(max_workers=ORPHAN_LIST_THREADS) as ex:
+        return sum(ex.map(rm, rels))
+
+
 def remove_orphan_files(table_dir: str) -> dict:
     """ORPHAN-FILE CLEANUP (Iceberg ``remove_orphan_files`` / Delta
     VACUUM's untracked-file half): delete every parquet under data/
@@ -1692,8 +1754,11 @@ def remove_orphan_files(table_dir: str) -> dict:
     after writing data files but before the manifest rename, or a
     write-audit-publish stage that was audited and DISCARDED.  Never
     touches referenced files, so every committed snapshot reads
-    identically before and after.  O(files) driver-side metadata plus
-    the unlinks.  Returns {"deleted_files": n}."""
+    identically before and after.  Listing and unlinking fan out over a
+    thread pool sharded by commit directory (_list_data_parquet — the
+    local-fs rung of Iceberg's distributed orphan listing); manifest
+    reads stay O(manifests) driver metadata.  Returns
+    {"deleted_files": n}."""
     import glob
     import json
 
@@ -1705,16 +1770,8 @@ def remove_orphan_files(table_dir: str) -> dict:
             m = json.load(fh)
         keep.update(m.get("files", []))
         keep.update(m.get("delete_files", []))
-    deleted = 0
-    data_root = os.path.join(table_dir, "data")
-    for root, _dirs, files in os.walk(data_root):
-        for f in files:
-            full = os.path.join(root, f)
-            rel = os.path.relpath(full, table_dir)
-            if f.endswith(".parquet") and rel not in keep:
-                os.remove(full)
-                deleted += 1
-    return {"deleted_files": deleted}
+    orphans = [f for f in _list_data_parquet(table_dir) if f not in keep]
+    return {"deleted_files": _parallel_unlink(table_dir, orphans)}
 
 
 def snapshot_stage(

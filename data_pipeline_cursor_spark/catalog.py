@@ -2850,6 +2850,16 @@ def sort_compact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, table_dir, ev.filter(F.col("event_id") % 3 == k)
             )
         versions = snapshot_versions(table_dir)
+    if versions[-1] == 4:
+        # crash between the sort-compact commit (v4) and the merge (v5):
+        # falling through to the read path would silently serve the
+        # un-merged table as if the chain completed (ADVICE r11) — the
+        # fresh-uuid checkpointless builder cannot resume either half
+        raise RuntimeError(
+            f"q_sort_compact_merge: half-built fixture at {table_dir} "
+            "(sort compaction committed, merge missing) — clear the "
+            "directory"
+        )
     if versions[-1] == 3:
         v = snapshot_compact(
             spark, table_dir, sort_by="event_id", min_files=8

@@ -124,6 +124,13 @@ def get_spark(app_name: str = "data-pipeline-cursor-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Streaming drains harvest live-state peaks from recentProgress
+        # (sources.record_state_progress); the default window of 100
+        # progress updates silently drops earlier batches' peaks on long
+        # ordered-fixture drains, understating the sized table's honest
+        # bounded-state number.  10k covers every fixture drain; the
+        # harvester still flags saturation if a drain ever exceeds it.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     )
     for k, v in _RUNTIME_SQL_CONFS.items():
         builder = builder.config(k, v)

@@ -2628,6 +2628,16 @@ def s_gdpr_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not versions:
         snapshot_commit(spark, table_dir, ev)
         versions = [1]
+    if 1 < versions[-1] < 4:
+        # crash partway through the 3-micro-batch delete feed: the
+        # fresh-uuid checkpoint cannot resume the stream, and falling
+        # through to the read path would serve a partially deleted
+        # table as if the feed completed (ADVICE r11) — fail-stop
+        raise RuntimeError(
+            f"s_gdpr_deletes: half-built fixture at {table_dir} "
+            f"(versions={versions}, expected base+3 delete commits) — "
+            "clear the directory"
+        )
     if versions[-1] == 1:
         # deletion-request landing: 3 parquet files → 3 micro-batches
         feed_dir = _work_dir(sf_dir, f"gdprfeed-{fp}")

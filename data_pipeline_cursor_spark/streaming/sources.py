@@ -346,17 +346,33 @@ def record_state_progress(q) -> None:
 
     try:
         mem, rows = [], []
-        for p in q.recentProgress:
+        progress = q.recentProgress
+        for p in progress:
             d = p if isinstance(p, dict) else _json.loads(p.json)
             for so in d.get("stateOperators", []):
                 mem.append(so.get("memoryUsedBytes") or 0)
                 rows.append(so.get("numRowsTotal") or 0)
+        # recentProgress retains only numRecentProgressUpdates entries
+        # (raised to 10k in session.py); if a drain ever saturates the
+        # window, the peak may be understated — flag it rather than
+        # report a silently-truncated number
+        from pyspark.sql import SparkSession as _SS
+
+        sess = _SS.getActiveSession()
+        cap = int(
+            sess.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+            if sess is not None
+            else "100"
+        )
         LAST_STATE_PROGRESS.clear()
         LAST_STATE_PROGRESS.update(
             {
                 "state_bytes_peak": max(mem) if mem else 0,
                 "state_rows_peak": max(rows) if rows else 0,
-                "n_batches": len(q.recentProgress),
+                "n_batches": len(progress),
+                "progress_window_saturated": len(progress) >= cap,
             }
         )
     except Exception:

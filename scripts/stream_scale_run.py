@@ -88,6 +88,13 @@ def main() -> None:
                 "state_rows_peak", 0
             ),
             "n_batches": LAST_STATE_PROGRESS.get("n_batches", 0),
+            # True would mean recentProgress rolled over its (10k)
+            # window and the peak MAY be understated (ADVICE r11) —
+            # always False at fixture batch counts, recorded so a
+            # silent truncation can never masquerade as a real peak
+            "progress_window_saturated": LAST_STATE_PROGRESS.get(
+                "progress_window_saturated", False
+            ),
             # cumulative on-disk checkpoint retention across the drain's
             # micro-batches — RETENTION, not live state; kept for the
             # storage-footprint story only

@@ -179,6 +179,15 @@ SCALE_SLICE = [
     # the post-compaction merge to carry files (the fail-stop fires
     # inside the builder if not)
     "q_sort_compact_merge",
+    # round-12: ref isolation (main pinned / audit advanced) must hold
+    # at 10M rows; the two-generation time-range read must stay exact
+    # when each generation carries thousands of partitions; the
+    # bucketed merge's zero-exchange clause join + bounds-skip
+    # composition must survive 10M keys (its builder fail-stops on any
+    # Exchange in the clause plan)
+    "q_branch_read",
+    "q_partition_evolution",
+    "q_merge_bucketed",
 ]
 
 

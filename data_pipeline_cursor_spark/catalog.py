@@ -1509,6 +1509,13 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
     calls; listing/unlinking fan out over the maintenance thread pool
     sharded by commit dir (_list_data_parquet).
 
+    REF-PROTECTED (r12, the A13 x A28 interaction Iceberg guarantees):
+    a version any branch or tag points at is NEVER expired, however old
+    — `expire_snapshots` retains ref-reachable snapshots; dropping the
+    ref (drop_ref) is the explicit release that makes a pinned release
+    tag reclaimable.  Without this, a retention sweep would silently
+    break every ref reader.
+
     Returns {"expired_versions": [...], "deleted_files": n}."""
     import json
 
@@ -1517,8 +1524,13 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
         raise ValueError("retain_last must be >= 1")
     if len(versions) <= retain_last:
         return {"expired_versions": [], "deleted_files": 0}
-    retained = versions[-retain_last:]
-    expired = versions[:-retain_last]
+    ref_pinned = {
+        r["version"] for r in snapshot_refs(table_dir).values()
+    }
+    retained = sorted(set(versions[-retain_last:]) | ref_pinned)
+    expired = [v for v in versions if v not in retained]
+    if not expired:
+        return {"expired_versions": [], "deleted_files": 0}
     keep: set[str] = set()
     for v in retained:
         with open(_manifest_path(table_dir, v)) as fh:

@@ -984,3 +984,45 @@ def test_snapshot_refs_contract(spark, tmp_path):
     drop_ref(tdir, "rel1")
     assert "rel1" not in snapshot_refs(tdir)
     assert {r["k"] for r in snapshot_read(spark, tdir, 1).collect()} == {1}
+
+
+def test_expire_never_drops_ref_pinned_versions(spark, tmp_path):
+    """A13 x A28 (Iceberg guarantee): snapshot expiry NEVER removes a
+    version a branch/tag points at, however old — a retention sweep
+    must not break ref readers; dropping the ref is the explicit
+    release that makes the version reclaimable."""
+    from data_pipeline_cursor_spark.catalog import (
+        create_ref,
+        drop_ref,
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    tdir = str(tmp_path / "refexp")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    create_ref(tdir, "rel1", 1, kind="tag")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    snapshot_compact(spark, tdir)  # v3 references only the rewrite files
+
+    res = snapshot_expire(tdir, retain_last=1)
+    # v1 is tag-pinned: retained and still readable; v2 expired
+    assert 1 not in res["expired_versions"]
+    assert 2 in res["expired_versions"]
+    assert snapshot_versions(tdir) == [1, 3]
+    assert {r["k"] for r in snapshot_read(spark, tdir, 1).collect()} == {1}
+    assert {r["k"] for r in snapshot_read(spark, tdir, 3).collect()} == {1, 2}
+
+    # releasing the tag makes v1 reclaimable on the next sweep
+    drop_ref(tdir, "rel1")
+    res2 = snapshot_expire(tdir, retain_last=1)
+    assert res2["expired_versions"] == [1]
+    assert snapshot_versions(tdir) == [3]
+    assert res2["deleted_files"] > 0  # v1's files reclaimed
+    assert {r["k"] for r in snapshot_read(spark, tdir, 3).collect()} == {1, 2}

@@ -729,6 +729,10 @@ def _footer_column_bounds(path: str) -> dict:
     file stats.  A column with any row group missing min/max stats is
     omitted (= cannot be used to skip); an unreadable footer yields {}.
 
+    The reserved ``_num_rows`` entry records the file's ROW COUNT
+    (Iceberg's record_count, same manifest entry as the bounds) — an
+    int, not a [lo, hi] pair; bounds consumers skip non-list values.
+
     Same ordering caveat as the old footer pass: bounds comparisons are
     exact for integer and ASCII-string keys; for non-ASCII string keys
     prefer an integer surrogate."""
@@ -739,6 +743,7 @@ def _footer_column_bounds(path: str) -> dict:
         md = pq.ParquetFile(path).metadata
     except Exception:
         return {}
+    out["_num_rows"] = md.num_rows
     for ci in range(md.num_columns):
         name = md.schema.column(ci).name
         lo = hi = None
@@ -1374,6 +1379,91 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_files_metadata(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    key_type: str = "bigint",
+    version: int | None = None,
+) -> DataFrame:
+    """The FILES metadata table (Iceberg ``SELECT * FROM t$files`` /
+    Delta ``DESCRIBE DETAIL``): one row per data file of a snapshot
+    with its commit sequence, recorded row count, and recorded
+    (min, max) of ``key`` — served ENTIRELY from the manifest, zero
+    data-file I/O (legacy manifests fall back to one footer read per
+    unrecorded file).  This is the introspection surface engineers use
+    to audit clustering quality, file sizing, and skipping potential
+    before scheduling compaction — and, oracled, it independently
+    PROVES the write-time stats are exact (A29): any drift between
+    recorded counts/bounds and the data itself flips the aggregate.
+
+    100 TB: O(files) driver-side manifest metadata, the same cost
+    Iceberg pays to serve its metadata tables."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    recorded = manifest.get("file_bounds", {})
+    fseqs = manifest.get("file_seqs", {})
+    rows = []
+    for f in manifest["files"]:
+        rec = recorded.get(f)
+        if rec is None:  # legacy manifest: one footer read, flagged
+            rec = _footer_column_bounds(os.path.join(table_dir, f))
+        b = rec.get(key)
+        lo, hi = (b if isinstance(b, list) else (None, None))
+        rows.append(
+            (
+                f,
+                int(fseqs.get(f, 0)),
+                rec.get("_num_rows"),
+                lo,
+                hi,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        f"file_path string, commit_version int, num_rows bigint, "
+        f"key_lo {key_type}, key_hi {key_type}",
+    )
+
+
+@register(
+    "q_files_metadata",
+    oracle="""
+    SELECT CAST((event_id % 3) + 1 AS INT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(event_id) AS key_lo,
+           MAX(event_id) AS key_hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def files_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILES METADATA TABLE over the 3-commit snapshot fixture,
+    aggregated per commit: summed recorded row counts and the recorded
+    key-bounds envelope.  The DuckDB oracle recomputes all three FROM
+    THE DATA (commit k holds exactly the event_id % 3 == k-1 residue):
+    a hash match proves the manifest's write-time statistics — the
+    numbers every merge plans file-skipping from (A18/A29) — are
+    EXACTLY the data's truth, per commit, with no file read at query
+    time.  A single row miscounted at write time, or one file's bounds
+    recorded too narrow/wide on the envelope edge, flips the match."""
+    table_dir = snapshot_events_table(spark, sf_dir)
+    meta = snapshot_files_metadata(spark, table_dir, key="event_id")
+    return meta.groupBy("commit_version").agg(
+        F.sum("num_rows").alias("n_rows"),
+        F.min("key_lo").alias("key_lo"),
+        F.max("key_hi").alias("key_hi"),
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
@@ -1631,12 +1721,12 @@ def _file_key_bounds(
     for f in files:
         if f in recorded:
             b = recorded[f].get(key)
-            out[f] = tuple(b) if b else None
+            out[f] = tuple(b) if isinstance(b, list) else None
         else:
             legacy.append(f)
     for f in legacy:
         b = _footer_column_bounds(os.path.join(table_dir, f)).get(key)
-        out[f] = tuple(b) if b else None
+        out[f] = tuple(b) if isinstance(b, list) else None
     return out
 
 

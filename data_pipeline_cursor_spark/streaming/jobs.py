@@ -2678,3 +2678,151 @@ def s_gdpr_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+@register(
+    "s_merge_stream",
+    oracle="""
+    WITH final AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 2 THEN 'upd_' || event_type
+                  ELSE event_type END AS event_type
+      FROM events
+      WHERE event_id % 4 <> 0 AND event_id % 10 <> 1
+      UNION ALL
+      SELECT event_id + 1000000000, 'ins'
+      FROM events WHERE event_id % 10 = 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('ms:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM final GROUP BY event_type
+    """,
+)
+def s_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING COW MERGE FEED — the Delta/Iceberg "MERGE INTO in
+    foreachBatch" pattern (C19's CDC semantics composed with A14/A18's
+    file-pruned copy-on-write merge): a change stream lands as files,
+    and EACH micro-batch publishes one MERGE commit against the
+    snapshot lakehouse — deletes (key % 10 = 1), updates (% 10 = 2,
+    scoped to keys present in the base), and inserts (% 10 = 3, offset
+    keys) resolved by snapshot_merge's clause join, with the manifest-
+    bounds skip + touched-file detection pruning EVERY batch's rewrite
+    to its own touched files.  maxFilesPerTrigger=1 forces three
+    genuinely stacked merge commits (batch key sets are disjoint, so
+    the final state is batch-order independent — the CDC determinism
+    discipline of s_cdc_apply).
+
+    The DuckDB oracle replays the whole feed algebraically over the
+    base residue (% 4 <> 0): one hash proves every batch's clause
+    resolution AND that no carried-by-reference file lost or doubled a
+    row across the three stacked rewrites.
+
+    100 TB: this is the architecture of a streaming upsert pipeline on
+    a transactional lake — per-batch cost O(touched files + batch),
+    atomic manifest publish per batch, time travel across every
+    intermediate state for free."""
+    from data_pipeline_cursor_spark.catalog import (
+        MERGE_INSERT_OFFSET,
+        snapshot_commit,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapmrgstream-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        # 4 range-clustered base commits (disjoint bounds feed the skip)
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        if max_id >= MERGE_INSERT_OFFSET:
+            raise ValueError(
+                f"max event_id {max_id} >= MERGE_INSERT_OFFSET: "
+                "insert keys would collide"
+            )
+        base = ev.filter(F.col("event_id") % 4 != 0)
+        for k in range(4):
+            lo = k * (max_id + 1) // 4
+            hi = (k + 1) * (max_id + 1) // 4
+            snapshot_commit(
+                spark,
+                table_dir,
+                base.filter(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                ),
+            )
+        versions = snapshot_versions(table_dir)
+    if 4 < versions[-1] < 7:
+        raise RuntimeError(
+            f"s_merge_stream: half-built fixture at {table_dir} "
+            f"(versions={versions}, expected 4 base + 3 merge commits) — "
+            "clear the directory"
+        )
+    if versions[-1] == 4:
+        feed_dir = _work_dir(sf_dir, f"mrgfeed-{fp}")
+        if not os.path.exists(os.path.join(feed_dir, "_SUCCESS")):
+            (
+                ev.filter(F.col("event_id") % 10 < 4)
+                .filter(F.col("event_id") % 10 > 0)
+                .repartition(3)
+                .write.mode("overwrite")
+                .parquet(feed_dir)
+            )
+        src = (
+            spark.readStream.schema("event_id bigint, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+
+        def apply_merge(batch, _id):
+            if batch.isEmpty():
+                return
+            sp = batch.sparkSession
+            kid = F.col("event_id")
+            dele = batch.filter(kid % 10 == 1).select(
+                "event_id",
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(True).alias("_delete"),
+            )
+            upd = batch.filter((kid % 10 == 2) & (kid % 4 != 0)).select(
+                "event_id",
+                F.concat(F.lit("upd_"), F.col("event_type")).alias(
+                    "event_type"
+                ),
+                F.lit(False).alias("_delete"),
+            )
+            ins = batch.filter(kid % 10 == 3).select(
+                (kid + MERGE_INSERT_OFFSET).alias("event_id"),
+                F.lit("ins").alias("event_type"),
+                F.lit(False).alias("_delete"),
+            )
+            source = dele.unionByName(upd).unionByName(ins)
+            if source.isEmpty():
+                return
+            snapshot_merge(sp, table_dir, source, key="event_id")
+
+        with stream_state_partitions(spark):
+            q = (
+                src.writeStream.foreachBatch(apply_merge)
+                .option("checkpointLocation", _ckpt("merge-stream"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            record_state_progress(q)
+    snap = snapshot_read(spark, table_dir)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "ms")).alias(
+            "checksum"
+        ),
+    )

@@ -188,6 +188,9 @@ SCALE_SLICE = [
     "q_branch_read",
     "q_partition_evolution",
     "q_merge_bucketed",
+    # the streaming merge feed's three stacked per-batch COW commits
+    # must stay clause-exact and carried-file-lossless at 10M keys
+    "s_merge_stream",
 ]
 
 

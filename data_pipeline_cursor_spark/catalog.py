@@ -2791,6 +2791,56 @@ def snapshot_merge_bucketed(
     return new_v
 
 
+def snapshot_read_bucketed(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a BUCKETED snapshot *as a bucketed table* (vs snapshot_read's
+    plain parquet scan): the scan keeps the layout's HashPartitioning —
+    key-equality/IN filters BUCKET-PRUNE (the physical plan reports
+    ``SelectedBucketsCount: k out of N``, reading 1/N of the table per
+    looked-up key), and key-joins/aggregations run exchange-free.  This
+    is the serving-path payoff of the bucket layout: an Iceberg
+    bucket(N, key) point lookup opens only the matching bucket's files.
+
+    The view is registered per (table, version) and reused; it pins the
+    version's exact file list (symlink scan — manifest-scoped), so
+    later commits cannot leak in."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    spec = manifest.get("bucket_spec")
+    if not spec:
+        raise ValueError(
+            f"{table_dir} is not a bucketed snapshot table — use "
+            "snapshot_read"
+        )
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "snapshot_read_bucketed: table carries merge-on-read delete "
+            "files — compact first (snapshot_compact)"
+        )
+    tag = f"v{v}_{abs(hash(table_dir)) % 10**8}"
+    tbl = f"snap_bkt_r_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        _bucketed_files_table(
+            spark,
+            table_dir,
+            sorted(manifest["files"]),
+            spec["schema"],
+            spec["key"],
+            spec["buckets"],
+            tag,
+        )
+    return spark.table(tbl)
+
+
 MERGE_INSERT_OFFSET = 1_000_000_000  # insert keys live above every fixture id
 
 
@@ -3637,6 +3687,50 @@ def merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(phash(F.col("event_id").cast("string"), "mb")).alias(
             "checksum"
         ),
+    )
+
+
+@register(
+    "q_bucket_pruned",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE event_id IN ((SELECT MAX(event_id) FROM events) - 1,
+                       (SELECT MAX(event_id) FROM events) - 2,
+                       (SELECT MAX(event_id) FROM events) - 3)
+    """,
+)
+def bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-PRUNED POINT LOOKUP over the bucketed snapshot — the
+    serving-path payoff of the A31 layout (Iceberg bucket(N, key) point
+    reads / Hive bucket pruning): a key-IN-literals filter over the
+    bucketed scan opens ONLY the buckets the keys hash to; the physical
+    plan reports ``SelectedBucketsCount: k out of N`` (plan-pinned,
+    k <= 3 of 4 here).  At 100 TB a keyed lookup reads 1/N of the
+    table's files instead of all of them — no index, pure layout.
+
+    The three lookup keys are max_id-1..3 (one bounded 1-row collect to
+    resolve them into literals — bucket pruning requires literal
+    predicates); the DuckDB oracle runs the same IN over the raw
+    events, proving the bucketed scan returns exactly the looked-up
+    rows, present or absent."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapbktlkp-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    if not snapshot_versions(table_dir):
+        snapshot_commit_bucketed(
+            spark, table_dir, ev, key="event_id", buckets=4
+        )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    keys = [max_id - 1, max_id - 2, max_id - 3]
+    snap = snapshot_read_bucketed(spark, table_dir)
+    return snap.filter(F.col("event_id").isin(keys)).select(
+        "event_id", "event_type"
     )
 
 

@@ -124,6 +124,17 @@ def get_spark(app_name: str = "data-pipeline-cursor-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Every bucketed table in this repo exists FOR its layout
+        # benefits (bucket-pruned point lookups, exchange-free merge
+        # clause joins); the DisableUnnecessaryBucketedScan rule would
+        # silently downgrade a lookup scan to non-bucketed and drop
+        # SelectedBucketsCount pruning with it.  Scans that genuinely
+        # need the distribution (joins/aggs) were never downgraded, so
+        # this only re-enables pruning for the point-lookup path.
+        .config(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
         # Streaming drains harvest live-state peaks from recentProgress
         # (sources.record_state_progress); the default window of 100
         # progress updates silently drops earlier batches' peaks on long

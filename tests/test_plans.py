@@ -959,3 +959,21 @@ def test_bucketed_merge_clause_join_has_no_exchange(spark):
     # bounds pruning composed: most of the 8 range-clustered commits
     # carried by reference, only the touched low-range buckets rewritten
     assert len(carried) > len(rewritten), (carried, rewritten)
+
+
+def test_bucket_pruned_lookup_selects_buckets(spark):
+    """q_bucket_pruned: the key-IN lookup over the bucketed snapshot
+    must BUCKET-PRUNE — the scan reports SelectedBucketsCount < total
+    (3 keys can hash to at most 3 of the 4 buckets), reading only the
+    matching buckets' files.  Guards the autoBucketedScan conf too: the
+    planner silently downgrading the scan to non-bucketed would drop
+    the pruning line entirely."""
+    import re
+
+    df = get_queries()["q_bucket_pruned"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) <= 3 < int(m.group(2)) + 1, m.group(0)
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)

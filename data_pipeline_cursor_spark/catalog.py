@@ -810,6 +810,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         prev = pm["files"]
         seqs = dict(pm.get("file_seqs", {}))
         bounds = dict(pm.get("file_bounds", {}))
+        # a partitioned generation's records survive plain appends, or
+        # time-range reads would lose pruning on the old files
+        # (conservative-correct, but a silent regression)
+        if pm.get("file_partitions"):
+            carried["file_partitions"] = pm["file_partitions"]
         # merge-on-read deletes survive appends: an append commit must
         # carry the delete files forward or deleted rows resurrect —
         # but they keep their OWN sequence numbers, so they do not
@@ -1760,6 +1765,7 @@ def snapshot_rollback(
             "files",
             "file_seqs",
             "file_bounds",
+            "file_partitions",
             "delete_files",
             "delete_seqs",
             "delete_parts",
@@ -1948,6 +1954,8 @@ def snapshot_publish(table_dir: str, name: str) -> int:
         prev = pm["files"]
         seqs = dict(pm.get("file_seqs", {}))
         bounds = dict(pm.get("file_bounds", {}))
+        if pm.get("file_partitions"):
+            carried["file_partitions"] = pm["file_partitions"]
         if pm.get("delete_files"):
             carried = {
                 "delete_files": pm["delete_files"],
@@ -2495,6 +2503,13 @@ def snapshot_merge(
         "file_bounds": new_bounds,
         "merged": True,
     }
+    prev_fparts = manifest.get("file_partitions", {})
+    if prev_fparts:
+        # carried files keep their generation's partition record;
+        # rewritten files land unpartitioned (no record = never pruned)
+        out["file_partitions"] = {
+            f: prev_fparts[f] for f in untouched if f in prev_fparts
+        }
     # carried untouched files may still need the old delete files (their
     # sequence scoping is unchanged); rewritten files materialized theirs
     if untouched and manifest.get("delete_files"):
@@ -3885,6 +3900,7 @@ def snapshot_delete_keys(
                 "files": manifest["files"],
                 "file_seqs": manifest.get("file_seqs", {}),
                 "file_bounds": manifest.get("file_bounds", {}),
+                "file_partitions": manifest.get("file_partitions", {}),
                 "delete_files": manifest.get("delete_files", []) + rel,
                 "delete_seqs": dseqs,
                 "delete_parts": parts,

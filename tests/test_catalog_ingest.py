@@ -1026,3 +1026,78 @@ def test_expire_never_drops_ref_pinned_versions(spark, tmp_path):
     assert snapshot_versions(tdir) == [3]
     assert res2["deleted_files"] > 0  # v1's files reclaimed
     assert {r["k"] for r in snapshot_read(spark, tdir, 3).collect()} == {1, 2}
+
+
+def test_partition_records_survive_mixed_writers(spark, tmp_path):
+    """file_partitions interplay (r12): the per-file (transform, value)
+    records a partitioned generation wrote must survive PLAIN appends,
+    MOR delete commits, and rollback — dropping them is conservative-
+    correct (unpruned) but a silent pruning regression.  Also pins that
+    the time-range read applies MOR deletes and cannot prune files a
+    plain (unrecorded) append contributed."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        _manifest_path,
+        snapshot_commit,
+        snapshot_commit_partitioned,
+        snapshot_delete_keys,
+        snapshot_read_time_range,
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    tdir = str(tmp_path / "mixedparts")
+    rows = [
+        (k, f"2024-01-0{1 + k % 3} 0{k % 2}:00:00", "t")
+        for k in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, tss string, v string").select(
+        "k", F.col("tss").cast("timestamp").alias("ts"), "v"
+    )
+    snapshot_commit_partitioned(spark, tdir, df, "day")            # v1
+    extra = spark.createDataFrame(
+        [(100, "2024-01-02 05:00:00", "x")], "k bigint, tss string, v string"
+    ).select("k", F.col("tss").cast("timestamp").alias("ts"), "v")
+    snapshot_commit(spark, tdir, extra)                            # v2 plain
+    snapshot_delete_keys(
+        spark, tdir, spark.createDataFrame([(3,)], "k bigint"), key="k"
+    )                                                              # v3 MOR
+
+    with open(_manifest_path(tdir, 3)) as fh:
+        m3 = json.load(fh)
+    v1_files = [f for f in m3["files"] if "commit-1/" in f]
+    assert v1_files and all(
+        f in m3.get("file_partitions", {}) for f in v1_files
+    ), "partitioned generation lost its records through append+delete"
+
+    # time-range read: day-2 only — prunes v1's other days, keeps the
+    # UNRECORDED v2 file (cannot prune), applies the MOR delete (k=3 is
+    # a day-1 row: stays deleted table-wide... k=3: 3%3=0 -> day 1).
+    got = {
+        r["k"]
+        for r in snapshot_read_time_range(
+            spark, tdir, "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+        ).collect()
+    }
+    expect = {k for k in range(12) if k % 3 == 1} | {100}
+    assert got == expect, (got, expect)
+    # delete applies inside the range too
+    snapshot_delete_keys(
+        spark, tdir, spark.createDataFrame([(4,)], "k bigint"), key="k"
+    )                                                              # v4
+    got2 = {
+        r["k"]
+        for r in snapshot_read_time_range(
+            spark, tdir, "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+        ).collect()
+    }
+    assert got2 == expect - {4}, got2
+
+    # rollback to v1 carries the records
+    snapshot_rollback(spark, tdir, 1)                              # v5
+    with open(_manifest_path(tdir, snapshot_versions(tdir)[-1])) as fh:
+        m5 = json.load(fh)
+    assert all(f in m5.get("file_partitions", {}) for f in m5["files"])

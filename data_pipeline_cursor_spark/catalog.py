@@ -838,8 +838,40 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
              "file_bounds": bounds, **carried},
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (Iceberg's
+    CommitFailedException): the caller must re-read the new latest
+    snapshot and retry its operation against it.  Raised instead of
+    silently clobbering the winner's manifest — the lost-commit
+    anomaly optimistic concurrency exists to prevent."""
+
+
+def _publish_manifest(table_dir: str, tmp: str, version: int) -> None:
+    """Atomically publish a manifest with FIRST-WRITER-WINS semantics:
+    os.link refuses an existing target (one atomic syscall, like
+    os.replace — but exclusive), so two writers racing from the same
+    base version cannot overwrite each other; the loser gets
+    ConcurrentCommitError and retries against the winner's snapshot —
+    Iceberg's compare-and-swap on the metadata pointer, on a local
+    filesystem (an object-store deployment uses a conditional PUT or a
+    catalog CAS, same contract)."""
+    final = _manifest_path(table_dir, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} was committed concurrently under "
+            f"{table_dir} — re-read the latest snapshot and retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -1550,7 +1582,7 @@ def snapshot_compact(
             },
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -1782,7 +1814,7 @@ def snapshot_rollback(
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -1983,7 +2015,7 @@ def snapshot_publish(table_dir: str, name: str) -> int:
             },
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     os.remove(spath)
     return new_v
 
@@ -2225,7 +2257,7 @@ def snapshot_commit_partitioned(
             },
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -2520,7 +2552,7 @@ def snapshot_merge(
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -2687,7 +2719,7 @@ def snapshot_commit_bucketed(
             },
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -2802,7 +2834,7 @@ def snapshot_merge_bucketed(
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 
@@ -3908,7 +3940,7 @@ def snapshot_delete_keys(
             },
             fh,
         )
-    os.replace(tmp, _manifest_path(table_dir, new_v))
+    _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
 

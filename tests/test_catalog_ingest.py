@@ -1101,3 +1101,48 @@ def test_partition_records_survive_mixed_writers(spark, tmp_path):
     with open(_manifest_path(tdir, snapshot_versions(tdir)[-1])) as fh:
         m5 = json.load(fh)
     assert all(f in m5.get("file_partitions", {}) for f in m5["files"])
+
+
+def test_concurrent_commit_first_writer_wins(spark, tmp_path):
+    """Optimistic concurrency (r12): two writers committing from the
+    same base version must NOT silently clobber each other — the first
+    publish wins, the second raises ConcurrentCommitError (Iceberg's
+    CommitFailedException contract) and succeeds on retry against the
+    winner's snapshot."""
+    import pytest
+
+    from data_pipeline_cursor_spark.catalog import (
+        ConcurrentCommitError,
+        _manifest_path,
+        _publish_manifest,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    tdir = str(tmp_path / "occ")
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    # writer A wins version 2
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    winner = open(_manifest_path(tdir, 2), "rb").read()
+    # writer B raced from base 1 and tries to publish the same version
+    tmp = str(tmp_path / "occ" / ".manifest-2.loser")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 2, "files": []}')
+    with pytest.raises(ConcurrentCommitError, match="retry"):
+        _publish_manifest(tdir, tmp, 2)
+    # winner's manifest untouched; loser's temp cleaned up
+    assert open(_manifest_path(tdir, 2), "rb").read() == winner
+    import os as _os
+
+    assert not _os.path.exists(tmp)
+    # retry against the new base succeeds as version 3
+    snapshot_commit(
+        spark, tdir, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    assert snapshot_versions(tdir) == [1, 2, 3]
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {1, 2, 3}

@@ -1,0 +1,146 @@
+"""Snapshot change feed as a FIRST-CLASS Structured Streaming source —
+Spark 4's Python Data Source API (`pyspark.sql.datasource`) over the
+manifest-versioned lakehouse: `spark.readStream.format
+("snapshot_changes_feed").option("path", table_dir)` streams each
+committed version's ADDED FILES exactly once, stamped with its commit
+version — Delta's `readChangeFeed` / Iceberg's incremental scan, exposed
+through the engine's own source interface instead of a driver-side loop.
+
+Offsets are snapshot versions (the natural CDC cursor of a versioned
+table): `initialOffset` = version 0, `latestOffset` = the newest
+manifest, and `partitions(start, end)` plans ONE InputPartition per
+intermediate commit holding exactly the file list that commit added —
+pure driver-side manifest metadata, zero data I/O at planning time (the
+same economics as A11's batch incremental scan).  `read` runs ON THE
+EXECUTORS and yields pyarrow RecordBatches (the Arrow fast path of the
+Python source API — never per-row Python tuples) for its partition's
+files.
+
+Restart semantics come from the engine: Structured Streaming
+checkpoints the (start, end] version offsets, so a restarted query
+resumes at the next uncommitted version — exactly-once delivery of
+every commit's delta without any bookkeeping here.
+
+100 TB: planning is O(manifests) on the driver; each micro-batch reads
+only the new files, partitioned per commit (widen by splitting a
+commit's file list across multiple InputPartitions when single commits
+are huge).  Trigger.AvailableNow is not implemented by Python sources
+(Spark falls back to single-batch execution — documented engine
+behavior); per-version delivery is still pinned by the partition plan
+and the `_commit_version` stamps the oracle checks.
+
+Parity: the reference's Iceberg v2 tables (run.sh:99,
+trino/sql/init-tables.sql:9) exist for exactly this incremental-consumer
+pattern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FEED_SCHEMA = "event_id bigint, event_type string, _commit_version int"
+
+
+class SnapshotFeedPartition(InputPartition):
+    """One committed version's added files (executor-side work unit)."""
+
+    def __init__(self, table_dir: str, files: list, version: int):
+        self.table_dir = table_dir
+        self.files = files
+        self.version = version
+
+
+class SnapshotFeedReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.table_dir = options["path"]
+
+    def _versions(self) -> list:
+        if not os.path.isdir(self.table_dir):
+            return []
+        out = []
+        for name in os.listdir(self.table_dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("manifest-") : -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        vs = self._versions()
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        prev_files: set = set()
+        if lo > 0:
+            with open(
+                os.path.join(self.table_dir, f"manifest-{lo}.json")
+            ) as fh:
+                prev_files = set(json.load(fh)["files"])
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            mpath = os.path.join(self.table_dir, f"manifest-{v}.json")
+            if not os.path.exists(mpath):
+                continue  # expired intermediate version: nothing to add
+            with open(mpath) as fh:
+                m = json.load(fh)
+            added = [f for f in m["files"] if f not in prev_files]
+            prev_files = set(m["files"])
+            parts.append(SnapshotFeedPartition(self.table_dir, added, v))
+        # the engine requires >=1 partition per planned batch
+        return parts or [SnapshotFeedPartition(self.table_dir, [], hi)]
+
+    def read(self, partition):
+        # EXECUTOR-side: Arrow record batches, never per-row tuples
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for f in partition.files:
+            t = pq.read_table(
+                os.path.join(partition.table_dir, f),
+                columns=["event_id", "event_type"],
+            )
+            for batch in t.to_batches():
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0).cast(pa.int64()),
+                        batch.column(1).cast(pa.string()),
+                        pa.array(
+                            [partition.version] * batch.num_rows,
+                            type=pa.int32(),
+                        ),
+                    ],
+                    names=["event_id", "event_type", "_commit_version"],
+                )
+
+    def commit(self, end):
+        pass  # offsets live in the engine's checkpoint
+
+
+class SnapshotFeedSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def streamReader(self, schema):
+        return SnapshotFeedReader(self.options)
+
+
+def register_snapshot_feed(spark) -> str:
+    """Idempotently register the source; returns the format name."""
+    spark.dataSource.register(SnapshotFeedSource)
+    return SnapshotFeedSource.name()

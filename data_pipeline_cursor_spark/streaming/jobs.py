@@ -2826,3 +2826,67 @@ def s_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+@register(
+    "s_snapshot_feed",
+    oracle="""
+    SELECT CAST((event_id % 3) + 1 AS INT) AS commit_version,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('sv:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_snapshot_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT CHANGE FEED as a first-class streaming SOURCE — Spark
+    4's Python Data Source API (sources/snapshot_feed.py) exposing the
+    manifest-versioned table to `spark.readStream.format(...)`:
+    Delta's ``readChangeFeed`` / Iceberg's incremental streaming scan,
+    with versions as offsets, per-commit InputPartitions planned from
+    manifest metadata alone, and executor-side Arrow-batch reads.
+
+    The drained frame aggregates per (commit_version, event_type): the
+    3-commit fixture partitions event_id by residue, so the DuckDB
+    oracle replays the commit stamp as ``(event_id % 3) + 1`` — one
+    hash proves every commit's delta was delivered EXACTLY ONCE with
+    the RIGHT version stamp (a duplicated, dropped, or mis-versioned
+    file flips count or checksum of some (version, type) cell).
+
+    100 TB: offset planning is O(manifests) driver metadata; each batch
+    reads only its commits' added files.  The engine checkpoint makes
+    restarts resume at the next unconsumed version — no bookkeeping in
+    the source."""
+    import uuid
+
+    from data_pipeline_cursor_spark.catalog import snapshot_events_table
+    from data_pipeline_cursor_spark.sources.snapshot_feed import (
+        register_snapshot_feed,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    table_dir = snapshot_events_table(spark, sf_dir)
+    fmt = register_snapshot_feed(spark)
+    sdf = spark.readStream.format(fmt).option("path", table_dir).load()
+    name = "snapfeed_" + uuid.uuid4().hex[:8]
+    with stream_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ckpt("snapshot-feed"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_state_progress(q)
+    out = spark.table(name)
+    return out.groupBy(
+        F.col("_commit_version").alias("commit_version"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "sv")).alias(
+            "checksum"
+        ),
+    )

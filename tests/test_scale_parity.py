@@ -191,6 +191,9 @@ SCALE_SLICE = [
     # the streaming merge feed's three stacked per-batch COW commits
     # must stay clause-exact and carried-file-lossless at 10M keys
     "s_merge_stream",
+    # the Python-data-source change feed's per-commit Arrow delivery
+    # must stay exactly-once with right version stamps at 10M rows
+    "s_snapshot_feed",
 ]
 
 

@@ -1146,3 +1146,135 @@ def test_concurrent_commit_first_writer_wins(spark, tmp_path):
     )
     assert snapshot_versions(tdir) == [1, 2, 3]
     assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {1, 2, 3}
+
+
+def test_partition_dir_roundtrip_property(spark, tmp_path):
+    """Property pin for the r12 escaping fix: for a battery of
+    partition values covering Spark's whole escapePathName set
+    (':' '/' '#' '%' ' ' control chars, unicode, '=' in the value),
+    the recorded delete_parts dir string must unescape back to the
+    exact raw value — one shared partitioned write, then
+    _parse_part_dir round-trips every recorded dir."""
+    from data_pipeline_cursor_spark.catalog import (
+        _parse_part_dir,
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    values = [
+        "plain",
+        "with space",
+        "colon:sep",
+        "slash/part",
+        "hash#tag",
+        "pct%20enc",
+        "eq=val",
+        "2024-01-01 10:00:00",
+        "uni-ąćę",
+        "semi;colon",
+        "star*glob",
+        "quote'q",
+        "[bracket]",
+        "curly{b}",
+        "tab\tchar",
+    ]
+    tdir = str(tmp_path / "escprop")
+    base = spark.createDataFrame(
+        [(i, v, "x") for i, v in enumerate(values)],
+        "k bigint, part string, v string",
+    )
+    snapshot_commit(spark, tdir, base)
+    dels = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k bigint, part string"
+    )
+    snapshot_delete_keys(spark, tdir, dels, key="k", partition_col="part")
+
+    import json
+    import os as _os
+
+    with open(_os.path.join(tdir, "manifest-2.json")) as fh:
+        m = json.load(fh)
+    recorded = {_parse_part_dir(p)[1] for p in m["delete_parts"].values()}
+    assert recorded == set(values), sorted(recorded ^ set(values))
+    # every partition's delete applies: table reads empty
+    assert snapshot_read(spark, tdir).count() == 0
+    # and each pruned read agrees
+    for v in values[:4]:
+        assert (
+            snapshot_read(spark, tdir, partition=("part", v)).count() == 0
+        )
+
+
+def test_snapshot_merge_clause_algebra_property(spark, tmp_path):
+    """Hypothesis pin for the COW merge: for random base tables and
+    random change batches (delete/update/insert mixes, including
+    deletes of absent keys and multi-commit bases), snapshot_merge's
+    result equals the dictionary semantics of MERGE — matched+_delete
+    drops, matched updates, unmatched non-delete inserts, unmatched
+    deletes are no-ops.  Few examples (each spins Spark jobs) but
+    adversarial shapes the fixed fixtures never produce."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        base=st.dictionaries(
+            st.integers(0, 15), st.text("abc", min_size=1, max_size=3),
+            min_size=1, max_size=12,
+        ),
+        src=st.dictionaries(
+            st.integers(0, 20),
+            st.one_of(
+                st.none(),  # None = DELETE clause
+                st.text("xyz", min_size=1, max_size=3),
+            ),
+            min_size=1, max_size=10,
+        ),
+        n_commits=st.integers(1, 3),
+    )
+    def check(base, src, n_commits):
+        counter[0] += 1
+        tdir = str(tmp_path / f"prop{counter[0]}")
+        items = sorted(base.items())
+        for c in range(n_commits):
+            slice_ = [kv for i, kv in enumerate(items) if i % n_commits == c]
+            # an empty slice still commits (zero-row commits exercise the
+            # no-stats bounds path the r11 close documented)
+            snapshot_commit(
+                spark,
+                tdir,
+                spark.createDataFrame(
+                    slice_ or [(None, None)], "k bigint, v string"
+                ).filter("k is not null"),
+            )
+        source = spark.createDataFrame(
+            [(k, v, v is None) for k, v in sorted(src.items())],
+            "k bigint, v string, _delete boolean",
+        )
+        snapshot_merge(spark, tdir, source, key="k")
+
+        expect = dict(base)
+        for k, v in src.items():
+            if v is None:
+                expect.pop(k, None)
+            else:
+                expect[k] = v
+        got = {
+            (r["k"], r["v"]) for r in snapshot_read(spark, tdir).collect()
+        }
+        assert got == set(expect.items()), (base, src, got)
+
+    check()

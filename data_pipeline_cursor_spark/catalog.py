@@ -1501,6 +1501,109 @@ def files_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_delete_files_metadata(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    key_type: str = "bigint",
+    version: int | None = None,
+) -> DataFrame:
+    """The DELETE-FILES metadata table (Iceberg ``t$delete_files`` —
+    A32's sibling): one row per equality-delete file in force at a
+    snapshot, with its publish sequence, partition scope (NULL =
+    table-wide), recorded key count, and recorded key bounds — the
+    audit surface for MOR debt ("how many tombstones is every read
+    paying for, and when should compaction materialize them").  Served
+    from the manifest; legacy entries fall back to one footer read."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    with open(_manifest_path(table_dir, v)) as fh:
+        manifest = json.load(fh)
+    recorded = manifest.get("file_bounds", {})
+    dseqs = manifest.get("delete_seqs", {})
+    dparts = manifest.get("delete_parts", {})
+    rows = []
+    for f in manifest.get("delete_files", []):
+        rec = recorded.get(f)
+        if rec is None:
+            rec = _footer_column_bounds(os.path.join(table_dir, f))
+        b = rec.get(key)
+        lo, hi = (b if isinstance(b, list) else (None, None))
+        scope = dparts.get(f)
+        rows.append(
+            (
+                f,
+                int(dseqs.get(f, 0)),
+                _parse_part_dir(scope)[1] if scope else None,
+                rec.get("_num_rows"),
+                lo,
+                hi,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        f"file_path string, delete_version int, partition_scope string, "
+        f"n_keys bigint, key_lo {key_type}, key_hi {key_type}",
+    )
+
+
+@register(
+    "q_delete_files_metadata",
+    oracle="""
+    SELECT 2 AS delete_version,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MIN(event_id) AS key_lo, MAX(event_id) AS key_hi
+    FROM events WHERE event_id % 11 = 0
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), MIN(event_id), MAX(event_id)
+    FROM events WHERE event_id % 13 = 0
+    """,
+)
+def delete_files_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-FILES metadata table over a two-delete-commit MOR fixture
+    (base + %11 tombstones at v2 + %13 at v3), aggregated per delete
+    commit: summed recorded key counts and the recorded key-bounds
+    envelope.  The DuckDB oracle recomputes all three FROM THE DATA per
+    residue class — a hash match proves each delete commit's stats
+    record exactly the requested key set (a tombstone file recording
+    one key too few/many, or bounds off by one at the envelope edge,
+    flips the match).  This is how an operator audits MOR debt before
+    scheduling the compaction that materializes it (A15's trade)."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapdfm-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        snapshot_commit(spark, table_dir, ev)
+        versions = [1]
+    if versions[-1] < 3:
+        for mod in (11, 13)[versions[-1] - 1 :]:
+            snapshot_delete_keys(
+                spark,
+                table_dir,
+                ev.filter(F.col("event_id") % mod == 0).select("event_id"),
+                key="event_id",
+            )
+    meta = snapshot_delete_files_metadata(spark, table_dir, key="event_id")
+    return meta.groupBy("delete_version").agg(
+        F.sum("n_keys").alias("n_keys"),
+        F.min("key_lo").alias("key_lo"),
+        F.max("key_hi").alias("key_hi"),
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
@@ -2549,6 +2652,14 @@ def snapshot_merge(
         out["delete_seqs"] = manifest.get("delete_seqs", {})
         out["delete_parts"] = manifest.get("delete_parts", {})
         out["delete_key"] = manifest["delete_key"]
+        # carried delete files keep their stats records too
+        out["file_bounds"].update(
+            {
+                f: prev_bounds[f]
+                for f in manifest["delete_files"]
+                if f in prev_bounds
+            }
+        )
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
@@ -3924,6 +4035,11 @@ def snapshot_delete_keys(
                     parts[r] = pdir
     dseqs = dict(manifest.get("delete_seqs", {}))
     dseqs.update({r: new_v for r in rel})
+    # delete FILES get write-time stats too (Iceberg's delete-file
+    # manifest entries carry record_count/bounds like data files) —
+    # the delete-files metadata table serves from these, zero read I/O
+    bounds = dict(manifest.get("file_bounds", {}))
+    bounds.update(_collect_file_bounds(table_dir, rel))
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -3931,7 +4047,7 @@ def snapshot_delete_keys(
                 "version": new_v,
                 "files": manifest["files"],
                 "file_seqs": manifest.get("file_seqs", {}),
-                "file_bounds": manifest.get("file_bounds", {}),
+                "file_bounds": bounds,
                 "file_partitions": manifest.get("file_partitions", {}),
                 "delete_files": manifest.get("delete_files", []) + rel,
                 "delete_seqs": dseqs,

@@ -60,6 +60,17 @@ class SnapshotFeedPartition(InputPartition):
 class SnapshotFeedReader(DataSourceStreamReader):
     def __init__(self, options):
         self.table_dir = options["path"]
+        # Delta readChangeFeed's startingVersion/endingVersion: bound the
+        # replay window.  ending_version also makes a consumer
+        # deterministic against later maintenance commits (compaction
+        # republishes the same rows as a new version — an UNBOUNDED
+        # feed would legitimately deliver that rewrite as a new delta).
+        self.starting_version = int(options.get("starting_version", "0"))
+        self.ending_version = (
+            int(options["ending_version"])
+            if "ending_version" in options
+            else None
+        )
 
     def _versions(self) -> list:
         if not os.path.isdir(self.table_dir):
@@ -74,11 +85,14 @@ class SnapshotFeedReader(DataSourceStreamReader):
         return sorted(out)
 
     def initialOffset(self):
-        return {"version": 0}
+        return {"version": self.starting_version}
 
     def latestOffset(self):
         vs = self._versions()
-        return {"version": vs[-1] if vs else 0}
+        latest = vs[-1] if vs else 0
+        if self.ending_version is not None:
+            latest = min(latest, self.ending_version)
+        return {"version": max(latest, self.starting_version)}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]

@@ -2867,9 +2867,21 @@ def s_snapshot_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_pipeline_cursor_spark.text.dedup import phash
 
+    from data_pipeline_cursor_spark.catalog import SNAPSHOT_COMMITS
+
     table_dir = snapshot_events_table(spark, sf_dir)
     fmt = register_snapshot_feed(spark)
-    sdf = spark.readStream.format(fmt).option("path", table_dir).load()
+    # ending_version pins the replay to the fixture's base commits:
+    # the SHARED snaptable may gain a compaction rewrite version from
+    # q_snapshot_compaction in the same session, and an unbounded feed
+    # would (correctly!) deliver that rewrite as one more delta —
+    # Delta's endingVersion exists for exactly this determinism
+    sdf = (
+        spark.readStream.format(fmt)
+        .option("path", table_dir)
+        .option("ending_version", str(SNAPSHOT_COMMITS))
+        .load()
+    )
     name = "snapfeed_" + uuid.uuid4().hex[:8]
     with stream_state_partitions(spark):
         q = (

@@ -920,3 +920,62 @@ def test_snapshot_feed_resumes_at_next_version(spark, tmp_path):
     new_rows = second.filter("_commit_version = 3").collect()
     assert {r["event_id"] for r in new_rows} == {100, 101, 102}
     assert second.filter("_commit_version > 3").count() == 0
+
+
+def test_snapshot_feed_bounded_by_ending_version(spark, tmp_path):
+    """ending_version (Delta readChangeFeed's endingVersion): a consumer
+    pinned to version N never sees later commits — including the
+    compaction-rewrite versions maintenance publishes, which an
+    unbounded feed would (correctly) deliver as one more delta.  Pins
+    the SELFCHECK ordering interaction: q_snapshot_compaction compacts
+    the shared fixture in-session before s_snapshot_feed runs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_compact,
+    )
+    from data_pipeline_cursor_spark.sources.snapshot_feed import (
+        register_snapshot_feed,
+    )
+
+    tdir = str(tmp_path / "endtbl")
+    for k in range(2):
+        snapshot_commit(
+            spark,
+            tdir,
+            spark.range(k * 4, (k + 1) * 4).select(
+                F.col("id").alias("event_id"),
+                F.lit(f"t{k}").alias("event_type"),
+            ),
+        )
+    snapshot_compact(spark, tdir)  # v3 republishes all 8 rows
+    fmt = register_snapshot_feed(spark)
+
+    def drain(**opts):
+        import uuid
+
+        name = "end_" + uuid.uuid4().hex[:8]
+        rs = spark.readStream.format(fmt).option("path", tdir)
+        for k, v in opts.items():
+            rs = rs.option(k, v)
+        q = (
+            rs.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    bounded = drain(ending_version="2")
+    assert bounded.count() == 8
+    assert {r["_commit_version"] for r in bounded.collect()} == {1, 2}
+    unbounded = drain()
+    assert unbounded.count() == 16  # + the rewrite version's 8 rows
+    assert {r["_commit_version"] for r in unbounded.collect()} == {1, 2, 3}
+    # starting_version skips the base generations
+    tail = drain(starting_version="2")
+    assert {r["_commit_version"] for r in tail.collect()} == {3}

@@ -820,12 +820,16 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         # but they keep their OWN sequence numbers, so they do not
         # apply to this commit's (newer) data files
         if pm.get("delete_files"):
-            carried = {
-                "delete_files": pm["delete_files"],
-                "delete_seqs": pm.get("delete_seqs", {}),
-                "delete_parts": pm.get("delete_parts", {}),
-                "delete_key": pm["delete_key"],
-            }
+            # update, NOT reassignment — both carries must coexist on a
+            # table with partitioned generations AND MOR delete files
+            carried.update(
+                {
+                    "delete_files": pm["delete_files"],
+                    "delete_seqs": pm.get("delete_seqs", {}),
+                    "delete_parts": pm.get("delete_parts", {}),
+                    "delete_key": pm["delete_key"],
+                }
+            )
     seqs.update({f: new_v for f in rel})
     # per-file column bounds recorded AT WRITE TIME (one footer read per
     # new file, while the writer holds them) — Iceberg's manifest stats;
@@ -876,6 +880,19 @@ def _publish_manifest(table_dir: str, tmp: str, version: int) -> None:
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-{version}.json")
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    """Load one committed snapshot's manifest as the RESOLVED cumulative
+    dict every reader consumes (files / file_seqs / file_bounds /
+    file_partitions / delete_* / bucket_spec + the commit markers).
+    The single manifest-reading entrypoint — readers must not open
+    manifest files directly, so the storage layout can evolve (e.g. to
+    a manifest list) without touching them."""
+    import json
+
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
 
 
 def snapshot_versions(table_dir: str) -> list[int]:
@@ -2092,12 +2109,16 @@ def snapshot_publish(table_dir: str, name: str) -> int:
         if pm.get("file_partitions"):
             carried["file_partitions"] = pm["file_partitions"]
         if pm.get("delete_files"):
-            carried = {
-                "delete_files": pm["delete_files"],
-                "delete_seqs": pm.get("delete_seqs", {}),
-                "delete_parts": pm.get("delete_parts", {}),
-                "delete_key": pm["delete_key"],
-            }
+            # update, NOT reassignment (same clobber class as
+            # snapshot_commit: partition records must survive deletes)
+            carried.update(
+                {
+                    "delete_files": pm["delete_files"],
+                    "delete_seqs": pm.get("delete_seqs", {}),
+                    "delete_parts": pm.get("delete_parts", {}),
+                    "delete_key": pm["delete_key"],
+                }
+            )
     seqs.update({f: new_v for f in staged["files"]})
     # bounds were computed at snapshot_stage write time; legacy staged
     # manifests (no file_bounds) get one footer pass now, at publish

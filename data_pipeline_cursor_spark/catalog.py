@@ -777,6 +777,129 @@ def _collect_file_bounds(table_dir: str, rel_files: list[str]) -> dict:
     }
 
 
+def _carry_manifest_maps(pm: dict | None) -> dict:
+    """The ONE carry site: every per-file record an APPEND-shaped
+    manifest writer must bring forward from the previous manifest, as
+    mutable copies — ``files``, ``file_seqs``, ``file_bounds``, plus
+    (when present) ``file_partitions``, the ``delete_*`` maps, and
+    ``bucket_spec``.  Seven writers used to hand-copy this block and
+    two of them dropped ``file_partitions`` when deletes were present
+    (the round-12 carry clobber); any new writer must call this helper
+    or pruning silently degrades.
+
+    Carry policy (explicit, per writer):
+      - snapshot_commit / snapshot_commit_partitioned /
+        snapshot_publish: carry everything EXCEPT onto a bucketed
+        table — plain data files would silently break the co-location
+        contract, so those writers fail-stop via
+        ``_reject_bucketed_append`` instead of dropping the spec.
+      - snapshot_commit_bucketed: requires an empty or all-bucketed
+        history (fail-stop otherwise), so partitioned generations can
+        never coexist with a bucket spec.
+      - snapshot_delete_keys: carries everything including
+        ``bucket_spec`` — delete files are metadata-side and both
+        bucketed read paths fail-stop until compaction materializes.
+      - snapshot_merge / snapshot_merge_bucketed: carry RESTRICTED to
+        untouched files (``_restrict_manifest_maps``).
+      - snapshot_compact: carries nothing BY DESIGN — the rewrite
+        materializes deletes and replaces the layout (it is the escape
+        hatch the bucketed/MOR fail-stops point at).
+      - snapshot_rollback: copies the TARGET manifest's records
+        verbatim (including ``bucket_spec``)."""
+    out: dict = {"files": [], "file_seqs": {}, "file_bounds": {}}
+    if not pm:
+        return out
+    out["files"] = list(pm["files"])
+    out["file_seqs"] = dict(pm.get("file_seqs", {}))
+    out["file_bounds"] = dict(pm.get("file_bounds", {}))
+    if pm.get("file_partitions"):
+        out["file_partitions"] = dict(pm["file_partitions"])
+    if pm.get("delete_files"):
+        out["delete_files"] = list(pm["delete_files"])
+        out["delete_seqs"] = dict(pm.get("delete_seqs", {}))
+        out["delete_parts"] = dict(pm.get("delete_parts", {}))
+        out["delete_key"] = pm["delete_key"]
+    if pm.get("bucket_spec"):
+        out["bucket_spec"] = pm["bucket_spec"]
+    return out
+
+
+def _restrict_manifest_maps(carried: dict, keep: list[str]) -> dict:
+    """Restrict a carried state's per-file maps to the files a REWRITE
+    kept (merge's untouched set): records for rewritten files must not
+    leak into the new manifest.  Delete-file records survive only if
+    some untouched file still needs them (empty keep = deletes were
+    materialized by the rewrite).  ``files`` is set to ``keep``."""
+    keep_set = set(keep)
+    out: dict = {
+        "files": list(keep),
+        "file_seqs": {
+            f: s for f, s in carried["file_seqs"].items() if f in keep_set
+        },
+        "file_bounds": {
+            f: b for f, b in carried["file_bounds"].items() if f in keep_set
+        },
+    }
+    if carried.get("file_partitions"):
+        fp = {
+            f: r
+            for f, r in carried["file_partitions"].items()
+            if f in keep_set
+        }
+        if fp:
+            out["file_partitions"] = fp
+    if keep_set and carried.get("delete_files"):
+        out["delete_files"] = list(carried["delete_files"])
+        out["delete_seqs"] = dict(carried.get("delete_seqs", {}))
+        out["delete_parts"] = dict(carried.get("delete_parts", {}))
+        out["delete_key"] = carried["delete_key"]
+        # carried delete files keep their stats records too
+        out["file_bounds"].update(
+            {
+                f: carried["file_bounds"][f]
+                for f in carried["delete_files"]
+                if f in carried["file_bounds"]
+            }
+        )
+    if carried.get("bucket_spec"):
+        out["bucket_spec"] = carried["bucket_spec"]
+    return out
+
+
+def _attempt_data_dir(
+    table_dir: str, kind: str, version: int
+) -> tuple[str, str]:
+    """Unique per-ATTEMPT data directory ``data/<kind>-<version>-<token>``
+    for an optimistic-concurrency commit attempt.  The token makes the
+    whole commit sound, not just the manifest CAS: two writers racing
+    from the same base version write to DIFFERENT directories, so the
+    CAS loser can never have overwritten the winner's already-committed
+    data files (the winner's manifest references the winner's dir; the
+    loser's dir is unreferenced and reclaimed by remove_orphan_files —
+    Iceberg's uuid'd file names, at directory granularity).  A
+    retry-after-ConcurrentCommitError naturally gets a fresh token and
+    must NOT reuse a previous attempt's directory.
+    Returns (absolute_dir, relative_dir)."""
+    import uuid
+
+    rel = os.path.join("data", f"{kind}-{version}-{uuid.uuid4().hex[:8]}")
+    return os.path.join(table_dir, rel), rel
+
+
+def _reject_bucketed_append(pm: dict | None, writer: str) -> None:
+    """Plain (non-bucketed) data files onto a bucketed layout would
+    silently break every later shuffle-free merge — fail-stop instead
+    (the same contract as the delete-file guards; snapshot_compact is
+    the explicit layout-rewrite escape hatch)."""
+    if pm and pm.get("bucket_spec"):
+        raise ValueError(
+            f"{writer}: table is bucketed "
+            f"({pm['bucket_spec']['key']} x {pm['bucket_spec']['buckets']})"
+            " — use snapshot_commit_bucketed / snapshot_merge_bucketed, "
+            "or snapshot_compact to rewrite the layout"
+        )
+
+
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Append ``df`` as the next commit of a manifest-versioned table and
     return the new version.  Data files land under data/commit-<N>/;
@@ -800,48 +923,22 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    prev: list[str] = []
-    seqs: dict = {}
-    bounds: dict = {}
-    carried: dict = {}
-    if versions:
-        with open(_manifest_path(table_dir, versions[-1])) as fh:
-            pm = json.load(fh)
-        prev = pm["files"]
-        seqs = dict(pm.get("file_seqs", {}))
-        bounds = dict(pm.get("file_bounds", {}))
-        # a partitioned generation's records survive plain appends, or
-        # time-range reads would lose pruning on the old files
-        # (conservative-correct, but a silent regression)
-        if pm.get("file_partitions"):
-            carried["file_partitions"] = pm["file_partitions"]
-        # merge-on-read deletes survive appends: an append commit must
-        # carry the delete files forward or deleted rows resurrect —
-        # but they keep their OWN sequence numbers, so they do not
-        # apply to this commit's (newer) data files
-        if pm.get("delete_files"):
-            # update, NOT reassignment — both carries must coexist on a
-            # table with partitioned generations AND MOR delete files
-            carried.update(
-                {
-                    "delete_files": pm["delete_files"],
-                    "delete_seqs": pm.get("delete_seqs", {}),
-                    "delete_parts": pm.get("delete_parts", {}),
-                    "delete_key": pm["delete_key"],
-                }
-            )
-    seqs.update({f: new_v for f in rel})
+    # partitioned generations' records and MOR delete maps survive plain
+    # appends (pruning + deleted rows both depend on it); delete files
+    # keep their OWN sequence numbers, so they never apply to this
+    # commit's (newer) data files
+    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    _reject_bucketed_append(pm, "snapshot_commit")
+    carried = _carry_manifest_maps(pm)
+    carried["files"] += rel
+    carried["file_seqs"].update({f: new_v for f in rel})
     # per-file column bounds recorded AT WRITE TIME (one footer read per
     # new file, while the writer holds them) — Iceberg's manifest stats;
     # plan-time consumers (snapshot_merge) never reopen footers
-    bounds.update(_collect_file_bounds(table_dir, rel))
+    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(
-            {"version": new_v, "files": prev + rel, "file_seqs": seqs,
-             "file_bounds": bounds, **carried},
-            fh,
-        )
+        json.dump({"version": new_v, **carried}, fh)
     _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
@@ -1064,8 +1161,7 @@ def snapshot_read(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
-    with open(_manifest_path(table_dir, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, v)
     return _read_files_with_deletes(
         spark, table_dir, manifest["files"], manifest, partition
     )
@@ -1225,10 +1321,8 @@ def snapshot_changes(
         raise ValueError(
             f"from_version {from_version} must precede to_version {to_version}"
         )
-    with open(_manifest_path(table_dir, from_version)) as fh:
-        base = set(json.load(fh)["files"])
-    with open(_manifest_path(table_dir, to_version)) as fh:
-        target = json.load(fh)["files"]
+    base = set(_load_manifest(table_dir, from_version)["files"])
+    target = _load_manifest(table_dir, to_version)["files"]
     delta = [f for f in target if f not in base]
     if not delta:
         return snapshot_read(spark, table_dir, to_version).limit(0)
@@ -1394,8 +1488,7 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = snapshot_versions(table_dir)[:SNAPSHOT_COMMITS]
     ops = []
     for v in versions:
-        with open(_manifest_path(table_dir, v)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(table_dir, v)
         if m.get("compacted"):
             op = "compact"
         elif m.get("merged"):
@@ -1461,8 +1554,7 @@ def snapshot_files_metadata(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
-    with open(_manifest_path(table_dir, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, v)
     recorded = manifest.get("file_bounds", {})
     fseqs = manifest.get("file_seqs", {})
     rows = []
@@ -1540,8 +1632,7 @@ def snapshot_delete_files_metadata(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
-    with open(_manifest_path(table_dir, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, v)
     recorded = manifest.get("file_bounds", {})
     dseqs = manifest.get("delete_seqs", {})
     dparts = manifest.get("delete_parts", {})
@@ -1651,6 +1742,13 @@ def snapshot_compact(
     pruning.  Costs one range shuffle instead of the shuffle-free
     coalesce; the read story is identical.
 
+    Carry policy: compaction carries NOTHING by design — it reads
+    through the delete set (materializing MOR deletes), rewrites every
+    data file (old partition records no longer apply), and emits a
+    plain coalesced/range-sorted layout (any bucket spec is consumed).
+    It is the explicit layout-rewrite escape hatch the bucketed and
+    MOR fail-stops point at.
+
     100 TB: the plain rewrite is a shuffle-free coalesce of one
     snapshot's files; production drives it per-partition behind a
     small-file threshold, and readers never block (the swap is one
@@ -1662,8 +1760,7 @@ def snapshot_compact(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    with open(_manifest_path(table_dir, last)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, last)
     if manifest.get("compacted"):
         return last
     files = [os.path.join(table_dir, f) for f in manifest["files"]]
@@ -1780,8 +1877,7 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
         return {"expired_versions": [], "deleted_files": 0}
     keep: set[str] = set()
     for v in retained:
-        with open(_manifest_path(table_dir, v)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(table_dir, v)
         keep.update(m["files"])
         # a retained MOR manifest still needs its delete files at read time
         keep.update(m.get("delete_files", []))
@@ -1906,8 +2002,7 @@ def snapshot_rollback(
             f"version {to_version} not committed (have {versions})"
         )
     last = versions[-1]
-    with open(_manifest_path(table_dir, to_version)) as fh:
-        target = json.load(fh)
+    target = _load_manifest(table_dir, to_version)
     new_v = last + 1
     out = {
         k: v
@@ -1922,6 +2017,8 @@ def snapshot_rollback(
             "delete_seqs",
             "delete_parts",
             "delete_key",
+            # restoring a bucketed snapshot restores its layout contract
+            "bucket_spec",
         )
     }
     out.update(
@@ -2096,48 +2193,21 @@ def snapshot_publish(table_dir: str, name: str) -> int:
         staged = json.load(fh)
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
-    prev: list[str] = []
-    seqs: dict = {}
-    bounds: dict = {}
-    carried: dict = {}
-    if versions:
-        with open(_manifest_path(table_dir, versions[-1])) as fh:
-            pm = json.load(fh)
-        prev = pm["files"]
-        seqs = dict(pm.get("file_seqs", {}))
-        bounds = dict(pm.get("file_bounds", {}))
-        if pm.get("file_partitions"):
-            carried["file_partitions"] = pm["file_partitions"]
-        if pm.get("delete_files"):
-            # update, NOT reassignment (same clobber class as
-            # snapshot_commit: partition records must survive deletes)
-            carried.update(
-                {
-                    "delete_files": pm["delete_files"],
-                    "delete_seqs": pm.get("delete_seqs", {}),
-                    "delete_parts": pm.get("delete_parts", {}),
-                    "delete_key": pm["delete_key"],
-                }
-            )
-    seqs.update({f: new_v for f in staged["files"]})
+    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    _reject_bucketed_append(pm, "snapshot_publish")
+    carried = _carry_manifest_maps(pm)
+    carried["files"] += staged["files"]
+    carried["file_seqs"].update({f: new_v for f in staged["files"]})
     # bounds were computed at snapshot_stage write time; legacy staged
     # manifests (no file_bounds) get one footer pass now, at publish
-    bounds.update(
+    carried["file_bounds"].update(
         staged.get("file_bounds")
         or _collect_file_bounds(table_dir, staged["files"])
     )
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
-            {
-                "version": new_v,
-                "files": prev + staged["files"],
-                "file_seqs": seqs,
-                "file_bounds": bounds,
-                "published_stage": name,
-                **carried,
-            },
-            fh,
+            {"version": new_v, "published_stage": name, **carried}, fh
         )
     _publish_manifest(table_dir, tmp, new_v)
     os.remove(spath)
@@ -2346,37 +2416,20 @@ def snapshot_commit_partitioned(
                 r = os.path.join("data", f"commit-{new_v}", pdir, f)
                 rel.append(r)
                 fparts[r] = {"transform": transform, "value": pval}
-    prev: list[str] = []
-    seqs: dict = {}
-    bounds: dict = {}
-    carried: dict = {}
-    prev_fparts: dict = {}
-    if versions:
-        with open(_manifest_path(table_dir, versions[-1])) as fh:
-            pm = json.load(fh)
-        prev = pm["files"]
-        seqs = dict(pm.get("file_seqs", {}))
-        bounds = dict(pm.get("file_bounds", {}))
-        prev_fparts = dict(pm.get("file_partitions", {}))
-        if pm.get("delete_files"):
-            carried = {
-                "delete_files": pm["delete_files"],
-                "delete_seqs": pm.get("delete_seqs", {}),
-                "delete_parts": pm.get("delete_parts", {}),
-                "delete_key": pm["delete_key"],
-            }
-    seqs.update({f: new_v for f in rel})
-    bounds.update(_collect_file_bounds(table_dir, rel))
-    prev_fparts.update(fparts)
+    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    _reject_bucketed_append(pm, "snapshot_commit_partitioned")
+    carried = _carry_manifest_maps(pm)
+    carried["files"] += rel
+    carried["file_seqs"].update({f: new_v for f in rel})
+    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
+    fparts = {**carried.get("file_partitions", {}), **fparts}
+    carried.pop("file_partitions", None)
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "version": new_v,
-                "files": prev + rel,
-                "file_seqs": seqs,
-                "file_bounds": bounds,
-                "file_partitions": prev_fparts,
+                "file_partitions": fparts,
                 **carried,
             },
             fh,
@@ -2440,8 +2493,7 @@ def snapshot_read_time_range(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     v = versions[-1] if version is None else version
-    with open(_manifest_path(table_dir, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, v)
     lo_dt = datetime.strptime(lo, "%Y-%m-%d %H:%M:%S")
     hi_dt = datetime.strptime(hi, "%Y-%m-%d %H:%M:%S")
     kept, _ = _time_range_files(manifest, lo_dt, hi_dt)
@@ -2618,10 +2670,14 @@ def snapshot_merge(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    with open(_manifest_path(table_dir, last)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, last)
+    if manifest.get("bucket_spec"):
+        raise ValueError(
+            "snapshot_merge: table is bucketed — use "
+            "snapshot_merge_bucketed (a plain rewrite would break the "
+            "layout's co-location), or snapshot_compact to rewrite it"
+        )
     all_files = manifest["files"]
-    fseqs = manifest.get("file_seqs", {})
     source = _merge_check_source(source, key)
     touched, untouched = _merge_detect_touched(
         spark, table_dir, manifest, source, key
@@ -2645,42 +2701,15 @@ def snapshot_merge(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    new_seqs = {f: fseqs.get(f, 0) for f in untouched}
-    new_seqs.update({f: new_v for f in rel})
-    prev_bounds = manifest.get("file_bounds", {})
-    new_bounds = {
-        f: prev_bounds[f] for f in untouched if f in prev_bounds
-    }
-    new_bounds.update(_collect_file_bounds(table_dir, rel))
-    out = {
-        "version": new_v,
-        "files": untouched + rel,
-        "file_seqs": new_seqs,
-        "file_bounds": new_bounds,
-        "merged": True,
-    }
-    prev_fparts = manifest.get("file_partitions", {})
-    if prev_fparts:
-        # carried files keep their generation's partition record;
-        # rewritten files land unpartitioned (no record = never pruned)
-        out["file_partitions"] = {
-            f: prev_fparts[f] for f in untouched if f in prev_fparts
-        }
-    # carried untouched files may still need the old delete files (their
-    # sequence scoping is unchanged); rewritten files materialized theirs
-    if untouched and manifest.get("delete_files"):
-        out["delete_files"] = manifest["delete_files"]
-        out["delete_seqs"] = manifest.get("delete_seqs", {})
-        out["delete_parts"] = manifest.get("delete_parts", {})
-        out["delete_key"] = manifest["delete_key"]
-        # carried delete files keep their stats records too
-        out["file_bounds"].update(
-            {
-                f: prev_bounds[f]
-                for f in manifest["delete_files"]
-                if f in prev_bounds
-            }
-        )
+    # untouched files keep their records (seq/bounds/partition —
+    # rewritten files land unpartitioned: no record = never pruned);
+    # delete files survive only while an untouched file still needs
+    # their sequence scoping (rewritten files materialized theirs)
+    out = _restrict_manifest_maps(_carry_manifest_maps(manifest), untouched)
+    out["files"] += rel
+    out["file_seqs"].update({f: new_v for f in rel})
+    out["file_bounds"].update(_collect_file_bounds(table_dir, rel))
+    out.update({"version": new_v, "merged": True})
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
@@ -2804,13 +2833,9 @@ def snapshot_commit_bucketed(
 
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
-    prev: list[str] = []
-    seqs: dict = {}
-    bounds: dict = {}
     spec = {"key": key, "buckets": buckets, "schema": _schema_ddl(df)}
-    if versions:
-        with open(_manifest_path(table_dir, versions[-1])) as fh:
-            pm = json.load(fh)
+    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    if pm is not None:
         prev_spec = pm.get("bucket_spec")
         if prev_spec and (
             prev_spec["key"] != key or prev_spec["buckets"] != buckets
@@ -2819,15 +2844,23 @@ def snapshot_commit_bucketed(
                 f"bucket spec mismatch: table uses {prev_spec}, got "
                 f"key={key} buckets={buckets}"
             )
+        if prev_spec is None and pm["files"]:
+            # the inverse of _reject_bucketed_append: bucketing must
+            # start from an empty table or an all-bucketed history —
+            # plain/partitioned generations mixed under a bucket spec
+            # would be misread as bucket files by the co-located scan
+            raise ValueError(
+                "snapshot_commit_bucketed: table has non-bucketed "
+                "generations — bucketed layouts start from an empty "
+                "table (or rewrite the layout outside the snapshot line)"
+            )
         if pm.get("delete_files"):
             raise ValueError(
                 "snapshot_commit_bucketed: table carries merge-on-read "
                 "delete files — compact first (snapshot_compact)"
             )
-        prev = pm["files"]
-        seqs = dict(pm.get("file_seqs", {}))
-        bounds = dict(pm.get("file_bounds", {}))
         spec = prev_spec or spec
+    carried = _carry_manifest_maps(pm)
     data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
     _write_bucketed_files(
         spark, df, key, buckets, data_dir, f"c{new_v}_{abs(hash(table_dir)) % 10**8}"
@@ -2837,20 +2870,12 @@ def snapshot_commit_bucketed(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    seqs.update({f: new_v for f in rel})
-    bounds.update(_collect_file_bounds(table_dir, rel))
+    carried["files"] += rel
+    carried["file_seqs"].update({f: new_v for f in rel})
+    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": new_v,
-                "files": prev + rel,
-                "file_seqs": seqs,
-                "file_bounds": bounds,
-                "bucket_spec": spec,
-            },
-            fh,
-        )
+        json.dump({"version": new_v, **carried, "bucket_spec": spec}, fh)
     _publish_manifest(table_dir, tmp, new_v)
     return new_v
 
@@ -2884,8 +2909,7 @@ def snapshot_merge_bucketed(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    with open(_manifest_path(table_dir, last)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, last)
     spec = manifest.get("bucket_spec")
     if not spec or spec["key"] != key:
         raise ValueError(
@@ -2898,7 +2922,6 @@ def snapshot_merge_bucketed(
             "files — compact first (snapshot_compact)"
         )
     buckets = spec["buckets"]
-    fseqs = manifest.get("file_seqs", {})
     source = _merge_check_source(source, key)
     touched, untouched = _merge_detect_touched(
         spark, table_dir, manifest, source, key
@@ -2950,19 +2973,11 @@ def snapshot_merge_bucketed(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    new_seqs = {f: fseqs.get(f, 0) for f in untouched}
-    new_seqs.update({f: new_v for f in rel})
-    prev_bounds = manifest.get("file_bounds", {})
-    new_bounds = {f: prev_bounds[f] for f in untouched if f in prev_bounds}
-    new_bounds.update(_collect_file_bounds(table_dir, rel))
-    out = {
-        "version": new_v,
-        "files": untouched + rel,
-        "file_seqs": new_seqs,
-        "file_bounds": new_bounds,
-        "bucket_spec": spec,
-        "merged": True,
-    }
+    out = _restrict_manifest_maps(_carry_manifest_maps(manifest), untouched)
+    out["files"] += rel
+    out["file_seqs"].update({f: new_v for f in rel})
+    out["file_bounds"].update(_collect_file_bounds(table_dir, rel))
+    out.update({"version": new_v, "bucket_spec": spec, "merged": True})
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
         json.dump(out, fh)
@@ -2992,8 +3007,7 @@ def snapshot_read_bucketed(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
-    with open(_manifest_path(table_dir, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, v)
     spec = manifest.get("bucket_spec")
     if not spec:
         raise ValueError(
@@ -3224,8 +3238,7 @@ def sort_compact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             deletes.unionByName(updates).unionByName(inserts),
             key="event_id",
         )
-        with open(_manifest_path(table_dir, mv)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(table_dir, mv)
         carried = [f for f in m["files"] if f"commit-{mv}" not in f]
         if not carried:
             raise AssertionError(
@@ -3725,8 +3738,7 @@ def merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             deletes.unionByName(updates).unionByName(inserts),
             key="event_id",
         )
-        with open(_manifest_path(table_dir, v)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(table_dir, v)
         carried = [f for f in m["files"] if f"commit-{v}" not in f]
         if not carried:
             raise AssertionError(
@@ -3845,8 +3857,7 @@ def merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             deletes.unionByName(updates).unionByName(inserts),
             key="event_id",
         )
-        with open(_manifest_path(table_dir, v)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(table_dir, v)
         carried = [f for f in m["files"] if f"commit-{v}" not in f]
         if not carried:
             raise AssertionError(
@@ -4024,17 +4035,20 @@ def snapshot_delete_keys(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    with open(_manifest_path(table_dir, last)) as fh:
-        manifest = json.load(fh)
+    manifest = _load_manifest(table_dir, last)
     prev_key = manifest.get("delete_key")
     if prev_key is not None and prev_key != key:
         raise ValueError(
             f"delete key mismatch: table uses {prev_key!r}, got {key!r}"
         )
+    # carry everything, bucket_spec included: delete files are pure
+    # metadata beside the (still bucketed) data files, and both bucketed
+    # read paths fail-stop until snapshot_compact materializes deletes
+    carried = _carry_manifest_maps(manifest)
     new_v = last + 1
     ddir = os.path.join(table_dir, "data", f"deletes-{new_v}")
     rel: list[str] = []
-    parts: dict[str, str] = dict(manifest.get("delete_parts", {}))
+    parts: dict[str, str] = dict(carried.get("delete_parts", {}))
     if partition_col is None:
         keys.select(key).write.mode("overwrite").parquet(ddir)
         rel = [
@@ -4054,29 +4068,23 @@ def snapshot_delete_keys(
                     r = os.path.join("data", f"deletes-{new_v}", pdir, f)
                     rel.append(r)
                     parts[r] = pdir
-    dseqs = dict(manifest.get("delete_seqs", {}))
+    dseqs = dict(carried.get("delete_seqs", {}))
     dseqs.update({r: new_v for r in rel})
     # delete FILES get write-time stats too (Iceberg's delete-file
     # manifest entries carry record_count/bounds like data files) —
     # the delete-files metadata table serves from these, zero read I/O
-    bounds = dict(manifest.get("file_bounds", {}))
-    bounds.update(_collect_file_bounds(table_dir, rel))
+    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
+    carried.update(
+        {
+            "delete_files": carried.get("delete_files", []) + rel,
+            "delete_seqs": dseqs,
+            "delete_parts": parts,
+            "delete_key": key,
+        }
+    )
     tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": new_v,
-                "files": manifest["files"],
-                "file_seqs": manifest.get("file_seqs", {}),
-                "file_bounds": bounds,
-                "file_partitions": manifest.get("file_partitions", {}),
-                "delete_files": manifest.get("delete_files", []) + rel,
-                "delete_seqs": dseqs,
-                "delete_parts": parts,
-                "delete_key": key,
-            },
-            fh,
-        )
+        json.dump({"version": new_v, **carried}, fh)
     _publish_manifest(table_dir, tmp, new_v)
     return new_v
 

@@ -704,8 +704,13 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Iceberg jars (iceberg_available gate above), the same CONTRACT is a
 # manifest-versioned Parquet layout:
 #
-#   <table>/data/commit-<N>/part-*.parquet     immutable data files
+#   <table>/data/commit-<N>-<attempt>/part-*.parquet   immutable data files
 #   <table>/manifest-<N>.json                  CUMULATIVE visible file list
+#
+# The <attempt> token is unique per optimistic-concurrency attempt: a
+# writer that loses the manifest CAS has written only into its own
+# directory (never the winner's), and its orphaned attempt dir is
+# reclaimed by remove_orphan_files.
 #
 # A commit writes its data files first and publishes the manifest LAST via
 # an atomic rename — a reader that resolves manifest N sees exactly the
@@ -902,9 +907,10 @@ def _reject_bucketed_append(pm: dict | None, writer: str) -> None:
 
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Append ``df`` as the next commit of a manifest-versioned table and
-    return the new version.  Data files land under data/commit-<N>/;
-    the cumulative manifest publishes last (write-temp + os.replace =
-    atomic on POSIX).
+    return the new version.  Data files land under
+    data/commit-<N>-<attempt-token>/ (unique per attempt, so racing
+    optimistic writers can never overwrite each other's data files);
+    the cumulative manifest publishes last via an exclusive-create CAS.
 
     Every data file is stamped with its commit version in the manifest's
     ``file_seqs`` map — the Iceberg *data sequence number*.  Merge-on-read
@@ -916,10 +922,10 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
 
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
-    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     df.write.mode("overwrite").parquet(data_dir)
     rel = [
-        os.path.join("data", f"commit-{new_v}", f)
+        os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -1774,7 +1780,7 @@ def snapshot_compact(
     # range-disjoint files for downstream skipping at fixture scale
     target = max(min_files, -(-n_bytes // (32 * 1024 * 1024)))
     new_v = last + 1
-    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     if sort_by is not None:
         out = df.repartitionByRange(target, F.col(sort_by)).sortWithinPartitions(
             sort_by
@@ -1783,7 +1789,7 @@ def snapshot_compact(
         out = df.coalesce(target)
     out.write.mode("overwrite").parquet(data_dir)
     rel = [
-        os.path.join("data", f"commit-{new_v}", f)
+        os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -2396,7 +2402,7 @@ def snapshot_commit_partitioned(
     fmt_spark = spec[0]
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
-    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     part = F.date_format(F.col(ts_col), fmt_spark).alias("_part")
     (
         df.withColumn("_part", part)
@@ -2413,7 +2419,7 @@ def snapshot_commit_partitioned(
         _, pval = _parse_part_dir(pdir)
         for f in sorted(os.listdir(os.path.join(data_dir, pdir))):
             if f.endswith(".parquet"):
-                r = os.path.join("data", f"commit-{new_v}", pdir, f)
+                r = os.path.join(rel_dir, pdir, f)
                 rel.append(r)
                 fparts[r] = {"transform": transform, "value": pval}
     pm = _load_manifest(table_dir, versions[-1]) if versions else None
@@ -2694,10 +2700,10 @@ def snapshot_merge(
         ).limit(0)
     merged = _merge_clause_resolve(target, source, key)
     new_v = last + 1
-    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     merged.write.mode("overwrite").parquet(data_dir)
     rel = [
-        os.path.join("data", f"commit-{new_v}", f)
+        os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -2861,12 +2867,12 @@ def snapshot_commit_bucketed(
             )
         spec = prev_spec or spec
     carried = _carry_manifest_maps(pm)
-    data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     _write_bucketed_files(
         spark, df, key, buckets, data_dir, f"c{new_v}_{abs(hash(table_dir)) % 10**8}"
     )
     rel = [
-        os.path.join("data", f"commit-{new_v}", f)
+        os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -2957,7 +2963,7 @@ def snapshot_merge_bucketed(
         LAST_BUCKETED_MERGE_PLAN = (
             merged._jdf.queryExecution().executedPlan().toString()
         )
-        data_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+        data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
         _write_bucketed_files(
             spark, merged, key, buckets, data_dir, f"o{tag}",
             pre_shuffle=False,  # SMJ output is already bucket-distributed
@@ -2969,7 +2975,7 @@ def snapshot_merge_bucketed(
         shutil.rmtree(stage_dir, ignore_errors=True)
 
     rel = [
-        os.path.join("data", f"commit-{new_v}", f)
+        os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
@@ -3239,7 +3245,7 @@ def sort_compact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="event_id",
         )
         m = _load_manifest(table_dir, mv)
-        carried = [f for f in m["files"] if f"commit-{mv}" not in f]
+        carried = [f for f in m["files"] if m["file_seqs"][f] != mv]
         if not carried:
             raise AssertionError(
                 "q_sort_compact_merge: post-compaction merge carried no "
@@ -3739,7 +3745,7 @@ def merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="event_id",
         )
         m = _load_manifest(table_dir, v)
-        carried = [f for f in m["files"] if f"commit-{v}" not in f]
+        carried = [f for f in m["files"] if m["file_seqs"][f] != v]
         if not carried:
             raise AssertionError(
                 "q_merge_pruned: merge carried no file by reference — "
@@ -3858,7 +3864,7 @@ def merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="event_id",
         )
         m = _load_manifest(table_dir, v)
-        carried = [f for f in m["files"] if f"commit-{v}" not in f]
+        carried = [f for f in m["files"] if m["file_seqs"][f] != v]
         if not carried:
             raise AssertionError(
                 "q_merge_bucketed: merge carried no file by reference — "
@@ -4046,13 +4052,13 @@ def snapshot_delete_keys(
     # read paths fail-stop until snapshot_compact materializes deletes
     carried = _carry_manifest_maps(manifest)
     new_v = last + 1
-    ddir = os.path.join(table_dir, "data", f"deletes-{new_v}")
+    ddir, rel_dir = _attempt_data_dir(table_dir, "deletes", new_v)
     rel: list[str] = []
     parts: dict[str, str] = dict(carried.get("delete_parts", {}))
     if partition_col is None:
         keys.select(key).write.mode("overwrite").parquet(ddir)
         rel = [
-            os.path.join("data", f"deletes-{new_v}", f)
+            os.path.join(rel_dir, f)
             for f in sorted(os.listdir(ddir))
             if f.endswith(".parquet")
         ]
@@ -4065,7 +4071,7 @@ def snapshot_delete_keys(
                 continue
             for f in sorted(os.listdir(os.path.join(ddir, pdir))):
                 if f.endswith(".parquet"):
-                    r = os.path.join("data", f"deletes-{new_v}", pdir, f)
+                    r = os.path.join(rel_dir, pdir, f)
                     rel.append(r)
                     parts[r] = pdir
     dseqs = dict(carried.get("delete_seqs", {}))

@@ -302,7 +302,7 @@ def test_snapshot_expire_contract(spark, tmp_path):
         snapshot_read(spark, tdir, 1)
 
     before = sorted(r["event_id"] for r in snapshot_read(spark, tdir, 3).collect())
-    n_small = len(glob.glob(os.path.join(tdir, "data", "commit-[123]", "*.parquet")))
+    n_small = len(glob.glob(os.path.join(tdir, "data", "commit-[123]-*", "*.parquet")))
     assert n_small >= 12  # 3 commits × 4 shards
 
     # (2)+(3) compact then expire: originals unlinked, survivor identical
@@ -311,7 +311,7 @@ def test_snapshot_expire_contract(spark, tmp_path):
     assert res["expired_versions"] == [2, 3]
     assert res["deleted_files"] == n_small
     assert snapshot_versions(tdir) == [v]
-    assert glob.glob(os.path.join(tdir, "data", "commit-[123]", "*.parquet")) == []
+    assert glob.glob(os.path.join(tdir, "data", "commit-[123]-*", "*.parquet")) == []
     after = sorted(r["event_id"] for r in snapshot_read(spark, tdir).collect())
     assert after == before
 
@@ -625,6 +625,8 @@ def test_snapshot_rollback_contract(spark, tmp_path):
     the bad commit stays readable for audit; (3) rollback is
     metadata-only (no new data directory); (4) unknown target
     fail-stops."""
+    import glob
+
     import pytest
 
     from data_pipeline_cursor_spark.catalog import (
@@ -654,7 +656,7 @@ def test_snapshot_rollback_contract(spark, tmp_path):
 
     assert rows() == {(1, "a"), (2, "b"), (3, "c")}          # restored
     assert rows(3) == {(1, "a"), (2, "b"), (3, "c"), (9, "corrupt")}  # audit
-    assert not os.path.isdir(os.path.join(tdir, "data", "commit-4"))
+    assert not glob.glob(os.path.join(tdir, "data", "commit-4-*"))
     with pytest.raises(ValueError, match="not committed"):
         snapshot_rollback(spark, tdir, to_version=99)
 
@@ -1068,7 +1070,7 @@ def test_partition_records_survive_mixed_writers(spark, tmp_path):
 
     with open(_manifest_path(tdir, 3)) as fh:
         m3 = json.load(fh)
-    v1_files = [f for f in m3["files"] if "commit-1/" in f]
+    v1_files = [f for f in m3["files"] if "commit-1-" in f]
     assert v1_files and all(
         f in m3.get("file_partitions", {}) for f in v1_files
     ), "partitioned generation lost its records through append+delete"
@@ -1233,6 +1235,58 @@ def test_concurrent_commit_first_writer_wins(spark, tmp_path):
     )
     assert snapshot_versions(tdir) == [1, 2, 3]
     assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {1, 2, 3}
+
+
+def test_concurrent_commit_loser_cannot_clobber_winner_data(
+    spark, tmp_path, monkeypatch
+):
+    """OCC soundness for the DATA files, not just the manifest CAS
+    (round-12 advisor, high): a loser writer racing from the same base
+    version used to mode('overwrite') into the SAME data/commit-<v>
+    directory BEFORE losing the CAS — deleting the winner's committed
+    files out from under its published manifest.  Per-attempt unique
+    data dirs make the full interleave safe: both writers run their
+    complete commit path from the same base; the loser raises
+    ConcurrentCommitError, every winner data file still exists, the
+    winner's snapshot reads intact, and the loser's orphaned attempt
+    dir is reclaimed by remove_orphan_files."""
+    import os as _os
+
+    import pytest
+
+    import data_pipeline_cursor_spark.catalog as cat
+
+    tdir = str(tmp_path / "occdata")
+    cat.snapshot_commit(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    # pin BOTH writers to base version 1 — the worst interleave, where
+    # the loser runs its whole data write after the winner committed
+    monkeypatch.setattr(cat, "snapshot_versions", lambda td: [1])
+    cat.snapshot_commit(
+        spark, tdir, spark.createDataFrame([(2, "win")], "k bigint, v string")
+    )
+    m2 = cat._load_manifest(tdir, 2)
+    winner_files = [f for f in m2["files"] if m2["file_seqs"][f] == 2]
+    assert winner_files
+    with pytest.raises(cat.ConcurrentCommitError):
+        cat.snapshot_commit(
+            spark, tdir,
+            spark.createDataFrame([(3, "lose")], "k bigint, v string"),
+        )
+    # the loser wrote data somewhere — but NOT over the winner's files
+    for f in winner_files:
+        assert _os.path.exists(_os.path.join(tdir, f)), f
+    monkeypatch.undo()
+    assert {
+        (r["k"], r["v"]) for r in cat.snapshot_read(spark, tdir).collect()
+    } == {(1, "a"), (2, "win")}
+    # the loser's attempt dir is an orphan: reclaimed, read unchanged
+    res = cat.remove_orphan_files(tdir)
+    assert res["deleted_files"] > 0
+    assert {
+        (r["k"], r["v"]) for r in cat.snapshot_read(spark, tdir).collect()
+    } == {(1, "a"), (2, "win")}
 
 
 def test_partition_dir_roundtrip_property(spark, tmp_path):

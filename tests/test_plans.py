@@ -902,8 +902,8 @@ def test_partition_evolution_prunes_each_generation_at_own_grain(spark):
     manifest metadata alone."""
     df = get_queries()["q_partition_evolution"](spark, SF_SMOKE)
     files = df.inputFiles()
-    hour_files = [f for f in files if "commit-1/" in f]
-    day_files = [f for f in files if "commit-2/" in f]
+    hour_files = [f for f in files if "commit-1-" in f]
+    day_files = [f for f in files if "commit-2-" in f]
     assert hour_files and day_files, files
 
     def pval(f):

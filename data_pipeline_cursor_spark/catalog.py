@@ -702,15 +702,24 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # creates the lakehouse with format_version=2;
 # /root/reference/trino/sql/init-tables.sql:9 pins it in DDL).  Without the
 # Iceberg jars (iceberg_available gate above), the same CONTRACT is a
-# manifest-versioned Parquet layout:
+# manifest-versioned Parquet layout (Iceberg's actual shape, in JSON):
 #
 #   <table>/data/commit-<N>-<attempt>/part-*.parquet   immutable data files
-#   <table>/manifest-<N>.json                  CUMULATIVE visible file list
+#   <table>/manifests/mf-<N>-<attempt>.json    immutable PER-COMMIT manifest
+#                                              (this commit's added/removed
+#                                              files + their write-time stats)
+#   <table>/manifest-<N>.json                  snapshot file: MANIFEST LIST
+#                                              (ordered mf-* relpaths) +
+#                                              table-level state
 #
-# The <attempt> token is unique per optimistic-concurrency attempt: a
+# The <attempt> tokens are unique per optimistic-concurrency attempt: a
 # writer that loses the manifest CAS has written only into its own
-# directory (never the winner's), and its orphaned attempt dir is
-# reclaimed by remove_orphan_files.
+# directories (never the winner's); orphaned attempt dirs are reclaimed
+# by remove_orphan_files, orphaned mf-* entries by snapshot_expire.
+# Per-commit metadata WRITES are O(new files + commits), not O(total
+# live files) — a cumulative manifest rewrites every live file record
+# on every commit, O(files^2) metadata over a table's life at Iceberg's
+# 10 s commit cadence.
 #
 # A commit writes its data files first and publishes the manifest LAST via
 # an atomic rename — a reader that resolves manifest N sees exactly the
@@ -782,93 +791,29 @@ def _collect_file_bounds(table_dir: str, rel_files: list[str]) -> dict:
     }
 
 
-def _carry_manifest_maps(pm: dict | None) -> dict:
-    """The ONE carry site: every per-file record an APPEND-shaped
-    manifest writer must bring forward from the previous manifest, as
-    mutable copies — ``files``, ``file_seqs``, ``file_bounds``, plus
-    (when present) ``file_partitions``, the ``delete_*`` maps, and
-    ``bucket_spec``.  Seven writers used to hand-copy this block and
-    two of them dropped ``file_partitions`` when deletes were present
-    (the round-12 carry clobber); any new writer must call this helper
-    or pruning silently degrades.
-
-    Carry policy (explicit, per writer):
-      - snapshot_commit / snapshot_commit_partitioned /
-        snapshot_publish: carry everything EXCEPT onto a bucketed
-        table — plain data files would silently break the co-location
-        contract, so those writers fail-stop via
-        ``_reject_bucketed_append`` instead of dropping the spec.
-      - snapshot_commit_bucketed: requires an empty or all-bucketed
-        history (fail-stop otherwise), so partitioned generations can
-        never coexist with a bucket spec.
-      - snapshot_delete_keys: carries everything including
-        ``bucket_spec`` — delete files are metadata-side and both
-        bucketed read paths fail-stop until compaction materializes.
-      - snapshot_merge / snapshot_merge_bucketed: carry RESTRICTED to
-        untouched files (``_restrict_manifest_maps``).
-      - snapshot_compact: carries nothing BY DESIGN — the rewrite
-        materializes deletes and replaces the layout (it is the escape
-        hatch the bucketed/MOR fail-stops point at).
-      - snapshot_rollback: copies the TARGET manifest's records
-        verbatim (including ``bucket_spec``)."""
-    out: dict = {"files": [], "file_seqs": {}, "file_bounds": {}}
-    if not pm:
-        return out
-    out["files"] = list(pm["files"])
-    out["file_seqs"] = dict(pm.get("file_seqs", {}))
-    out["file_bounds"] = dict(pm.get("file_bounds", {}))
-    if pm.get("file_partitions"):
-        out["file_partitions"] = dict(pm["file_partitions"])
-    if pm.get("delete_files"):
-        out["delete_files"] = list(pm["delete_files"])
-        out["delete_seqs"] = dict(pm.get("delete_seqs", {}))
-        out["delete_parts"] = dict(pm.get("delete_parts", {}))
-        out["delete_key"] = pm["delete_key"]
-    if pm.get("bucket_spec"):
-        out["bucket_spec"] = pm["bucket_spec"]
-    return out
-
-
-def _restrict_manifest_maps(carried: dict, keep: list[str]) -> dict:
-    """Restrict a carried state's per-file maps to the files a REWRITE
-    kept (merge's untouched set): records for rewritten files must not
-    leak into the new manifest.  Delete-file records survive only if
-    some untouched file still needs them (empty keep = deletes were
-    materialized by the rewrite).  ``files`` is set to ``keep``."""
-    keep_set = set(keep)
-    out: dict = {
-        "files": list(keep),
-        "file_seqs": {
-            f: s for f, s in carried["file_seqs"].items() if f in keep_set
-        },
-        "file_bounds": {
-            f: b for f, b in carried["file_bounds"].items() if f in keep_set
-        },
-    }
-    if carried.get("file_partitions"):
-        fp = {
-            f: r
-            for f, r in carried["file_partitions"].items()
-            if f in keep_set
-        }
-        if fp:
-            out["file_partitions"] = fp
-    if keep_set and carried.get("delete_files"):
-        out["delete_files"] = list(carried["delete_files"])
-        out["delete_seqs"] = dict(carried.get("delete_seqs", {}))
-        out["delete_parts"] = dict(carried.get("delete_parts", {}))
-        out["delete_key"] = carried["delete_key"]
-        # carried delete files keep their stats records too
-        out["file_bounds"].update(
-            {
-                f: carried["file_bounds"][f]
-                for f in carried["delete_files"]
-                if f in carried["file_bounds"]
-            }
-        )
-    if carried.get("bucket_spec"):
-        out["bucket_spec"] = carried["bucket_spec"]
-    return out
+# ---------------------------------------------------------------------------
+# Layout-mixing policy (explicit, per writer) — enforced by the guards
+# below and pinned by test_bucketed_layout_mixing_policy:
+#   - snapshot_commit / snapshot_commit_partitioned / snapshot_publish:
+#     fail-stop onto a bucketed table (_reject_bucketed_append) — plain
+#     data files would silently break the co-located merge.
+#   - snapshot_commit_bucketed: requires an empty or all-bucketed
+#     history, so partitioned generations never coexist with a spec.
+#   - snapshot_delete_keys: carries bucket_spec — delete files are pure
+#     metadata and both bucketed read paths fail-stop until compaction.
+#   - snapshot_merge on a bucketed table: fail-stop toward
+#     snapshot_merge_bucketed.
+#   - snapshot_compact: consumes everything BY DESIGN (materializes
+#     deletes, rewrites the layout) — the explicit escape hatch every
+#     fail-stop above points at.
+#   - snapshot_rollback: restores the TARGET's state, bucket_spec
+#     included.
+# Per-FILE records (seqs/bounds/partition values/delete maps) are never
+# hand-carried by any writer: they live in the immutable per-commit
+# manifests that stay referenced by the snapshot's manifest list, which
+# kills the copied-carry bug class (round-12's file_partitions clobber)
+# structurally.
+# ---------------------------------------------------------------------------
 
 
 def _attempt_data_dir(
@@ -922,6 +867,8 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
 
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
+    mlist, pm = _next_manifest_list(table_dir, versions)
+    _reject_bucketed_append(pm, "snapshot_commit")
     data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     df.write.mode("overwrite").parquet(data_dir)
     rel = [
@@ -929,23 +876,23 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    # partitioned generations' records and MOR delete maps survive plain
-    # appends (pruning + deleted rows both depend on it); delete files
-    # keep their OWN sequence numbers, so they never apply to this
-    # commit's (newer) data files
-    pm = _load_manifest(table_dir, versions[-1]) if versions else None
-    _reject_bucketed_append(pm, "snapshot_commit")
-    carried = _carry_manifest_maps(pm)
-    carried["files"] += rel
-    carried["file_seqs"].update({f: new_v for f in rel})
-    # per-file column bounds recorded AT WRITE TIME (one footer read per
-    # new file, while the writer holds them) — Iceberg's manifest stats;
-    # plan-time consumers (snapshot_merge) never reopen footers
-    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": new_v, **carried}, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    # the delta manifest records ONLY this commit's files — per-file
+    # column bounds read once at write time (Iceberg's manifest stats;
+    # plan-time consumers never reopen footers).  Prior generations'
+    # records (partition values, MOR delete maps) need no carrying:
+    # they live in the earlier immutable entries this list keeps.
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
+            {
+                "added_files": rel,
+                "file_seqs": {f: new_v for f in rel},
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+            },
+        )
+    )
+    _publish_snapshot(table_dir, new_v, mlist, _snapshot_extras(pm))
     return new_v
 
 
@@ -985,17 +932,168 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-{version}.json")
 
 
-def _load_manifest(table_dir: str, version: int) -> dict:
-    """Load one committed snapshot's manifest as the RESOLVED cumulative
-    dict every reader consumes (files / file_seqs / file_bounds /
-    file_partitions / delete_* / bucket_spec + the commit markers).
-    The single manifest-reading entrypoint — readers must not open
-    manifest files directly, so the storage layout can evolve (e.g. to
-    a manifest list) without touching them."""
+MANIFEST_DIR = "manifests"  # immutable per-commit delta manifests
+
+
+def _snapshot_file(table_dir: str, version: int) -> dict:
+    """RAW snapshot file (version + manifest_list + table-level state).
+    Only writers and resolution use this; every reader goes through
+    _load_manifest."""
     import json
 
     with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh)
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    """Load one committed snapshot as the RESOLVED dict every reader
+    consumes (files / file_seqs / file_bounds / file_partitions /
+    delete_* / bucket_spec + the commit markers) — the single
+    manifest-reading entrypoint.
+
+    Storage layout (Iceberg's actual shape, in JSON): the snapshot file
+    manifest-<V>.json holds a MANIFEST LIST — ordered relpaths of
+    immutable per-commit manifests under manifests/ — plus table-level
+    state; each per-commit manifest records only ITS commit's added /
+    removed files and their stats.  Resolution folds the list in order
+    (removals first, then additions — a rewrite commit can only remove
+    files an earlier entry added).  This bounds per-commit metadata
+    WRITES to O(new files + list length) instead of the O(total live
+    files) a cumulative manifest rewrites every commit — at a 10 s
+    commit cadence on a 10^5..10^6-file table the difference between
+    O(files) and O(files^2) total metadata over the table's life.
+    Reads stay O(live files), which any reader must materialize anyway.
+
+    Legacy cumulative manifests (no manifest_list) are returned as-is;
+    the first append onto one migrates its state into an immutable base
+    entry (_next_manifest_list), never rewriting published history."""
+    import json
+
+    snap = _snapshot_file(table_dir, version)
+    if "manifest_list" not in snap:
+        return snap
+    files: list = []
+    seqs: dict = {}
+    bounds: dict = {}
+    fparts: dict = {}
+    dfiles: list = []
+    dseqs: dict = {}
+    dparts: dict = {}
+    for mrel in snap["manifest_list"]:
+        with open(os.path.join(table_dir, mrel)) as fh:
+            e = json.load(fh)
+        rm = set(e.get("removed_files", []))
+        if rm:
+            files = [f for f in files if f not in rm]
+            for f in rm:
+                seqs.pop(f, None)
+                bounds.pop(f, None)
+                fparts.pop(f, None)
+        rmd = set(e.get("removed_delete_files", []))
+        if rmd:
+            dfiles = [f for f in dfiles if f not in rmd]
+            for f in rmd:
+                dseqs.pop(f, None)
+                dparts.pop(f, None)
+                bounds.pop(f, None)
+        files += e.get("added_files", [])
+        seqs.update(e.get("file_seqs", {}))
+        bounds.update(e.get("file_bounds", {}))
+        fparts.update(e.get("file_partitions", {}))
+        dfiles += e.get("added_delete_files", [])
+        dseqs.update(e.get("delete_seqs", {}))
+        dparts.update(e.get("delete_parts", {}))
+    out = {k: v for k, v in snap.items() if k != "manifest_list"}
+    out.update(
+        {"files": files, "file_seqs": seqs, "file_bounds": bounds}
+    )
+    if fparts:
+        out["file_partitions"] = fparts
+    if dfiles:
+        out["delete_files"] = dfiles
+        out["delete_seqs"] = dseqs
+        out["delete_parts"] = dparts
+    return out
+
+
+def _write_delta_manifest(table_dir: str, version: int, delta: dict) -> str:
+    """Write one IMMUTABLE per-commit manifest under manifests/ and
+    return its table-relative path.  Never rewritten once a snapshot
+    references it; a crashed attempt's file is unreferenced litter
+    (GC'd by snapshot_expire's manifest sweep).  Unique token per
+    attempt for the same OCC reason as _attempt_data_dir."""
+    import json
+    import uuid
+
+    os.makedirs(os.path.join(table_dir, MANIFEST_DIR), exist_ok=True)
+    rel = os.path.join(
+        MANIFEST_DIR, f"mf-{version}-{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(os.path.join(table_dir, rel), "w") as fh:
+        json.dump(delta, fh)
+    return rel
+
+
+def _next_manifest_list(
+    table_dir: str, versions: list[int]
+) -> tuple[list[str], dict | None]:
+    """The manifest list a NEW commit starts from, plus the resolved
+    previous manifest (None on an empty table).  A legacy cumulative
+    manifest is migrated ONCE: its resolved state is materialized as an
+    immutable base entry under manifests/ (the published legacy file is
+    never rewritten, so old-version reads are byte-identical)."""
+    if not versions:
+        return [], None
+    prev_v = versions[-1]
+    snap = _snapshot_file(table_dir, prev_v)
+    pm = _load_manifest(table_dir, prev_v)
+    if "manifest_list" in snap:
+        return list(snap["manifest_list"]), pm
+    base = {
+        "added_files": pm["files"],
+        "file_seqs": pm.get("file_seqs", {}),
+        "file_bounds": pm.get("file_bounds", {}),
+        "file_partitions": pm.get("file_partitions", {}),
+        "added_delete_files": pm.get("delete_files", []),
+        "delete_seqs": pm.get("delete_seqs", {}),
+        "delete_parts": pm.get("delete_parts", {}),
+    }
+    return [_write_delta_manifest(table_dir, prev_v, base)], pm
+
+
+def _publish_snapshot(
+    table_dir: str, new_v: int, mlist: list[str], extra: dict
+) -> None:
+    """Write the snapshot file (manifest list + table-level state) and
+    publish it through the first-writer-wins CAS.  The temp name embeds
+    a per-attempt token: a shared temp would let one racer overwrite
+    the other's bytes BEFORE the exclusive link, publishing the loser's
+    content under the winner's version."""
+    import json
+    import uuid
+
+    tmp = os.path.join(
+        table_dir, f".manifest-{new_v}.tmp-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump({"version": new_v, "manifest_list": mlist, **extra}, fh)
+    _publish_manifest(table_dir, tmp, new_v)
+
+
+def _snapshot_extras(pm: dict | None) -> dict:
+    """Table-level state a new snapshot file carries forward from the
+    resolved previous manifest: the equality-delete key (while delete
+    files remain) and the bucket spec.  Per-FILE records never need
+    carrying any more — they live in the immutable per-commit manifests
+    the new snapshot's list keeps referencing, which kills the whole
+    hand-copied-carry bug class (round-12's file_partitions clobber)
+    structurally."""
+    out: dict = {}
+    if pm and pm.get("delete_files"):
+        out["delete_key"] = pm["delete_key"]
+    if pm and pm.get("bucket_spec"):
+        out["bucket_spec"] = pm["bucket_spec"]
+    return out
 
 
 def snapshot_versions(table_dir: str) -> list[int]:
@@ -1112,6 +1210,36 @@ def _read_files_with_deletes(
                     )
                 pcol = pcols.pop()
                 ptype = dict(g.dtypes)[pcol]
+                # fail-stop on a recorded partition value the partition
+                # column's type cannot represent (e.g. a null-partition
+                # __HIVE_DEFAULT_PARTITION__ dir or a malformed segment):
+                # the cast would yield NULL, the (key, pcol) anti-join
+                # never matches NULL, and that partition's deletes would
+                # be SILENTLY dropped — rows resurrecting is worse than
+                # an explicit error (r12 advisor, low)
+                if ptype != "string":
+                    vals = [_parse_part_dir(p)[1] for p in by_part]
+                    bad = [
+                        v
+                        for (v, c) in zip(
+                            vals,
+                            spark.createDataFrame(
+                                [(v,) for v in vals], "v string"
+                            )
+                            .select(F.col("v").cast(ptype))
+                            .collect(),
+                        )
+                        if c[0] is None
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"partition-scoped delete replay: recorded "
+                            f"partition value(s) {bad!r} do not cast to "
+                            f"{pcol}:{ptype} — the scoped delete cannot "
+                            "be applied soundly (null/malformed "
+                            "partition); compact the table to "
+                            "materialize deletes"
+                        )
                 scoped_keys = reduce(
                     DataFrame.unionByName,
                     [
@@ -1793,19 +1921,22 @@ def snapshot_compact(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
+    # a FRESH one-entry manifest list: the rewrite replaces every prior
+    # generation (deletes materialized, layout consumed), and rollback /
+    # time travel to pre-compaction versions still resolve their own
+    # untouched snapshot files
+    mlist = [
+        _write_delta_manifest(
+            table_dir,
+            new_v,
             {
-                "version": new_v,
-                "files": rel,
+                "added_files": rel,
                 "file_seqs": {f: new_v for f in rel},
                 "file_bounds": _collect_file_bounds(table_dir, rel),
-                "compacted": True,
             },
-            fh,
         )
-    _publish_manifest(table_dir, tmp, new_v)
+    ]
+    _publish_snapshot(table_dir, new_v, mlist, {"compacted": True})
     return new_v
 
 
@@ -1882,15 +2013,40 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
     if not expired:
         return {"expired_versions": [], "deleted_files": 0}
     keep: set[str] = set()
+    keep_manifests: set[str] = set()
     for v in retained:
         m = _load_manifest(table_dir, v)
         keep.update(m["files"])
         # a retained MOR manifest still needs its delete files at read time
         keep.update(m.get("delete_files", []))
+        keep_manifests.update(
+            _snapshot_file(table_dir, v).get("manifest_list", [])
+        )
     stale = [f for f in _list_data_parquet(table_dir) if f not in keep]
     deleted = _parallel_unlink(table_dir, stale)
     for v in expired:
         os.remove(_manifest_path(table_dir, v))
+    # GC per-commit manifests no retained snapshot references.  Only
+    # entries stamped <= the latest surviving version are candidates: a
+    # newer stamp is a concurrent in-flight commit's entry that simply
+    # has not published yet.
+    latest = max(retained)
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        stale_mf = []
+        for name in os.listdir(mdir):
+            rel = os.path.join(MANIFEST_DIR, name)
+            if not (name.startswith("mf-") and name.endswith(".json")):
+                continue
+            if rel in keep_manifests:
+                continue
+            try:
+                stamp = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if stamp <= latest:
+                stale_mf.append(rel)
+        _parallel_unlink(table_dir, stale_mf)
     return {"expired_versions": expired, "deleted_files": deleted}
 
 
@@ -2008,36 +2164,36 @@ def snapshot_rollback(
             f"version {to_version} not committed (have {versions})"
         )
     last = versions[-1]
+    target_snap = _snapshot_file(table_dir, to_version)
     target = _load_manifest(table_dir, to_version)
     new_v = last + 1
-    out = {
-        k: v
-        for k, v in target.items()
-        if k
-        in (
-            "files",
-            "file_seqs",
-            "file_bounds",
-            "file_partitions",
-            "delete_files",
-            "delete_seqs",
-            "delete_parts",
-            "delete_key",
-            # restoring a bucketed snapshot restores its layout contract
-            "bucket_spec",
-        )
-    }
-    out.update(
-        {
-            "version": new_v,
-            "rolled_back_from": last,
-            "rolled_back_to": to_version,
-        }
+    if "manifest_list" in target_snap:
+        # pure pointer copy: the restored snapshot re-references the
+        # target's immutable per-commit manifests — O(commits) metadata
+        # regardless of file count
+        mlist = list(target_snap["manifest_list"])
+    else:
+        # legacy cumulative target: materialize once, never rewrite it
+        mlist = [
+            _write_delta_manifest(
+                table_dir,
+                to_version,
+                {
+                    "added_files": target["files"],
+                    "file_seqs": target.get("file_seqs", {}),
+                    "file_bounds": target.get("file_bounds", {}),
+                    "file_partitions": target.get("file_partitions", {}),
+                    "added_delete_files": target.get("delete_files", []),
+                    "delete_seqs": target.get("delete_seqs", {}),
+                    "delete_parts": target.get("delete_parts", {}),
+                },
+            )
+        ]
+    extras = _snapshot_extras(target)
+    extras.update(
+        {"rolled_back_from": last, "rolled_back_to": to_version}
     )
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    _publish_snapshot(table_dir, new_v, mlist, extras)
     return new_v
 
 
@@ -2126,13 +2282,13 @@ def remove_orphan_files(table_dir: str) -> dict:
     import json
 
     keep: set[str] = set()
-    for mpath in glob.glob(os.path.join(table_dir, "manifest-*.json")) + glob.glob(
-        os.path.join(table_dir, "staged-*.json")
-    ):
-        with open(mpath) as fh:
-            m = json.load(fh)
+    for v in snapshot_versions(table_dir):
+        m = _load_manifest(table_dir, v)
         keep.update(m.get("files", []))
         keep.update(m.get("delete_files", []))
+    for spath in glob.glob(os.path.join(table_dir, "staged-*.json")):
+        with open(spath) as fh:
+            keep.update(json.load(fh).get("files", []))
     orphans = [f for f in _list_data_parquet(table_dir) if f not in keep]
     return {"deleted_files": _parallel_unlink(table_dir, orphans)}
 
@@ -2199,23 +2355,28 @@ def snapshot_publish(table_dir: str, name: str) -> int:
         staged = json.load(fh)
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
-    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    mlist, pm = _next_manifest_list(table_dir, versions)
     _reject_bucketed_append(pm, "snapshot_publish")
-    carried = _carry_manifest_maps(pm)
-    carried["files"] += staged["files"]
-    carried["file_seqs"].update({f: new_v for f in staged["files"]})
-    # bounds were computed at snapshot_stage write time; legacy staged
-    # manifests (no file_bounds) get one footer pass now, at publish
-    carried["file_bounds"].update(
-        staged.get("file_bounds")
-        or _collect_file_bounds(table_dir, staged["files"])
-    )
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": new_v, "published_stage": name, **carried}, fh
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
+            {
+                "added_files": staged["files"],
+                "file_seqs": {f: new_v for f in staged["files"]},
+                # bounds were computed at snapshot_stage write time;
+                # legacy staged manifests get one footer pass at publish
+                "file_bounds": staged.get("file_bounds")
+                or _collect_file_bounds(table_dir, staged["files"]),
+            },
         )
-    _publish_manifest(table_dir, tmp, new_v)
+    )
+    _publish_snapshot(
+        table_dir,
+        new_v,
+        mlist,
+        {"published_stage": name, **_snapshot_extras(pm)},
+    )
     os.remove(spath)
     return new_v
 
@@ -2402,6 +2563,8 @@ def snapshot_commit_partitioned(
     fmt_spark = spec[0]
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
+    mlist, pm = _next_manifest_list(table_dir, versions)
+    _reject_bucketed_append(pm, "snapshot_commit_partitioned")
     data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     part = F.date_format(F.col(ts_col), fmt_spark).alias("_part")
     (
@@ -2422,25 +2585,21 @@ def snapshot_commit_partitioned(
                 r = os.path.join(rel_dir, pdir, f)
                 rel.append(r)
                 fparts[r] = {"transform": transform, "value": pval}
-    pm = _load_manifest(table_dir, versions[-1]) if versions else None
-    _reject_bucketed_append(pm, "snapshot_commit_partitioned")
-    carried = _carry_manifest_maps(pm)
-    carried["files"] += rel
-    carried["file_seqs"].update({f: new_v for f in rel})
-    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    fparts = {**carried.get("file_partitions", {}), **fparts}
-    carried.pop("file_partitions", None)
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
             {
-                "version": new_v,
+                "added_files": rel,
+                "file_seqs": {f: new_v for f in rel},
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+                # each file's transform + partition value — Iceberg's
+                # spec-id + partition tuple, scoped to THIS commit
                 "file_partitions": fparts,
-                **carried,
             },
-            fh,
         )
-    _publish_manifest(table_dir, tmp, new_v)
+    )
+    _publish_snapshot(table_dir, new_v, mlist, _snapshot_extras(pm))
     return new_v
 
 
@@ -2676,7 +2835,7 @@ def snapshot_merge(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    manifest = _load_manifest(table_dir, last)
+    mlist, manifest = _next_manifest_list(table_dir, versions)
     if manifest.get("bucket_spec"):
         raise ValueError(
             "snapshot_merge: table is bucketed — use "
@@ -2707,19 +2866,25 @@ def snapshot_merge(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    # untouched files keep their records (seq/bounds/partition —
-    # rewritten files land unpartitioned: no record = never pruned);
-    # delete files survive only while an untouched file still needs
-    # their sequence scoping (rewritten files materialized theirs)
-    out = _restrict_manifest_maps(_carry_manifest_maps(manifest), untouched)
-    out["files"] += rel
-    out["file_seqs"].update({f: new_v for f in rel})
-    out["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    out.update({"version": new_v, "merged": True})
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    # the delta manifest REMOVES the touched files (their records fall
+    # out of resolution; untouched files keep seq/bounds/partition from
+    # their own commits' entries) and adds the rewrite.  Delete files
+    # survive only while an untouched file still needs their sequence
+    # scoping — an empty untouched set means the rewrite materialized
+    # every delete, so they are removed too.
+    delta = {
+        "added_files": rel,
+        "file_seqs": {f: new_v for f in rel},
+        "file_bounds": _collect_file_bounds(table_dir, rel),
+        "removed_files": sorted(touched),
+    }
+    if not untouched and manifest.get("delete_files"):
+        delta["removed_delete_files"] = manifest["delete_files"]
+    mlist.append(_write_delta_manifest(table_dir, new_v, delta))
+    extras = {"merged": True}
+    if untouched and manifest.get("delete_files"):
+        extras["delete_key"] = manifest["delete_key"]
+    _publish_snapshot(table_dir, new_v, mlist, extras)
     return new_v
 
 
@@ -2752,6 +2917,19 @@ def _schema_ddl(df: DataFrame) -> str:
     return ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
+
+
+def _table_tag(table_dir: str) -> str:
+    """DETERMINISTIC per-table tag for scratch table/dir names — a
+    stable digest, not Python's per-process-salted hash(): every
+    process derives the same name, so bucketed read views are REUSED
+    across processes instead of accumulating one .bktview-* dir per
+    process forever (r12 advisor, low)."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(table_dir).encode()
+    ).hexdigest()[:8]
 
 
 def _write_bucketed_files(
@@ -2840,7 +3018,7 @@ def snapshot_commit_bucketed(
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
     spec = {"key": key, "buckets": buckets, "schema": _schema_ddl(df)}
-    pm = _load_manifest(table_dir, versions[-1]) if versions else None
+    mlist, pm = _next_manifest_list(table_dir, versions)
     if pm is not None:
         prev_spec = pm.get("bucket_spec")
         if prev_spec and (
@@ -2866,23 +3044,27 @@ def snapshot_commit_bucketed(
                 "delete files — compact first (snapshot_compact)"
             )
         spec = prev_spec or spec
-    carried = _carry_manifest_maps(pm)
     data_dir, rel_dir = _attempt_data_dir(table_dir, "commit", new_v)
     _write_bucketed_files(
-        spark, df, key, buckets, data_dir, f"c{new_v}_{abs(hash(table_dir)) % 10**8}"
+        spark, df, key, buckets, data_dir, f"c{new_v}_{_table_tag(table_dir)}"
     )
     rel = [
         os.path.join(rel_dir, f)
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    carried["files"] += rel
-    carried["file_seqs"].update({f: new_v for f in rel})
-    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": new_v, **carried, "bucket_spec": spec}, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
+            {
+                "added_files": rel,
+                "file_seqs": {f: new_v for f in rel},
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+            },
+        )
+    )
+    _publish_snapshot(table_dir, new_v, mlist, {"bucket_spec": spec})
     return new_v
 
 
@@ -2915,7 +3097,7 @@ def snapshot_merge_bucketed(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    manifest = _load_manifest(table_dir, last)
+    mlist, manifest = _next_manifest_list(table_dir, versions)
     spec = manifest.get("bucket_spec")
     if not spec or spec["key"] != key:
         raise ValueError(
@@ -2933,7 +3115,7 @@ def snapshot_merge_bucketed(
         spark, table_dir, manifest, source, key
     )
     new_v = last + 1
-    tag = f"m{new_v}_{abs(hash(table_dir)) % 10**8}"
+    tag = f"m{new_v}_{_table_tag(table_dir)}"
 
     # target side: touched bucket files as a bucketed table (empty
     # touched set -> empty view over zero symlinks, same schema)
@@ -2979,15 +3161,21 @@ def snapshot_merge_bucketed(
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    out = _restrict_manifest_maps(_carry_manifest_maps(manifest), untouched)
-    out["files"] += rel
-    out["file_seqs"].update({f: new_v for f in rel})
-    out["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    out.update({"version": new_v, "bucket_spec": spec, "merged": True})
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
+            {
+                "added_files": rel,
+                "file_seqs": {f: new_v for f in rel},
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+                "removed_files": sorted(touched),
+            },
+        )
+    )
+    _publish_snapshot(
+        table_dir, new_v, mlist, {"bucket_spec": spec, "merged": True}
+    )
     return new_v
 
 
@@ -3025,9 +3213,23 @@ def snapshot_read_bucketed(
             "snapshot_read_bucketed: table carries merge-on-read delete "
             "files — compact first (snapshot_compact)"
         )
-    tag = f"v{v}_{abs(hash(table_dir)) % 10**8}"
+    tag = f"v{v}_{_table_tag(table_dir)}"
     tbl = f"snap_bkt_r_{tag}"
     if not spark.catalog.tableExists(tbl):
+        # reclaim stale view dirs from OTHER versions of this table
+        # (deterministic tags make the current one reusable across
+        # processes; old-version dirs — and their symlinks left
+        # dangling by expire/orphan cleanup — would accumulate forever)
+        digest = _table_tag(table_dir)
+        for name in os.listdir(table_dir):
+            if (
+                name.startswith(".bktview-v")
+                and name.endswith(digest)
+                and name != f".bktview-{tag}"
+            ):
+                shutil.rmtree(
+                    os.path.join(table_dir, name), ignore_errors=True
+                )
         _bucketed_files_table(
             spark,
             table_dir,
@@ -4041,20 +4243,16 @@ def snapshot_delete_keys(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
     last = versions[-1]
-    manifest = _load_manifest(table_dir, last)
+    mlist, manifest = _next_manifest_list(table_dir, versions)
     prev_key = manifest.get("delete_key")
     if prev_key is not None and prev_key != key:
         raise ValueError(
             f"delete key mismatch: table uses {prev_key!r}, got {key!r}"
         )
-    # carry everything, bucket_spec included: delete files are pure
-    # metadata beside the (still bucketed) data files, and both bucketed
-    # read paths fail-stop until snapshot_compact materializes deletes
-    carried = _carry_manifest_maps(manifest)
     new_v = last + 1
     ddir, rel_dir = _attempt_data_dir(table_dir, "deletes", new_v)
     rel: list[str] = []
-    parts: dict[str, str] = dict(carried.get("delete_parts", {}))
+    parts: dict[str, str] = {}
     if partition_col is None:
         keys.select(key).write.mode("overwrite").parquet(ddir)
         rel = [
@@ -4074,24 +4272,29 @@ def snapshot_delete_keys(
                     r = os.path.join(rel_dir, pdir, f)
                     rel.append(r)
                     parts[r] = pdir
-    dseqs = dict(carried.get("delete_seqs", {}))
-    dseqs.update({r: new_v for r in rel})
-    # delete FILES get write-time stats too (Iceberg's delete-file
-    # manifest entries carry record_count/bounds like data files) —
-    # the delete-files metadata table serves from these, zero read I/O
-    carried["file_bounds"].update(_collect_file_bounds(table_dir, rel))
-    carried.update(
-        {
-            "delete_files": carried.get("delete_files", []) + rel,
-            "delete_seqs": dseqs,
-            "delete_parts": parts,
-            "delete_key": key,
-        }
+    # the delta records ONLY this commit's delete files; prior delete
+    # commits keep their own entries.  Delete FILES get write-time
+    # stats too (Iceberg's delete-file manifest entries carry
+    # record_count/bounds like data files) — the delete-files metadata
+    # table serves from these, zero read I/O.
+    mlist.append(
+        _write_delta_manifest(
+            table_dir,
+            new_v,
+            {
+                "added_delete_files": rel,
+                "delete_seqs": {r: new_v for r in rel},
+                "delete_parts": parts,
+                "file_bounds": _collect_file_bounds(table_dir, rel),
+            },
+        )
     )
-    tmp = os.path.join(table_dir, f".manifest-{new_v}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": new_v, **carried}, fh)
-    _publish_manifest(table_dir, tmp, new_v)
+    # bucket_spec carries: delete files are pure metadata beside the
+    # (still bucketed) data files, and both bucketed read paths
+    # fail-stop until snapshot_compact materializes deletes
+    extras = _snapshot_extras(manifest)
+    extras["delete_key"] = key
+    _publish_snapshot(table_dir, new_v, mlist, extras)
     return new_v
 
 

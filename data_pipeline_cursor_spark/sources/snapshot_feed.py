@@ -8,8 +8,10 @@ through the engine's own source interface instead of a driver-side loop.
 
 Offsets are snapshot versions (the natural CDC cursor of a versioned
 table): `initialOffset` = version 0, `latestOffset` = the newest
-manifest, and `partitions(start, end)` plans ONE InputPartition per
-intermediate commit holding exactly the file list that commit added —
+manifest, and `partitions(start, end)` plans the files each
+intermediate commit added, CHUNKED into InputPartitions of at most
+FEED_FILES_PER_PARTITION files — a backfill commit of 10^4 files fans
+out across the cluster instead of serializing into one task — all from
 pure driver-side manifest metadata, zero data I/O at planning time (the
 same economics as A11's batch incremental scan).  `read` runs ON THE
 EXECUTORS and yields pyarrow RecordBatches (the Arrow fast path of the
@@ -19,12 +21,18 @@ files.
 Restart semantics come from the engine: Structured Streaming
 checkpoints the (start, end] version offsets, so a restarted query
 resumes at the next uncommitted version — exactly-once delivery of
-every commit's delta without any bookkeeping here.
+every commit's delta without any bookkeeping here.  A checkpointed
+START offset whose manifest was removed by snapshot_expire fail-stops
+with an explicit offset-expired error (silently replaying from another
+base would double- or under-deliver); an expired INTERMEDIATE version's
+additions coalesce into the next surviving version's batch and carry
+THAT version's `_commit_version` stamp — the best a consumer can get
+once per-commit granularity has been expired away, and the documented
+Delta/Iceberg CDF behavior for vacuumed history.
 
 100 TB: planning is O(manifests) on the driver; each micro-batch reads
-only the new files, partitioned per commit (widen by splitting a
-commit's file list across multiple InputPartitions when single commits
-are huge).  Trigger.AvailableNow is not implemented by Python sources
+only the new files, split per FEED_FILES_PER_PARTITION chunk.
+Trigger.AvailableNow is not implemented by Python sources
 (Spark falls back to single-batch execution — documented engine
 behavior); per-version delivery is still pinned by the partition plan
 and the `_commit_version` stamps the oracle checks.
@@ -36,7 +44,6 @@ pattern.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql.datasource import (
@@ -46,6 +53,17 @@ from pyspark.sql.datasource import (
 )
 
 FEED_SCHEMA = "event_id bigint, event_type string, _commit_version int"
+
+# max files one InputPartition carries: a huge (backfill) commit splits
+# across tasks instead of serializing into one
+FEED_FILES_PER_PARTITION = 64
+
+
+class OffsetExpiredError(RuntimeError):
+    """The checkpointed start offset's manifest was removed by
+    snapshot_expire — replaying from a different base would break
+    exactly-once delivery, so the consumer must restart from a fresh
+    checkpoint (or pin starting_version to a committed snapshot)."""
 
 
 class SnapshotFeedPartition(InputPartition):
@@ -94,24 +112,48 @@ class SnapshotFeedReader(DataSourceStreamReader):
             latest = min(latest, self.ending_version)
         return {"version": max(latest, self.starting_version)}
 
+    def _manifest_files(self, version: int) -> list:
+        # resolve through the catalog's single manifest entrypoint so
+        # the feed understands both layouts (legacy cumulative and
+        # manifest-list); driver-side only
+        from data_pipeline_cursor_spark.catalog import _load_manifest
+
+        return _load_manifest(self.table_dir, version)["files"]
+
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
         prev_files: set = set()
         if lo > 0:
-            with open(
-                os.path.join(self.table_dir, f"manifest-{lo}.json")
-            ) as fh:
-                prev_files = set(json.load(fh)["files"])
+            try:
+                prev_files = set(self._manifest_files(lo))
+            except FileNotFoundError:
+                raise OffsetExpiredError(
+                    f"snapshot_changes_feed: checkpointed start offset "
+                    f"{lo} was expired from {self.table_dir} "
+                    "(snapshot_expire) — restart from a fresh checkpoint "
+                    "or set starting_version to a committed snapshot"
+                ) from None
         parts = []
         for v in range(lo + 1, hi + 1):
             mpath = os.path.join(self.table_dir, f"manifest-{v}.json")
             if not os.path.exists(mpath):
-                continue  # expired intermediate version: nothing to add
-            with open(mpath) as fh:
-                m = json.load(fh)
-            added = [f for f in m["files"] if f not in prev_files]
-            prev_files = set(m["files"])
-            parts.append(SnapshotFeedPartition(self.table_dir, added, v))
+                # expired intermediate version: its additions coalesce
+                # into the next surviving version's batch (see module
+                # docstring — stamps follow the surviving version)
+                continue
+            files = self._manifest_files(v)
+            added = [f for f in files if f not in prev_files]
+            prev_files = set(files)
+            # chunk a huge commit across tasks; a delete-only or
+            # rollback commit adds nothing and plans no partition
+            for i in range(0, len(added), FEED_FILES_PER_PARTITION):
+                parts.append(
+                    SnapshotFeedPartition(
+                        self.table_dir,
+                        added[i : i + FEED_FILES_PER_PARTITION],
+                        v,
+                    )
+                )
         # the engine requires >=1 partition per planned batch
         return parts or [SnapshotFeedPartition(self.table_dir, [], hi)]
 

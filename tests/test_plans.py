@@ -946,16 +946,10 @@ def test_bucketed_merge_clause_join_has_no_exchange(spark):
     assert plan is not None
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
-    with open(
-        os.path.join(
-            table_dir,
-            f"manifest-{C.snapshot_versions(table_dir)[-1]}.json",
-        )
-    ) as fh:
-        m = json.load(fh)
+    m = C._load_manifest(table_dir, C.snapshot_versions(table_dir)[-1])
     last_v = m["version"]
-    carried = [f for f in m["files"] if f"commit-{last_v}" not in f]
-    rewritten = [f for f in m["files"] if f"commit-{last_v}" in f]
+    carried = [f for f in m["files"] if m["file_seqs"][f] != last_v]
+    rewritten = [f for f in m["files"] if m["file_seqs"][f] == last_v]
     # bounds pruning composed: most of the 8 range-clustered commits
     # carried by reference, only the touched low-range buckets rewritten
     assert len(carried) > len(rewritten), (carried, rewritten)

@@ -979,3 +979,70 @@ def test_snapshot_feed_bounded_by_ending_version(spark, tmp_path):
     # starting_version skips the base generations
     tail = drain(starting_version="2")
     assert {r["_commit_version"] for r in tail.collect()} == {3}
+
+
+def test_snapshot_feed_splits_huge_commits_and_flags_expired_offsets(
+    spark, tmp_path
+):
+    """Two snapshot-feed planning contracts (r12 verdict item 4 +
+    advisor): (1) a commit with many files fans out across MULTIPLE
+    InputPartitions (bounded by FEED_FILES_PER_PARTITION) instead of
+    serializing into one task, each chunk stamped with the commit's
+    version; (2) a checkpointed start offset whose manifest was removed
+    by snapshot_expire fail-stops with OffsetExpiredError instead of
+    crashing opaquely or silently re-basing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_expire,
+    )
+    from data_pipeline_cursor_spark.sources.snapshot_feed import (
+        FEED_FILES_PER_PARTITION,
+        OffsetExpiredError,
+        SnapshotFeedReader,
+    )
+
+    from data_pipeline_cursor_spark.catalog import _load_manifest
+
+    tdir = str(tmp_path / "hugetbl")
+    # one backfill commit with > FEED_FILES_PER_PARTITION files
+    # (range-partitioned so every output partition is non-empty —
+    # hash repartition leaves empties at this row count)
+    n_rows = FEED_FILES_PER_PARTITION * 10
+    snapshot_commit(
+        spark,
+        tdir,
+        spark.range(0, n_rows).select(
+            F.col("id").alias("event_id"), F.lit("bf").alias("event_type")
+        ).repartitionByRange(FEED_FILES_PER_PARTITION + 9, "event_id"),
+    )
+    n_files = len(_load_manifest(tdir, 1)["files"])
+    assert n_files > FEED_FILES_PER_PARTITION, n_files
+    reader = SnapshotFeedReader({"path": tdir})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == -(-n_files // FEED_FILES_PER_PARTITION) > 1, (
+        "huge commit planned as a single partition"
+    )
+    assert all(p.version == 1 for p in parts)
+    assert all(len(p.files) <= FEED_FILES_PER_PARTITION for p in parts)
+    planned = [f for p in parts for f in p.files]
+    assert len(planned) == len(set(planned)) == n_files
+    # every row is delivered exactly once across the chunks
+    got = sum(b.num_rows for p in parts for b in reader.read(p))
+    assert got == n_rows
+
+    # expired start offset: explicit fail-stop
+    snapshot_commit(
+        spark,
+        tdir,
+        spark.range(500, 503).select(
+            F.col("id").alias("event_id"), F.lit("t2").alias("event_type")
+        ),
+    )
+    snapshot_compact(spark, tdir)               # v3
+    snapshot_expire(tdir, retain_last=1)        # v1, v2 gone
+    with pytest.raises(OffsetExpiredError, match="expired"):
+        reader.partitions({"version": 1}, {"version": 3})

@@ -1846,6 +1846,235 @@ def delete_files_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVOLUTION_SPLIT = "2024-01-16 00:00:00"  # hour-grain commits before, day after
+EVOLUTION_RANGE = ("2024-01-14 00:00:00", "2024-01-18 00:00:00")
+
+
+def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once partition-EVOLUTION fixture (A30): the events table's
+    first half committed hour(ts)-partitioned, the second half
+    day(ts)-partitioned — a production table that outgrew hourly
+    partitions and regrained without rewriting history."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapevol-{fp}")
+    versions = snapshot_versions(table_dir)
+    if len(versions) == 1:
+        raise RuntimeError(
+            f"partition-evolution fixture half-built at {table_dir} "
+            "(hour generation committed, day generation missing) — clear "
+            "the directory"
+        )
+    if not versions:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        )
+        split = F.lit(EVOLUTION_SPLIT).cast("timestamp")
+        snapshot_commit_partitioned(
+            spark, table_dir, ev.filter(F.col("ts") < split), "hour"
+        )
+        snapshot_commit_partitioned(
+            spark, table_dir, ev.filter(F.col("ts") >= split), "day"
+        )
+    return table_dir
+
+
+def snapshot_metadata_count(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """METADATA-ONLY COUNT(*) (the count-star optimization Iceberg and
+    Delta both ship): a snapshot's row count summed from the manifest's
+    write-time per-file ``_num_rows`` records with ZERO data-file I/O —
+    at 100 TB the difference between a free driver-side answer and a
+    full scan.  Exactness guards, never silently wrong:
+      - a snapshot carrying MOR delete files falls back to the exact
+        scan (the anti-join must run to know how many rows survive);
+      - a file with no recorded count (legacy manifest or zero-stats
+        part file) is counted by ONE footer read of just that file.
+    Returns a one-row DataFrame so the result composes as a relation."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    manifest = _load_manifest(table_dir, v)
+    if manifest.get("delete_files"):
+        total = snapshot_read(spark, table_dir, v).count()
+        return spark.createDataFrame([(total,)], "n_rows bigint")
+    bounds = manifest.get("file_bounds", {})
+    total = 0
+    for f in manifest["files"]:
+        rec = bounds.get(f)
+        n = rec.get("_num_rows") if rec is not None else None
+        if n is None:  # legacy/no-stats: one footer read for THIS file
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(
+                os.path.join(table_dir, f)
+            ).metadata.num_rows
+        total += n
+    return spark.createDataFrame([(total,)], "n_rows bigint")
+
+
+@register(
+    "q_metadata_count",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+)
+def metadata_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered from manifest statistics alone over the
+    3-commit snapshot fixture — zero data-file reads (the invariant
+    test pins it with a counting-ParquetFile monkeypatch).  The DuckDB
+    oracle counts the raw events table: a match proves the write-time
+    row-count records sum to exactly the data's truth across all three
+    commits (one miscounted file flips it)."""
+    table_dir = snapshot_events_table(spark, sf_dir)
+    return snapshot_metadata_count(spark, table_dir)
+
+
+def snapshot_snapshots_metadata(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """The SNAPSHOTS metadata table (Iceberg ``SELECT * FROM
+    t$snapshots`` / Delta ``DESCRIBE HISTORY``'s numeric half): one row
+    per committed version with its operation marker, live file count,
+    metadata-summed live row count, and the rows its commit ADDED
+    (files stamped with that version's sequence) — served entirely from
+    manifests, the audit surface for commit cadence and table growth.
+    O(versions x files) driver metadata, zero data I/O."""
+    rows = []
+    for v in snapshot_versions(table_dir):
+        m = _load_manifest(table_dir, v)
+        bounds = m.get("file_bounds", {})
+        fseqs = m.get("file_seqs", {})
+
+        def _n(f):
+            rec = bounds.get(f)
+            n = rec.get("_num_rows") if rec is not None else None
+            return n if n is not None else 0
+
+        op = "append"
+        for marker, name in (
+            ("compacted", "compact"),
+            ("merged", "merge"),
+            ("rolled_back_to", "rollback"),
+            ("published_stage", "publish"),
+        ):
+            if m.get(marker) is not None and m.get(marker) is not False:
+                op = name
+                break
+        if m.get("delete_files") and all(
+            fseqs.get(f, 0) != v for f in m["files"]
+        ):
+            op = "delete"
+        rows.append(
+            (
+                v,
+                op,
+                len(m["files"]),
+                sum(_n(f) for f in m["files"]),
+                sum(_n(f) for f in m["files"] if fseqs.get(f, 0) == v),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, n_files bigint, "
+        "n_rows bigint, n_added bigint",
+    )
+
+
+@register(
+    "q_snapshot_metadata",
+    oracle="""
+    SELECT CAST(t.v AS INT) AS version,
+           'append' AS operation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             WHERE event_id % 3 < t.v) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             WHERE event_id % 3 = t.v - 1) AS n_added
+    FROM (VALUES (1), (2), (3)) AS t(v)
+    """,
+)
+def snapshot_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOTS metadata table over the 3-commit fixture: per-version
+    operation, cumulative metadata-summed rows, and per-commit added
+    rows.  The DuckDB oracle replays both counts from the raw data via
+    the fixture's residue construction (commit k = event_id % 3 ==
+    k-1): a match proves version lineage AND that every commit's
+    sequence stamps + row-count records reconstruct table growth
+    exactly — a file stamped with the wrong commit or miscounted at
+    write time flips n_added."""
+    table_dir = snapshot_events_table(spark, sf_dir)
+    return snapshot_snapshots_metadata(spark, table_dir).select(
+        "version", "operation", "n_rows", "n_added"
+    )
+
+
+def snapshot_partitions_metadata(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The PARTITIONS metadata table (Iceberg ``t$partitions``): one
+    row per (transform, partition value) of a snapshot with its live
+    file count and metadata-summed row count — across partition-SPEC
+    GENERATIONS, so an hour->day regrained table reports both grains
+    honestly.  Unpartitioned files roll up under a NULL transform.
+    Served from ``file_partitions`` + write-time row counts, zero data
+    I/O: the surface an operator sizes partitions from before choosing
+    a regrain or compaction schedule."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = versions[-1] if version is None else version
+    manifest = _load_manifest(table_dir, v)
+    bounds = manifest.get("file_bounds", {})
+    fparts = manifest.get("file_partitions", {})
+    agg: dict[tuple, list[int]] = {}
+    for f in manifest["files"]:
+        rec = fparts.get(f)
+        key = (rec["transform"], rec["value"]) if rec else (None, None)
+        b = bounds.get(f)
+        n = (b or {}).get("_num_rows") or 0
+        cell = agg.setdefault(key, [0, 0])
+        cell[0] += 1
+        cell[1] += n
+    return spark.createDataFrame(
+        [(t, val, nf, nr) for (t, val), (nf, nr) in sorted(agg.items(), key=str)],
+        "transform string, part_value string, n_files bigint, n_rows bigint",
+    )
+
+
+@register(
+    "q_partitions_metadata",
+    oracle=f"""
+    SELECT CASE WHEN ts < TIMESTAMP '{EVOLUTION_SPLIT}' THEN 'hour'
+                ELSE 'day' END AS transform,
+           CASE WHEN ts < TIMESTAMP '{EVOLUTION_SPLIT}'
+                THEN strftime(ts, '%Y-%m-%d-%H')
+                ELSE strftime(ts, '%Y-%m-%d') END AS part_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def partitions_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONS metadata table over the partition-EVOLUTION fixture
+    (hour-grain commits before the regrain split, day-grain after —
+    A30's table): per (transform, value) metadata-summed row counts.
+    The DuckDB oracle recomputes every partition's population from raw
+    events at ITS OWN generation's grain: a match proves the recorded
+    (transform, value) assignments and row counts reconstruct the
+    physical layout exactly — one row landed in the wrong partition
+    dir, or one file's partition record dropped by a later writer (the
+    round-12 clobber class), flips the match."""
+    table_dir = _evolution_fixture(spark, sf_dir)
+    return snapshot_partitions_metadata(spark, table_dir).drop("n_files")
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
@@ -3764,10 +3993,6 @@ def branch_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVOLUTION_SPLIT = "2024-01-16 00:00:00"  # hour-grain commits before, day after
-EVOLUTION_RANGE = ("2024-01-14 00:00:00", "2024-01-18 00:00:00")
-
-
 @register(
     "q_partition_evolution",
     oracle=f"""
@@ -3799,33 +4024,9 @@ def partition_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins that each generation pruned at its own grain
     (out-of-range hour dirs AND out-of-range day dirs absent from
     inputFiles)."""
-    from data_pipeline_cursor_spark.sources.formats import _work_dir
-    from data_pipeline_cursor_spark.sources.tables import (
-        table_path,
-        tree_fingerprint,
-    )
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
-    table_dir = _work_dir(sf_dir, f"snapevol-{fp}")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type"
-    )
-    split = F.lit(EVOLUTION_SPLIT).cast("timestamp")
-    versions = snapshot_versions(table_dir)
-    if len(versions) == 1:
-        raise RuntimeError(
-            f"q_partition_evolution: half-built fixture at {table_dir} "
-            "(hour generation committed, day generation missing) — clear "
-            "the directory"
-        )
-    if not versions:
-        snapshot_commit_partitioned(
-            spark, table_dir, ev.filter(F.col("ts") < split), "hour"
-        )
-        snapshot_commit_partitioned(
-            spark, table_dir, ev.filter(F.col("ts") >= split), "day"
-        )
+    table_dir = _evolution_fixture(spark, sf_dir)
     snap = snapshot_read_time_range(
         spark, table_dir, EVOLUTION_RANGE[0], EVOLUTION_RANGE[1]
     )

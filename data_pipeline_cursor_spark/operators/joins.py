@@ -308,6 +308,67 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 7200  # 2 h staleness cap for the tolerance as-of
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_S} SECONDS
+                THEN c.ts END AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=`` / kdb wj's window cap — D88): the latest click
+    at-or-before each purchase, but only if it is no staler than 2
+    hours; an older match is as good as none (the feature-store
+    staleness rule: serving a day-old feature as 'latest' is a silent
+    correctness bug).  Same single window pass as D8 — the tolerance is
+    ONE post-window predicate, not a second join; the NULLed-out rows
+    prove the cap bites (the fixture has users whose last click
+    precedes a purchase by more than the cap)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("p_event_id"), F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("p_event_id"), F.lit(0).alias("is_click"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last("click_ts", ignorenulls=True).over(w)
+    return (
+        merged.withColumn("raw_click_ts", last_click)
+        .filter(F.col("p_event_id").isNotNull())
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.when(
+                F.col("ts").cast("long") - F.col("raw_click_ts").cast("long")
+                <= ASOF_TOLERANCE_S,
+                F.col("raw_click_ts"),
+            ).alias("last_click_ts"),
+        )
+    )
+
+
 SALT_BUCKETS = 8
 
 

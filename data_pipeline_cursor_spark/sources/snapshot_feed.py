@@ -89,6 +89,18 @@ class SnapshotFeedReader(DataSourceStreamReader):
             if "ending_version" in options
             else None
         )
+        # Admission control (Delta's maxFilesPerTrigger / Kafka's
+        # maxOffsetsPerTrigger, at version granularity): cap how many
+        # commits one micro-batch may ingest, so a backlogged consumer
+        # catches up in bounded batches instead of one giant replay
+        # batch.  0 = unbounded.  The base advances when a batch is
+        # PLANNED (partitions()) — repeated latestOffset polls between
+        # batches do not let the cap run ahead of planning, and the
+        # engine only plans batch N+1 after batch N committed.
+        self.max_versions_per_batch = int(
+            options.get("max_versions_per_batch", "0")
+        )
+        self._planned: int | None = None
 
     def _versions(self) -> list:
         if not os.path.isdir(self.table_dir):
@@ -110,7 +122,15 @@ class SnapshotFeedReader(DataSourceStreamReader):
         latest = vs[-1] if vs else 0
         if self.ending_version is not None:
             latest = min(latest, self.ending_version)
-        return {"version": max(latest, self.starting_version)}
+        latest = max(latest, self.starting_version)
+        if self.max_versions_per_batch:
+            base = (
+                self._planned
+                if self._planned is not None
+                else self.starting_version
+            )
+            latest = max(min(latest, base + self.max_versions_per_batch), base)
+        return {"version": latest}
 
     def _manifest_files(self, version: int) -> list:
         # resolve through the catalog's single manifest entrypoint so
@@ -122,6 +142,10 @@ class SnapshotFeedReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        # pacing cursor: the engine plans the next batch only after this
+        # one commits, so the last PLANNED end is a safe admission base
+        # (monotonic max — a retried plan must not re-advance it)
+        self._planned = max(self._planned or 0, hi)
         prev_files: set = set()
         if lo > 0:
             try:

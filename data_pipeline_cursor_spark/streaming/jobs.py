@@ -2902,3 +2902,119 @@ def s_snapshot_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum"
         ),
     )
+
+
+LAST_PACED_FEED_BATCHES: int | None = None  # pacing-test capture
+
+
+@register(
+    "s_feed_paced",
+    oracle="""
+    SELECT CAST((event_id % 3) + 1 AS INT) AS commit_version,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5('fp:' || event_id), 1, 15))::BIGINT)
+             AS checksum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_feed_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-LIMITED snapshot change feed (C32): the feed source's
+    ``max_versions_per_batch`` admission control — Delta's
+    maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger at commit
+    granularity.  A consumer starting behind a 3-commit backlog drains
+    it capped at ONE version per micro-batch: the engine plans >= 3
+    batches (captured in LAST_PACED_FEED_BATCHES and plan-asserted)
+    instead of one giant replay batch — at 100 TB the difference
+    between bounded, checkpointable catch-up batches and a single
+    batch sized by the whole backlog.
+
+    Same oracle as the unpaced feed: the final drained table must be
+    IDENTICAL (per-commit stamps, exactly-once) however the batches
+    were cut — pacing is pure admission control, never semantics."""
+    import time
+    import uuid
+
+    global LAST_PACED_FEED_BATCHES
+    from data_pipeline_cursor_spark.catalog import (
+        SNAPSHOT_COMMITS,
+        snapshot_events_table,
+    )
+    from data_pipeline_cursor_spark.sources.snapshot_feed import (
+        register_snapshot_feed,
+    )
+    from data_pipeline_cursor_spark.text.dedup import phash
+
+    table_dir = snapshot_events_table(spark, sf_dir)
+    fmt = register_snapshot_feed(spark)
+    sdf = (
+        spark.readStream.format(fmt)
+        .option("path", table_dir)
+        .option("ending_version", str(SNAPSHOT_COMMITS))
+        .option("max_versions_per_batch", "1")
+        .load()
+    )
+    name = "pacedfeed_" + uuid.uuid4().hex[:8]
+    expected = None
+    with stream_state_partitions(spark):
+        # availableNow's single-batch fallback would collapse the paced
+        # batches, so drive with a tight processingTime trigger and stop
+        # once the capped batches have caught up to the ending version
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ckpt("feed-paced"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import json as _json
+
+        def _end_version(lp) -> int | None:
+            if not (lp and lp["sources"] and lp["sources"][0]["endOffset"]):
+                return None
+            eo = lp["sources"][0]["endOffset"]
+            if isinstance(eo, str):
+                # the python-source offset serializes as a dict repr
+                # (single quotes), not strict JSON — accept both
+                try:
+                    eo = _json.loads(eo)
+                except _json.JSONDecodeError:
+                    import ast as _ast
+
+                    eo = _ast.literal_eval(eo)
+            return eo.get("version")
+
+        # once a batch's END offset reaches the ending version, that
+        # batch has committed (progress posts after the sink commit) —
+        # no further batch will be planned, so stop polling there
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if _end_version(q.lastProgress) == SNAPSHOT_COMMITS:
+                break
+            time.sleep(0.2)
+        else:
+            q.stop()
+            raise TimeoutError("s_feed_paced: did not catch up in 120 s")
+        record_state_progress(q)
+        ingesting = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        LAST_PACED_FEED_BATCHES = len(ingesting)
+        q.stop()
+        q.awaitTermination()
+    if LAST_PACED_FEED_BATCHES < SNAPSHOT_COMMITS:
+        raise AssertionError(
+            f"s_feed_paced: backlog drained in {LAST_PACED_FEED_BATCHES} "
+            f"batches — max_versions_per_batch=1 must cut >= "
+            f"{SNAPSHOT_COMMITS} (admission control regressed)"
+        )
+    out = spark.table(name)
+    return out.groupBy(
+        F.col("_commit_version").alias("commit_version"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(phash(F.col("event_id").cast("string"), "fp")).alias(
+            "checksum"
+        ),
+    )

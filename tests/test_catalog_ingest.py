@@ -1806,3 +1806,47 @@ def test_legacy_cumulative_manifest_migration(spark, tmp_path):
     }
     m2 = _load_manifest(tdir, 2)
     assert all(f in m2["file_seqs"] and f in m2["file_bounds"] for f in m2["files"])
+
+
+def test_metadata_count_zero_data_reads(spark, tmp_path, monkeypatch):
+    """A36's whole point: COUNT(*) from manifest stats opens ZERO
+    parquet files (counting-ParquetFile monkeypatch, the A29 pattern);
+    exactness guards fall back — MOR delete files force the exact scan
+    (count reflects the anti-join), and the number still matches."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_cursor_spark.catalog import (
+        snapshot_commit,
+        snapshot_delete_keys,
+        snapshot_metadata_count,
+    )
+
+    tdir = str(tmp_path / "metacount")
+    for c in range(3):
+        snapshot_commit(
+            spark,
+            tdir,
+            spark.createDataFrame(
+                [(c * 10 + i, "v") for i in range(7)], "k bigint, v string"
+            ),
+        )
+    opened: list = []
+    real_pf = pq.ParquetFile
+
+    def counting_pf(path, *a, **kw):
+        opened.append(str(path))
+        return real_pf(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting_pf)
+    got = snapshot_metadata_count(spark, tdir).collect()[0]["n_rows"]
+    assert got == 21
+    assert opened == [], f"metadata count opened footers: {opened}"
+    monkeypatch.undo()
+
+    # MOR deletes: exact-scan fallback, still right
+    snapshot_delete_keys(
+        spark, tdir, spark.createDataFrame([(0,), (10,)], "k bigint"),
+        key="k",
+    )
+    got2 = snapshot_metadata_count(spark, tdir).collect()[0]["n_rows"]
+    assert got2 == 19

@@ -194,6 +194,17 @@ SCALE_SLICE = [
     # the Python-data-source change feed's per-commit Arrow delivery
     # must stay exactly-once with right version stamps at 10M rows
     "s_snapshot_feed",
+    # round-13: the three metadata tables must reconstruct counts /
+    # growth / partition populations from manifest stats alone at 10M
+    # rows (one miscounted or mis-stamped file flips them); the paced
+    # feed must stay exactly-once when each capped batch carries ~3.3M
+    # rows; the tolerance as-of must hold where the staleness cap
+    # bites at density
+    "q_metadata_count",
+    "q_snapshot_metadata",
+    "q_partitions_metadata",
+    "q_join_asof_tolerance",
+    "s_feed_paced",
 ]
 
 

@@ -3899,6 +3899,82 @@ def wap_publish_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _branch_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once branch/tag fixture (A28): even-key base at v1 with
+    branch "main" + tag "rel_v1" pinned to it; the odd-key nightly
+    batch staged and published TO the "audit" branch at v2 — main's
+    pointer never moves (WAP-to-branch isolation)."""
+    from data_pipeline_cursor_spark.sources.formats import _work_dir
+    from data_pipeline_cursor_spark.sources.tables import (
+        table_path,
+        tree_fingerprint,
+    )
+
+    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
+    table_dir = _work_dir(sf_dir, f"snapbranch-{fp}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        snapshot_commit(spark, table_dir, ev.filter(F.col("event_id") % 2 == 0))
+        create_ref(table_dir, "main", 1, kind="branch")
+        create_ref(table_dir, "rel_v1", 1, kind="tag")
+        versions = [1]
+    refs = snapshot_refs(table_dir)
+    if versions[-1] == 1 and "audit" in refs:
+        # refs exist but the audit publish never landed: half-built
+        raise RuntimeError(
+            f"branch fixture half-built at {table_dir} "
+            "(audit ref without its commit) — clear the directory"
+        )
+    if "audit" not in refs:
+        if versions[-1] != 1 or "main" not in refs:
+            raise RuntimeError(
+                f"branch fixture half-built at {table_dir} "
+                f"(versions={versions}, refs={sorted(refs)}) — clear the "
+                "directory"
+            )
+        snapshot_stage(
+            spark, table_dir, ev.filter(F.col("event_id") % 2 == 1),
+            name="nightly",
+        )
+        publish_to_branch(table_dir, "nightly", "audit")
+    return table_dir
+
+
+def snapshot_refs_metadata(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The REFS metadata table (Iceberg ``SELECT * FROM t$refs``): one
+    row per branch/tag with its kind and pinned version — the surface a
+    release manager audits before retargeting or expiring (A13's
+    ref-protection reads the same map).  Pure O(refs) metadata."""
+    refs = snapshot_refs(table_dir)
+    return spark.createDataFrame(
+        sorted((n, r["kind"], r["version"]) for n, r in refs.items()),
+        "ref string, kind string, version int",
+    )
+
+
+@register(
+    "q_refs_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('audit', 'branch', 2),
+      ('main', 'branch', 1),
+      ('rel_v1', 'tag', 1)
+    ) AS t(ref, kind, version)
+    """,
+)
+def refs_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFS metadata table over the WAP-to-branch fixture: exactly the
+    three governance pointers the workflow created — main (branch)
+    pinned to the v1 base, rel_v1 (tag) immutably on v1, audit (branch)
+    fast-forwarded to the v2 nightly publish.  The oracle is the
+    literal expected pointer set: any ref drift — a lost tag, main
+    silently advanced by the publish, audit left behind — flips it.
+    Deterministic at every SF (refs are version pointers, not data)."""
+    table_dir = _branch_fixture(spark, sf_dir)
+    return snapshot_refs_metadata(spark, table_dir)
+
+
 @register(
     "q_branch_read",
     oracle="""
@@ -3939,41 +4015,9 @@ def branch_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: refs are O(1) metadata on top of O(files) manifests —
     creating, reading, and retargeting never touch data files, which is
     why Iceberg WAP-to-branch costs nothing over the write itself."""
-    from data_pipeline_cursor_spark.sources.formats import _work_dir
-    from data_pipeline_cursor_spark.sources.tables import (
-        table_path,
-        tree_fingerprint,
-    )
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    fp = tree_fingerprint(table_path(sf_dir, "events")).replace("-", "_")
-    table_dir = _work_dir(sf_dir, f"snapbranch-{fp}")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    versions = snapshot_versions(table_dir)
-    if not versions:
-        snapshot_commit(spark, table_dir, ev.filter(F.col("event_id") % 2 == 0))
-        create_ref(table_dir, "main", 1, kind="branch")
-        create_ref(table_dir, "rel_v1", 1, kind="tag")
-        versions = [1]
-    refs = snapshot_refs(table_dir)
-    if versions[-1] == 1 and "audit" in refs:
-        # refs exist but the audit publish never landed: half-built
-        raise RuntimeError(
-            f"q_branch_read: half-built fixture at {table_dir} "
-            "(audit ref without its commit) — clear the directory"
-        )
-    if "audit" not in refs:
-        if versions[-1] != 1 or "main" not in refs:
-            raise RuntimeError(
-                f"q_branch_read: half-built fixture at {table_dir} "
-                f"(versions={versions}, refs={sorted(refs)}) — clear the "
-                "directory"
-            )
-        snapshot_stage(
-            spark, table_dir, ev.filter(F.col("event_id") % 2 == 1),
-            name="nightly",
-        )
-        publish_to_branch(table_dir, "nightly", "audit")
+    table_dir = _branch_fixture(spark, sf_dir)
     main_view = read_snapshot_sql(
         spark, table_dir, ref="main", view="branch_main"
     )

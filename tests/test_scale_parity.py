@@ -205,6 +205,9 @@ SCALE_SLICE = [
     "q_partitions_metadata",
     "q_join_asof_tolerance",
     "s_feed_paced",
+    # refs are SF-invariant pointers — the parity run still pins that
+    # the governance workflow creates the same pointer set at size
+    "q_refs_metadata",
 ]
 
 

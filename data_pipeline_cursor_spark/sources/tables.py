@@ -115,3 +115,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "(legacy nanos fixture) or timestamp/timestamp_ntz (µs fixture)"
             )
     return df
+
+
+def fan_out_small_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin the scan output across the session's cores WHEN (and
+    only when) the input cannot occupy them by itself.
+
+    The fixture tables are single-file, single-row-group parquet, so any
+    per-row-CPU-heavy pipeline over them (the md5-audit queries: portable
+    checksums, bloom probes) runs its entire pre-exchange stage in ONE
+    task while the other cores idle — 1.7 s of the 1.85 s q_table_checksum
+    spent at sf0.1 was one core computing 600k md5s (round-13 probe).
+
+    The condition is DERIVED FROM THE INPUT, not a local-mode constant
+    (optimization guide §2 / brief rule): we fan out only when the table's
+    bytes are too small to fill the scheduler's slots at the session's
+    scan split size — i.e. when the shuffle this adds is by construction
+    tiny.  On a production table (thousands of row groups spanning many
+    GB) the predicate is false and the plan keeps its canonical
+    shuffle-free shape; the same holds for the sized sf1/sf10 fixture
+    dirs once they exceed cores x maxPartitionBytes."""
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).rstrip("b")
+        )
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    total, n_files = 0, 0
+    p = table_path(sf_dir, name)
+    if os.path.isfile(p):
+        total, n_files = os.path.getsize(p), 1
+    else:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                    n_files += 1
+                except OSError:
+                    pass
+    # enough files to feed every slot, or enough bytes that the split
+    # planner will: the scan parallelizes by itself — keep the
+    # shuffle-free plan
+    if n_files >= slots or total >= slots * max_split:
+        return df
+    return df.repartition(slots)

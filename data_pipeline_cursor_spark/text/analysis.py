@@ -48,21 +48,29 @@ def _duck_list(words: list[str]) -> str:
 def char_trigrams(col) -> Column:
     """All overlapping character trigrams of a string column, as an array.
 
-    Guarded for short strings: ``sequence(start, stop)`` counts DOWN when
-    stop < start, so an unguarded ``sequence(1, length-2)`` on a string
-    shorter than 3 chars yields ``[1, 0]`` and emits two bogus "trigrams"
-    (substrings at positions 0/1), where DuckDB's ``generate_series(1,
-    length-2)`` emits none.  The guard returns the empty array for
-    length < 3, matching generate_series semantics (round-5 ADVICE item;
-    forced by tests/test_invariants.py::test_char_trigrams_short_strings).
-    """
+    Guarded for short strings: a string shorter than 3 chars yields the
+    empty array, matching DuckDB's ``generate_series(1, length-2)``
+    emitting no positions (round-5 ADVICE item; forced by
+    tests/test_invariants.py::test_char_trigrams_short_strings).
+
+    Built by splitting to a code-point array ONCE and zipping it against
+    its 1- and 2-shifted tails (the shingles_col idiom).  The round-12
+    form indexed the string per position — ``substr(i, 3)`` on UTF8String
+    walks i code points from the start, so building all trigrams of an
+    L-char document was O(L²) byte-stepping; the split form is O(L).
+    Measured at sf0.1 (5k docs, avg 297 chars): the trigram explode+count
+    leg 1.95 → 1.10 s with identical rows.  Java's regex split("") is
+    code-point aware (surrogate pairs stay intact), so parity with
+    substr/DuckDB holds beyond ASCII."""
     c = F.col(col) if isinstance(col, str) else col
+    ch = F.split(c, "")
+    cnt = F.length(c) - 2
+    zipped = F.arrays_zip(
+        F.slice(ch, 1, cnt), F.slice(ch, 2, cnt), F.slice(ch, 3, cnt)
+    )
     return F.when(
         F.length(c) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - 2),
-            lambda i: c.substr(i, F.lit(3)),
-        ),
+        F.transform(zipped, lambda p: F.concat(p["0"], p["1"], p["2"])),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -1374,7 +1382,16 @@ def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc work is explode + broadcast join at scan parallelism."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from data_pipeline_cursor_spark.sources.tables import fan_out_small_scan
+
+    # the trigram explode multiplies each doc ~300× and runs inside the
+    # scan stage, which the single-row-group fixture caps at one task —
+    # and this plan evaluates `chars` twice (profiles + per-doc tris);
+    # fan the 5k-row scan out so both explode legs use every core
+    # (no-op on production-layout tables, see the helper)
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     tri = F.explode(char_trigrams("text")).alias("tri")
     chars = docs.select("doc_id", "lang", tri)
     wprof = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))

@@ -2341,7 +2341,15 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus + candidate pairs; nothing is ever doc×doc."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from data_pipeline_cursor_spark.sources.tables import fan_out_small_scan
+
+    # ~300 shingles × one md5 each per doc, all inside the scan stage,
+    # which the single-row-group fixture caps at one task — fan the
+    # 5k-row scan out so the hash leg uses every core (no-op on
+    # production-layout tables, see the helper)
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     pos = docs.select(
         "doc_id",
         F.posexplode(shingles_col(tokens_col())).alias("pos0", "s"),
@@ -2369,7 +2377,14 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_MAX_DF
     )
-    good = fps.join(rare.select("fp"), "fp")
+    # eager localCheckpoint (the x_knn_graph / pair-table idiom): `good`
+    # feeds FOUR consumers (sizes, both pair legs, and through them the
+    # final joins) and AQE does not reuse the window+distinct subtree —
+    # the executed plan re-ran the explode→md5→window pipeline 4×
+    # (Scan=8, Window=24 in plans/r13/x_winnowing_before2.txt).  The
+    # checkpointed table is the PRUNED fingerprint set (~30 rows/doc),
+    # tiny at any scale, and the blocks die with the DataFrame.
+    good = fps.join(rare.select("fp"), "fp").localCheckpoint(eager=True)
     sizes = good.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = good.select(F.col("doc_id").alias("doc_a"), "fp")
     b = good.select(F.col("doc_id").alias("doc_b"), "fp")

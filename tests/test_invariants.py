@@ -2047,3 +2047,75 @@ def test_shingles_col_edge_semantics(spark):
         ["one two three"],
         ["a b c", "b c d"],
     ], got
+
+
+def test_char_trigrams_code_point_parity(spark):
+    """char_trigrams (round-13 split-and-zip rewrite of the O(L²)
+    substr(i,3) form) must keep CODE-POINT semantics: Java's regex
+    split("") is code-point aware, so a surrogate-pair character (one
+    code point, two UTF-16 units) counts as ONE position — the same
+    contract substr and DuckDB's generate_series oracle follow."""
+    from data_pipeline_cursor_spark.text.analysis import char_trigrams
+
+    df = spark.createDataFrame(
+        [("abcd",), ("a\U0001F600b\U0001F600c",), ("ab",), ("",)],
+        "text string",
+    )
+    got = [r.t for r in df.select(char_trigrams("text").alias("t")).collect()]
+    assert got == [
+        ["abc", "bcd"],
+        ["a\U0001F600b", "\U0001F600b\U0001F600", "b\U0001F600c"],
+        [],
+        [],
+    ], got
+
+
+def test_fan_out_small_scan_condition(spark):
+    """fan_out_small_scan must repartition a small/concentrated input to
+    the session's slots, and be the IDENTITY as soon as the table's
+    bytes would let the split planner fill the slots by itself (the
+    production-layout case) — pinned by shrinking maxPartitionBytes so
+    the same fixture crosses the threshold."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.sources.tables import fan_out_small_scan
+    from tests.conftest import SF_ORACLE
+
+    slots = spark.sparkContext.defaultParallelism
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    fanned = fan_out_small_scan(li, SF_ORACLE, "lineitem")
+    assert fanned.rdd.getNumPartitions() == slots
+    # same rows either way — the fan-out is placement only
+    assert fanned.count() == li.count()
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try:
+        ident = fan_out_small_scan(li, SF_ORACLE, "lineitem")
+        assert ident is li, "expected identity when bytes fill the slots"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ewma_fold_carries_state_across_arrow_batches(spark):
+    """q_ewma (round-13 mapInPandas rewrite) folds each partition's
+    user-sorted rows with the OPEN GROUP'S state carried across Arrow
+    batches.  The fixture never exercises that carry (each partition
+    fits one default 10k-row batch), so pin it directly: with the Arrow
+    batch size forced to 7 rows, every group spans batches and the
+    result must be identical to the default-batch run."""
+    from data_pipeline_cursor_spark.registry import get_queries
+    from tests.conftest import SF_ORACLE
+
+    q = get_queries()["q_ewma"]
+    want = {r.user_id: (r.n_obs, r.ewma_cents, r.ewma_value)
+            for r in q(spark, SF_ORACLE).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {r.user_id: (r.n_obs, r.ewma_cents, r.ewma_value)
+               for r in q(spark, SF_ORACLE).collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert got == want

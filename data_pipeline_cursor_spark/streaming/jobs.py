@@ -168,6 +168,17 @@ ORDERED_WATERMARK = "1 hour"
 #: overhead (guide §2: derive scale knobs, don't fix them).
 ORDERED_DRAIN_BATCHES = 4
 
+#: Ceiling on the derived trigger width (slices/batch ≈ 2 MB each, so 32
+#: slices ≈ the same 64 MB per-batch budget _EWMA_SINGLE_BATCH_BYTES
+#: encodes): the batch-count derivation alone would let the per-batch
+#: SPAN — and with it the in-horizon state buffer, which is O(batch span
+#: + horizon) — grow linearly with the corpus (measured 71 MB live-state
+#: peak at sf10 with corpus/4 batches).  Capping the width makes the
+#: drain O(1) batches until the state budget binds, then batch count
+#: grows and per-batch state stays bounded — the same contract a
+#: production trigger clock gives.
+ORDERED_MAX_BATCH_FILES = 32
+
 
 def _stream_ordered(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -187,16 +198,21 @@ def _stream_ordered(
 
     max_files_per_trigger=None (default) derives the trigger width from
     the slice count so every drain is ORDERED_DRAIN_BATCHES data batches
-    at ANY scale: the watermark still advances through the corpus (the
-    eviction evidence the fixture exists for — each batch folds the
-    prior span), while the per-batch fixed cost stays O(1) per drain
-    instead of O(corpus bytes).  Pass an explicit int to override."""
+    — capped at ORDERED_MAX_BATCH_FILES slices per batch so the
+    per-batch span (and the in-horizon state buffer it bounds) never
+    exceeds the state budget however large the corpus gets.  The
+    watermark still advances through the corpus (the eviction evidence
+    the fixture exists for — each batch folds the prior span), while
+    the per-batch fixed cost stays O(1) per drain until the state
+    budget binds.  Pass an explicit int to override."""
     from data_pipeline_cursor_spark.sources.tables import table_path
 
     ev_bytes = _tree_bytes(table_path(sf_dir, "events"))
     n_files = int(min(256, max(32, ev_bytes // (2 << 20))))
     if max_files_per_trigger is None:
-        max_files_per_trigger = -(-n_files // ORDERED_DRAIN_BATCHES)
+        max_files_per_trigger = min(
+            -(-n_files // ORDERED_DRAIN_BATCHES), ORDERED_MAX_BATCH_FILES
+        )
     landing = write_ordered_landing_fixture(
         spark, sf_dir, _work("landing"), n_files
     )

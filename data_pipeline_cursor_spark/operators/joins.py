@@ -589,18 +589,24 @@ def bloom_prefilter(
     sizes the filter with: dim keys, bits set, candidates passed,
     true matches, false positives, matched revenue.
 
-    Plan shape (the 100 TB story): the set-bit table is at most
-    {BLOOM_BITS} ints — broadcast twice as LEFT SEMI joins, so the
-    lineitem fact is scanned ONCE, never shuffled, and rows failing a
-    probe die inside the scan stage; the exact verification join is a
-    broadcast of the (small) dim.  On a 1000-executor cluster this is
-    the difference between moving a 100 TB fact to the join and moving
-    ~16 KB of filter to the fact.  The md5 positions are engine-portable
-    (text.dedup.phash), so the DuckDB oracle replays the EXACT same
-    filter, candidates included — the false-positive count is verified,
-    not estimated.  ``bits_width`` is the sizing knob (tests shrink it
-    to force false positives; n_false_pos >= 0 and n_candidates >=
-    n_matches are invariants at any width)."""
+    Plan shape (the 100 TB story): ONE dim aggregation collects the
+    set-bit positions to the driver (bounded at ``bits_width`` ints by
+    construction — dim ROWS are never collected) and the probes compile
+    to literal IN-lists inside the fact's scan stage, so the lineitem
+    fact is scanned ONCE, never shuffled, and rows failing a probe die
+    inside the scan; the exact verification join is a broadcast of the
+    (small) dim.  On a 1000-executor cluster this is the difference
+    between moving a 100 TB fact to the join and moving ~16 KB of filter
+    to the fact.  NOTE: building the filter runs an EAGER Spark job (the
+    dim aggregation collect) at DataFrame-construction time — plan-only
+    callers pay that job, and the filter snapshots dim state as of build
+    time rather than execution time (irrelevant for the immutable
+    fixture; a live deployment rebuilds per run).  The md5 positions are
+    engine-portable (text.dedup.phash), so the DuckDB oracle replays the
+    EXACT same filter, candidates included — the false-positive count is
+    verified, not estimated.  ``bits_width`` is the sizing knob (tests
+    shrink it to force false positives; n_false_pos >= 0 and
+    n_candidates >= n_matches are invariants at any width)."""
     nat = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == BLOOM_NATION
     )

@@ -137,14 +137,9 @@ def fan_out_small_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     dirs once they exceed cores x maxPartitionBytes."""
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    try:
-        max_split = int(
-            spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            ).rstrip("b")
-        )
-    except ValueError:
-        max_split = 128 * 1024 * 1024
+    max_split = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     total, n_files = 0, 0
     p = table_path(sf_dir, name)
     if os.path.isfile(p):
@@ -152,14 +147,48 @@ def fan_out_small_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     else:
         for root, _dirs, files in os.walk(p):
             for f in files:
+                # count only DATA files toward the parallelism estimate:
+                # _SUCCESS markers and .crc/._* sidecars are never
+                # scheduled by the split planner, so counting them could
+                # skip a fan-out the scan actually needs (round-13
+                # ADVICE).  Their bytes are negligible either way.
+                if f.startswith(("_", ".")):
+                    continue
                 try:
                     total += os.path.getsize(os.path.join(root, f))
                     n_files += 1
                 except OSError:
                     pass
+    # FAIL-SAFE: a probe that saw nothing (non-local path, unreadable
+    # dir, empty prefix) must mean "don't touch the plan", not "always
+    # inject the repartition" — the driver-local os.walk sees 0 files
+    # for an object-store table, and fanning THAT out would shuffle the
+    # whole table (round-13 VERDICT item 2).
+    if n_files == 0:
+        return df
     # enough files to feed every slot, or enough bytes that the split
     # planner will: the scan parallelizes by itself — keep the
     # shuffle-free plan
     if n_files >= slots or total >= slots * max_split:
         return df
     return df.repartition(slots)
+
+
+def _parse_byte_conf(raw: str) -> int:
+    """Spark byte-string conf → bytes.  Handles plain ints and the
+    human-readable k/m/g/t suffixes (with or without a trailing 'b'),
+    matching JavaUtils.byteStringAsBytes — the bare ``rstrip('b')`` it
+    replaces silently fell back to 128 MB on values like '128m'
+    (round-13 ADVICE)."""
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 * 1024 * 1024

@@ -118,13 +118,26 @@ def _part_dirname(p) -> str:
 
 def _merge_upsert_batch(spark, batch: DataFrame, table_dir: str) -> None:
     _recover_retired_partitions(table_dir)
-    touched = [r[0] for r in batch.select(KEY_COLS[0]).distinct().collect()]
+    # LIMIT the collect itself, don't just check after: the fail-stop
+    # exists because key cardinality is unbounded in a micro-batch, and a
+    # bare .collect() would pull every distinct key to the driver BEFORE
+    # the bound could fire — at 10M keys that is the driver OOM this
+    # bound guards against (round-13 VERDICT item 4, guide §5).  With the
+    # limit, driver traffic is ≤ MAX_TOUCHED_PARTITIONS+1 rows by
+    # construction and an over-bound batch still fail-stops loudly.
+    touched = [
+        r[0]
+        for r in batch.select(KEY_COLS[0])
+        .distinct()
+        .limit(MAX_TOUCHED_PARTITIONS + 1)
+        .collect()
+    ]
     if not touched:
         return
     if len(touched) > MAX_TOUCHED_PARTITIONS:
         raise ValueError(
-            f"upsert batch touches {len(touched)} {KEY_COLS[0]!r} partitions "
-            f"(bound: {MAX_TOUCHED_PARTITIONS}) — the Parquet read-merge-"
+            f"upsert batch touches more than {MAX_TOUCHED_PARTITIONS} "
+            f"{KEY_COLS[0]!r} partitions — the Parquet read-merge-"
             "overwrite sink does per-key driver work and is only sound for "
             "serving-table-sized key sets; for high-cardinality keys use a "
             "transactional MERGE INTO target (Delta/Iceberg) instead "

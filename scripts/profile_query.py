@@ -89,9 +89,23 @@ def main() -> None:
         # DataFrame's QueryExecution; cheap at fixture scale)
         df = fn(spark, args.sf)
         df.collect()
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        try:
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception:
+            # private PySpark internals (_jdf / _jvm ExplainMode) shift
+            # across versions — fall back to the public explain capture so
+            # the timing half keeps working (round-13 ADVICE)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
         print(f"{name}: best={best:.3f}s  [{plan_summary(plan)}]")
         if args.plans:
             os.makedirs(args.plans, exist_ok=True)

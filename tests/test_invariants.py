@@ -415,6 +415,77 @@ def test_upsert_rejects_high_cardinality_key_batches(spark, tmp_path, monkeypatc
         sinks.merge_upsert_batch(batch, str(tmp_path / "serving_cap"))
 
 
+def test_upsert_bound_holds_at_large_key_cardinality(spark, tmp_path):
+    """Round-13 VERDICT item 4: the fail-stop must hold when a micro-batch
+    carries far more distinct keys than the bound — and the driver-side
+    key collect is LIMITed to MAX_TOUCHED_PARTITIONS+1 rows by
+    construction, so a 50k-key batch cannot OOM the driver on its way to
+    the error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.streaming import sinks
+
+    batch = (
+        spark.range(50_000)
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("event_type"),
+            F.lit("2024-01-01 00:00:00").alias("window_start"),
+            F.lit(1.0).alias("avg_value"),
+            F.lit(1).cast("long").alias("n_events"),
+        )
+    )
+    assert sinks.MAX_TOUCHED_PARTITIONS == 256  # the documented bound
+    with pytest.raises(ValueError, match="MERGE INTO"):
+        sinks.merge_upsert_batch(batch, str(tmp_path / "serving_cap_large"))
+
+
+def test_exact_percentile_bounds_matches_percentile_aggregate(spark):
+    """q_winsorize's window-rank bounds (round-14 rewrite) must replicate
+    the `F.percentile` exact aggregate BIT-FOR-BIT — including ties at
+    the bracketing ranks, single-row groups, NULL exclusion, and a
+    whole-number interpolation position — because the downstream clip
+    comparisons are equality-sensitive doubles."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_cursor_spark.operators.aggregates import (
+        _exact_percentile_bounds,
+    )
+
+    rows = (
+        # group a: ties around both percentile positions
+        [("a", v) for v in [1.0, 1.0, 2.0, 2.0, 2.0, 3.5, 7.25, 7.25, 9.0]]
+        # group b: single row (position 0 for both percentiles)
+        + [("b", 42.0)]
+        # group c: NULLs must be excluded like the aggregate does
+        + [("c", None), ("c", 5.0), ("c", None), ("c", 11.0), ("c", 6.5)]
+        # group d: 21 rows → (n-1)*0.05 = 1.0, a whole-number position
+        + [("d", float(i) + 0.25) for i in range(21)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    want = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.05)).alias("lo"),
+            F.percentile("v", F.lit(0.95)).alias("hi"),
+        )
+        .collect()
+    }
+    got = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in _exact_percentile_bounds(df, "g", "v", 0.05, 0.95).collect()
+    }
+    assert set(want) == set(got)
+    for g in want:
+        for i in (0, 1):
+            assert struct.pack("d", want[g][i]) == struct.pack(
+                "d", got[g][i]
+            ), (g, i, want[g], got[g])
+
+
 def test_tfidf_builds_lazily(spark):
     """x_tfidf must be ONE lazy plan: constructing the DataFrame may not run
     any Spark job (the old driver-side docs.count() was an eager second scan
@@ -2094,6 +2165,40 @@ def test_fan_out_small_scan_condition(spark):
         assert ident is li, "expected identity when bytes fill the slots"
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fan_out_small_scan_fail_safe_on_unreadable_path(spark, tmp_path):
+    """A probe that sees NO data files (object-store path the driver
+    can't walk, nonexistent dir, sidecar-only dir) must mean "don't
+    touch the plan" — injecting the repartition there would shuffle a
+    table of unknown size (round-13 VERDICT item 2)."""
+    from data_pipeline_cursor_spark.sources import load_table
+    from data_pipeline_cursor_spark.sources.tables import fan_out_small_scan
+    from tests.conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    # nonexistent sf_dir: os.walk yields nothing → identity, no error
+    assert fan_out_small_scan(li, "/nonexistent/sfX", "lineitem") is li
+    # sidecar-only directory: _SUCCESS/.crc files are not data files
+    d = tmp_path / "lineitem"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-0.crc").write_text("x")
+    assert fan_out_small_scan(li, str(tmp_path), "lineitem") is li
+
+
+def test_parse_byte_conf_suffixes():
+    """Human-readable Spark byte strings must parse, not silently fall
+    back to 128 MB (round-13 ADVICE)."""
+    from data_pipeline_cursor_spark.sources.tables import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512k") == 512 * 1024
+    assert _parse_byte_conf("not-a-size") == 128 * 1024 * 1024
 
 
 def test_ewma_fold_carries_state_across_arrow_batches(spark):

@@ -10,6 +10,14 @@ Skipped per scale when the derived fixtures are absent (regenerate with
 `python scripts/make_scale_data.py 10` / `... 100`); they are
 .gitignored build artifacts (~170 MB / ~1.7 GB).
 
+OPT-IN ONLY (round-14 VERDICT item 1): this tier is ~165 sized
+comparisons measured at ~33 minutes — far past the driver's pytest
+window, so fixtures merely EXISTING on disk must not un-skip it (that
+is exactly what made VERIFY_r13 report tests_ok:false on an all-green
+tail).  Run it explicitly with `RUN_SCALE_PARITY=1 python -m pytest
+tests/test_scale_parity.py` after regenerating fixtures; the default
+collection skips regardless of what .scaledata/ holds.
+
 Slice selection: one per plan family that the sized runs exercise —
 scan+agg (tpch pricing), multi-way broadcast join (market share),
 window/as-of, exact percentile, the two-level gap detector, the
@@ -211,12 +219,21 @@ SCALE_SLICE = [
 ]
 
 
+_OPTED_IN = os.environ.get("RUN_SCALE_PARITY") == "1"
+
+
+@pytest.mark.skipif(
+    not _OPTED_IN, reason="sized tier is opt-in: set RUN_SCALE_PARITY=1"
+)
 @pytest.mark.skipif(not os.path.isdir(SF1), reason="sf1 fixtures not generated")
 @pytest.mark.parametrize("name", SCALE_SLICE)
 def test_scale_parity_sf1(spark, name):
     compare_query(spark, name, get_queries()[name], get_oracles()[name], SF1)
 
 
+@pytest.mark.skipif(
+    not _OPTED_IN, reason="sized tier is opt-in: set RUN_SCALE_PARITY=1"
+)
 @pytest.mark.skipif(not os.path.isdir(SF10), reason="sf10 fixtures not generated")
 @pytest.mark.parametrize("name", SCALE_SLICE)
 def test_scale_parity_sf10(spark, name):

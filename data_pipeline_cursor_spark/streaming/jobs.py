@@ -142,11 +142,59 @@ def _tree_bytes(path: str) -> int:
     return total
 
 
+#: Data micro-batches per UNORDERED drain.  Two is the minimal realistic
+#: multi-batch replay (state must carry across at least one batch
+#: boundary); the trigger width is DERIVED from the landing file count so
+#: the flush sentinel rides the LAST data batch instead of getting a
+#: micro-batch of its own — the watermark is recomputed at END of batch
+#: regardless of which file carried the sentinel, so the drained result
+#: is identical while each drain sheds one full fixed-cost batch
+#: (~0.4-0.6 s of state-commit/WAL/offset-log floor, measured round 14;
+#: across ~20 unordered drains that batch was ~10 s of the suite).
+UNORDERED_DRAIN_BATCHES = 2
+
+# derivation sentinel: "pick the width that yields UNORDERED_DRAIN_BATCHES
+# batches over the landing dir, sentinel included" (None stays "one big
+# availableNow batch", an explicit int stays an explicit override)
+DERIVE_TRIGGER = "derive"
+
+
+def derived_trigger_width(landing: str) -> int:
+    """maxFilesPerTrigger giving UNORDERED_DRAIN_BATCHES micro-batches
+    over the landing dir INCLUDING the flush sentinel — ceil(n_files /
+    batches).  Counting real files (not assuming the writer's layout)
+    keeps the derivation correct if the fixture's partitioning changes."""
+    n = sum(1 for f in os.listdir(landing) if f.endswith(".json"))
+    return max(1, -(-n // UNORDERED_DRAIN_BATCHES))
+
+
 def _stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 4
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None | str = DERIVE_TRIGGER,
 ) -> DataFrame:
     landing = write_landing_fixture(spark, sf_dir, _work("landing"))
+    if max_files_per_trigger == DERIVE_TRIGGER:
+        max_files_per_trigger = derived_trigger_width(landing)
     return read_event_stream(spark, landing, max_files_per_trigger)
+
+
+def _drain_state_parts(sf_dir: str) -> int:
+    """State-store shuffle width for one drain, DERIVED from the events
+    footprint — ~32 MB of input per state partition, clamped to [2, 256]
+    — replacing the former constant 8 (a local-mode tuning, exactly the
+    class of knob the scale rules forbid).  Rationale: every micro-batch
+    commits EVERY state partition (delta file + fsync, ~35 ms each on
+    the HDFS-backed store) even when empty, so width is pure per-batch
+    overhead until state volume needs it; state volume tracks the input
+    footprint for every fixture job (windowed aggs ∝ open windows,
+    resequencing buffers ∝ batch span).  At sf0.1 (2 MB) → 2, sf1
+    (20 MB) → 2, sf10 (205 MB) → 7 ≈ the old 8; a 100 TB deployment
+    still sizes by state_bytes / ~100 MB per store at job launch."""
+    from data_pipeline_cursor_spark.sources.tables import table_path
+
+    ev = _tree_bytes(table_path(sf_dir, "events"))
+    return int(min(256, max(2, -(-ev // (32 << 20)))))
 
 
 # Watermark delay for jobs replaying the ORDERED fixture: the disorder
@@ -210,8 +258,13 @@ def _stream_ordered(
     ev_bytes = _tree_bytes(table_path(sf_dir, "events"))
     n_files = int(min(256, max(32, ev_bytes // (2 << 20))))
     if max_files_per_trigger is None:
+        # +1: the flush sentinel counts toward the file budget, so it
+        # rides the LAST data batch instead of triggering one of its own
+        # — the watermark updates at end-of-batch either way, and the
+        # finalize batch still runs (round-14; same argument as
+        # derived_trigger_width on the unordered fixture)
         max_files_per_trigger = min(
-            -(-n_files // ORDERED_DRAIN_BATCHES), ORDERED_MAX_BATCH_FILES
+            -(-(n_files + 1) // ORDERED_DRAIN_BATCHES), ORDERED_MAX_BATCH_FILES
         )
     landing = write_ordered_landing_fixture(
         spark, sf_dir, _work("landing"), n_files
@@ -291,7 +344,11 @@ def tumble_agg(df: DataFrame, with_watermark: bool = True) -> DataFrame:
 def s_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1+C2+C3: event-time parse → watermark → tumbling AVG/COUNT,
     append mode (finalized windows only)."""
-    return run_to_completion(tumble_agg(_stream(spark, sf_dir)), _ckpt("tumble"))
+    return run_to_completion(
+        tumble_agg(_stream(spark, sf_dir)),
+        _ckpt("tumble"),
+        state_parts=_drain_state_parts(sf_dir),
+    )
 
 
 @register(
@@ -329,7 +386,9 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_completion(agg, _ckpt("sliding"))
+    return run_to_completion(
+        agg, _ckpt("sliding"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 @register(
@@ -380,7 +439,9 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_completion(agg, _ckpt("session"))
+    return run_to_completion(
+        agg, _ckpt("session"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 @register(
@@ -412,7 +473,9 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         F.col("window.start").alias("window_start"), "event_type", "n_unique"
     )
-    return run_to_completion(out, _ckpt("dedup"))
+    return run_to_completion(
+        out, _ckpt("dedup"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 @register(
@@ -556,7 +619,11 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
     )
     agg = tumble_agg(typed.withWatermark("event_time", "5 minutes"), False)
-    return run_to_completion(agg, os.path.join(work, "ckpt"))
+    return run_to_completion(
+        agg,
+        os.path.join(work, "ckpt"),
+        state_parts=_drain_state_parts(sf_dir),
+    )
 
 
 @register(
@@ -598,7 +665,9 @@ def s_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table_dir = _work("serving", uuid.uuid4().hex[:8])
     agg = tumble_agg(_stream(spark, sf_dir))
-    run_upsert_stream(agg, table_dir, _ckpt("upsert"))
+    run_upsert_stream(
+        agg, table_dir, _ckpt("upsert"), state_parts=_drain_state_parts(sf_dir)
+    )
     out = _drop_flush(read_serving_table(spark, table_dir))
     return out.select(
         "event_type", "window_start", "window_end", "avg_value", "n_events"
@@ -700,7 +769,12 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    log = run_to_completion(emitted, _ckpt("custom-state"), out_mode="update")
+    log = run_to_completion(
+        emitted,
+        _ckpt("custom-state"),
+        out_mode="update",
+        state_parts=_drain_state_parts(sf_dir),
+    )
     # the memory sink logs every per-batch emission; the final state per key
     # is the row with the highest batch_seq
     w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
@@ -841,7 +915,12 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputMode="Update",
                 timeMode="None",
             )
-            log = run_to_completion(emitted, _ckpt("tws"), out_mode="update")
+            log = run_to_completion(
+                emitted,
+                _ckpt("tws"),
+                out_mode="update",
+                state_parts=_drain_state_parts(sf_dir),
+            )
         finally:
             if old is None:
                 spark.conf.unset(provider_key)
@@ -864,7 +943,12 @@ def s_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update",
             GroupStateTimeout.NoTimeout,
         )
-        log = run_to_completion(emitted, _ckpt("tws"), out_mode="update")
+        log = run_to_completion(
+                emitted,
+                _ckpt("tws"),
+                out_mode="update",
+                state_parts=_drain_state_parts(sf_dir),
+            )
     w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -916,7 +1000,12 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_above"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return run_to_completion(agg, _ckpt("static-join"), out_mode="complete")
+    return run_to_completion(
+        agg,
+        _ckpt("static-join"),
+        out_mode="complete",
+        state_parts=_drain_state_parts(sf_dir),
+    )
 
 
 @register(
@@ -988,7 +1077,9 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("error_time") + F.expr("INTERVAL 1 MINUTE")
         ),
     )
-    drained = run_to_completion(pairs, _ckpt("stream-join"))
+    drained = run_to_completion(
+        pairs, _ckpt("stream-join"), state_parts=_drain_state_parts(sf_dir)
+    )
     return drained.groupBy(
         F.date_format("click_time", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -1098,7 +1189,7 @@ def s_stream_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             counts[r["day"]] = counts.get(r["day"], 0) + r["n"]
 
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
         q = (
             pairs.writeStream.foreachBatch(fold_batch)
             .outputMode("append")
@@ -1200,7 +1291,12 @@ def s_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    log = run_to_completion(emitted, _ckpt("fill-forward"), out_mode="update")
+    log = run_to_completion(
+        emitted,
+        _ckpt("fill-forward"),
+        out_mode="update",
+        state_parts=_drain_state_parts(sf_dir),
+    )
     w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -1269,7 +1365,9 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets",
         )
     )
-    return run_to_completion(second, _ckpt("chained"))
+    return run_to_completion(
+        second, _ckpt("chained"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 _TOPK_K = 3
@@ -1343,7 +1441,12 @@ def s_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    log = run_to_completion(emitted, _ckpt("topk-state"), out_mode="update")
+    log = run_to_completion(
+        emitted,
+        _ckpt("topk-state"),
+        out_mode="update",
+        state_parts=_drain_state_parts(sf_dir),
+    )
     w = Window.partitionBy("event_type", "rnk").orderBy(F.desc("batch_seq"))
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -1537,10 +1640,10 @@ def s_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         landing = write_landing_fixture(spark, sf_dir, _work("landing"))
-        df = read_event_stream(spark, landing, 4)
+        df = read_event_stream(spark, landing, derived_trigger_width(landing))
         agg = tumble_agg(df)
         name = "metrics_" + uuid.uuid4().hex[:8]
-        with stream_state_partitions(spark):
+        with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -1717,7 +1820,7 @@ def ewma_emitted_log(
         ).filter(F.col("event_type") != FLUSH_TYPE)
     else:
         ev_bytes = _tree_bytes(table_path(sf_dir, "events"))
-        mft = 4 if ev_bytes <= _EWMA_SINGLE_BATCH_BYTES else None
+        mft = DERIVE_TRIGGER if ev_bytes <= _EWMA_SINGLE_BATCH_BYTES else None
         df = _stream(spark, sf_dir, mft).filter(
             F.col("event_type") != FLUSH_TYPE
         )
@@ -1817,7 +1920,12 @@ def ewma_emitted_log(
         GroupStateTimeout.NoTimeout,
     )
     name = "ewma-horizon" if horizon else "ewma-state"
-    return run_to_completion(emitted, _ckpt(name), out_mode="update")
+    return run_to_completion(
+        emitted,
+        _ckpt(name),
+        out_mode="update",
+        state_parts=_drain_state_parts(sf_dir),
+    )
 
 
 @register("s_ewma_horizon", oracle=_EWMA_STATE_ORACLE)
@@ -2089,7 +2197,12 @@ def funnel_emitted_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     try:
-        return run_to_completion(emitted, _ckpt("funnel"), out_mode="update")
+        return run_to_completion(
+            emitted,
+            _ckpt("funnel"),
+            out_mode="update",
+            state_parts=_drain_state_parts(sf_dir),
+        )
     finally:
         # drain complete — the memory-sink table no longer references the
         # cached enrichment side
@@ -2232,7 +2345,9 @@ def s_cms_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "r", "pos", "cell"
         )
     )
-    return run_to_completion(agg, _ckpt("cms_window"))
+    return run_to_completion(
+        agg, _ckpt("cms_window"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 SHLL_M = 64  # registers per window; state = m rows/window, cardinality-free
@@ -2298,7 +2413,9 @@ def s_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "bucket", "m_rank"
         )
     )
-    return run_to_completion(agg, _ckpt("hll_window"))
+    return run_to_completion(
+        agg, _ckpt("hll_window"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 _DRIFT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2391,7 +2508,9 @@ def s_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_uniform"),
         )
     )
-    return run_to_completion(agg, _ckpt("drift_window"))
+    return run_to_completion(
+        agg, _ckpt("drift_window"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 # --- C26: streaming ANN serving ------------------------------------------
@@ -2538,7 +2657,9 @@ def s_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version_from"
         ),
     )
-    return run_to_completion(joined, _ckpt("scd2-lookup"))
+    return run_to_completion(
+        joined, _ckpt("scd2-lookup"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 DQ_RANGE_MAX_CENTS = 40_000  # value <= 400.00 passes the range rule
@@ -2607,7 +2728,9 @@ def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") >= DQ_MIN_ROWS).alias("volume_pass"),
         )
     )
-    return run_to_completion(agg, _ckpt("quality-gate"))
+    return run_to_completion(
+        agg, _ckpt("quality-gate"), state_parts=_drain_state_parts(sf_dir)
+    )
 
 
 @register(
@@ -2699,7 +2822,7 @@ def s_gdpr_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch.sparkSession, table_dir, batch, key="event_id"
             )
 
-        with stream_state_partitions(spark):
+        with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
             q = (
                 src.writeStream.foreachBatch(apply_deletes)
                 .option("checkpointLocation", _ckpt("gdpr"))
@@ -2847,7 +2970,7 @@ def s_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             snapshot_merge(sp, table_dir, source, key="event_id")
 
-        with stream_state_partitions(spark):
+        with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
             q = (
                 src.writeStream.foreachBatch(apply_merge)
                 .option("checkpointLocation", _ckpt("merge-stream"))
@@ -2920,7 +3043,7 @@ def s_snapshot_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     name = "snapfeed_" + uuid.uuid4().hex[:8]
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -2994,7 +3117,7 @@ def s_feed_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "pacedfeed_" + uuid.uuid4().hex[:8]
     expected = None
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _drain_state_parts(sf_dir)):
         # availableNow's single-batch fallback would collapse the paced
         # batches, so drive with a tight processingTime trigger and stop
         # once the capped batches have caught up to the ending version

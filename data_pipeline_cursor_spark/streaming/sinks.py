@@ -441,18 +441,22 @@ def run_upsert_stream_jdbc(
 
 
 def run_upsert_stream(
-    agg_stream: DataFrame, table_dir: str, checkpoint: str
+    agg_stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    state_parts: int | None = None,
 ) -> None:
     """Drive a windowed aggregation stream (update mode) into the serving
     table via foreachBatch MERGE — refinement semantics like Flink's
     retract/upsert stream: a window's row is re-emitted and overwritten on
-    every in-watermark late arrival."""
+    every in-watermark late arrival.  ``state_parts`` pins the state-store
+    shuffle width (callers derive it from input size; None keeps 8)."""
     from data_pipeline_cursor_spark.streaming.sources import (
         record_state_progress,
         stream_state_partitions,
     )
 
-    with stream_state_partitions(agg_stream.sparkSession):
+    with stream_state_partitions(agg_stream.sparkSession, state_parts or 8):
         q = (
             agg_stream.writeStream.outputMode("update")
             .foreachBatch(lambda b, _id: merge_upsert_batch(b, table_dir))

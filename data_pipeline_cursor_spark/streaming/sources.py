@@ -379,16 +379,23 @@ def record_state_progress(q) -> None:
         LAST_STATE_PROGRESS.clear()
 
 
-def run_to_completion(stream_df: DataFrame, checkpoint: str, out_mode: str = "append"):
+def run_to_completion(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_mode: str = "append",
+    state_parts: int | None = None,
+):
     """Drain a stream with trigger(availableNow) into an in-memory sink and
     return the result as a batch DataFrame.  The memory sink is test/driver
     plumbing only — production sinks are the lakehouse appender and the
-    upsert sink (streaming.sinks)."""
+    upsert sink (streaming.sinks).  ``state_parts`` pins the state-store
+    shuffle width for the drain (callers derive it from the input
+    footprint via jobs._drain_state_parts; None keeps the legacy 8)."""
     import uuid
 
     spark = stream_df.sparkSession
     name = "m" + uuid.uuid4().hex[:12]
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, state_parts or 8):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)

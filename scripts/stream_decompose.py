@@ -45,12 +45,12 @@ def main() -> None:
     orig_rtc = ss.run_to_completion
     probe: dict = {}
 
-    def timed_rtc(stream_df, checkpoint, out_mode="append"):
+    def timed_rtc(stream_df, checkpoint, out_mode="append", state_parts=None):
         import uuid
 
         sp = stream_df.sparkSession
         name = "m" + uuid.uuid4().hex[:12]
-        with ss.stream_state_partitions(sp):
+        with ss.stream_state_partitions(sp, state_parts or 8):
             t0 = time.perf_counter()
             q = (
                 stream_df.writeStream.format("memory")
